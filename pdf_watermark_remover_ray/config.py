@@ -1,0 +1,80 @@
+"""Pipeline configuration records.
+
+The reference holds its run configuration in a flat bag of Tk variables
+(``ui/app_ui.py:31-40``: input/output paths, ``name_var``, ``footer_var``,
+``use_footer_var``, mode flags).  The engine equivalent is a frozen dataclass
+passed into ``map_batches`` callables' constructors — never globals — mirroring
+the reference's module seam where the processor is injected behind a 2-method
+interface (``main/remove_watermark.py:53-55``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ScrubConfig:
+    """Parameters of the scrub kernel (reference T1-T5, SURVEY.md §2.2).
+
+    ``name_pattern`` / ``footer_pattern`` are the user-supplied patterns
+    (``ui/app_ui.py:163-179``); ``use_footer=False`` collapses the footer
+    pattern to inactive exactly as the UI passes ``""`` when the checkbox is
+    off (``ui/app_ui.py:280-282``).
+    """
+
+    name_pattern: str = "CONFIDENTIEL J.DUPONT"
+    footer_pattern: str = "DOCUMENT NON APPLICABLE"
+    use_footer: bool = True
+
+    @property
+    def effective_footer(self) -> str:
+        return self.footer_pattern if self.use_footer else ""
+
+
+@dataclass(frozen=True)
+class Tumbling:
+    """Tumbling event-time window: fixed, non-overlapping ``size_us`` buckets."""
+
+    size_us: int
+
+    def assign(self, ts_us: int) -> int:
+        return (ts_us // self.size_us) * self.size_us
+
+
+@dataclass(frozen=True)
+class Sliding:
+    """Sliding window of ``size_us`` advancing every ``slide_us``."""
+
+    size_us: int
+    slide_us: int
+
+    def n_windows(self) -> int:
+        # Number of windows each event belongs to.
+        return (self.size_us + self.slide_us - 1) // self.slide_us
+
+
+@dataclass(frozen=True)
+class Session:
+    """Session window: events of one key closer than ``gap_us`` merge."""
+
+    gap_us: int
+
+
+@dataclass(frozen=True)
+class StreamConfig:
+    """Configuration of the streaming epoch driver (SURVEY.md §7).
+
+    ``lateness_us`` feeds the monotone watermark tracker (watermark after
+    epoch e = max ts over epochs ≤ e − lateness); ``num_partitions`` is the
+    explicit hash-partition count for keyed state (``hash(conv_id) % P``);
+    ``epoch_rows`` sizes the deterministic epoch slicing of a bounded input.
+    """
+
+    num_partitions: int = 16
+    lateness_us: int = 15_000_000
+    session_gap_us: int = 30_000_000
+    join_gap_us: int = 30_000_000
+    tumbling_us: int = 60_000_000
+    epoch_rows: int = 50_000
+    scrub: ScrubConfig = field(default_factory=ScrubConfig)

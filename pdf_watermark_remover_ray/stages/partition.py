@@ -1,0 +1,53 @@
+"""Explicit hash partitioning by conversation key.
+
+The reference processes one document at a time in a single thread
+(``ui/app_ui.py:374-375``); the engine's unit of co-location is the
+conversation.  ONE partitioning key (``hash(conv_id) % P``) is chosen and
+reused across sessionization, joins and stateful streaming so the shuffle
+happens once and every keyed stage sees all rows of a key (SURVEY.md §7.3).
+
+``groupby("part").map_groups`` with P partition-groups keeps the per-group
+Python overhead at O(P) — each group is a whole hash partition processed with
+vectorized pandas/numpy, NOT one group per conversation (which would pay
+per-key function-call overhead at 10^9 keys).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def stable_hash(series: pd.Series) -> np.ndarray:
+    """Deterministic, process-independent uint64 hash of a key column.
+
+    pandas' vectorized siphash with its fixed default key — stable across
+    workers and across driver restarts, which the epoch/state routing needs
+    (SURVEY.md §7.4 "Stable partition→state affinity across epochs").
+    """
+    return pd.util.hash_pandas_object(series, index=False).to_numpy()
+
+
+def add_partition_column(ds, key: str = "conv_id", num_partitions: int = 16,
+                         col: str = "part"):
+    """Append ``part = stable_hash(key) % P`` (vectorized, Arrow in/out)."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        s = t[key].to_pandas()
+        part = (stable_hash(s) % num_partitions).astype(np.int32)
+        return t.append_column(col, pa.array(part))
+
+    return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def partitioned_map(ds, fn, key: str = "conv_id", num_partitions: int = 16):
+    """Hash-partition by ``key`` then run ``fn`` (pandas→pandas, vectorized)
+    once per partition with all rows of each key co-located."""
+    ds = add_partition_column(ds, key=key, num_partitions=num_partitions)
+    return ds.groupby("part").map_groups(fn, batch_format="pandas")
+
+
+def partition_table(table: pa.Table, key: str, num_partitions: int) -> np.ndarray:
+    """Partition ids for an in-memory Arrow table (streaming router path)."""
+    return (stable_hash(table[key].to_pandas()) % num_partitions).astype(np.int32)

@@ -1,0 +1,42 @@
+"""Session-scoped Ray fixture — ONE ray.init per pytest session."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def tiny_transcripts():
+    """F1-tiny fixture table (deterministic, seed=42)."""
+    from pdf_watermark_remover_ray.sources.transcripts import generate_transcripts
+
+    return generate_transcripts(n_convs=20, mean_turns=8, seed=42)
