@@ -1,0 +1,91 @@
+"""Pure-Python single-process oracle for the streaming engine (SURVEY.md §5).
+
+Replays the exact semantics of :mod:`.pipelines.streaming` — epoch slicing,
+watermark, late drops, session close, window emission, join firing — in plain
+pandas on the driver, sharing the already-DuckDB-verified per-partition
+kernels (scrub_text, sessionize_pdf, join_pdf) so the comparison checks the
+*distributed execution*, not two divergent interpretations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .config import StreamConfig
+from .functions.scrub import oracle_scrub_rows
+from .stages.join import join_pdf
+from .stages.windows import sessionize_pdf
+
+
+def arrival_epochs(table: pa.Table, num_files: int, epoch_files: int) -> np.ndarray:
+    """Epoch id per row of the fixture table — replicates
+    ``write_transcripts(split_by='ts')`` + ``StreamingEngine`` file slicing."""
+    order_col = "arrival_us" if "arrival_us" in table.column_names else "ts"
+    key = table[order_col].cast(pa.int64()).to_numpy()
+    order = np.argsort(key, kind="stable")
+    rank = np.empty(len(key), dtype=np.int64)
+    rank[order] = np.arange(len(key))
+    bounds = np.linspace(0, len(key), num_files + 1).astype(np.int64)
+    file_of_rank = np.searchsorted(bounds[1:], np.arange(len(key)), side="right")
+    file_idx = file_of_rank[rank]
+    return (file_idx // epoch_files).astype(np.int64)
+
+
+def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
+                     cfg: StreamConfig) -> dict[str, pd.DataFrame]:
+    """Expected final outputs of a full streaming run over the fixture."""
+    epoch = arrival_epochs(table, num_files, epoch_files)
+    ts_us = table["ts"].cast(pa.int64()).to_numpy()
+    n_epochs = int(epoch.max()) + 1 if len(epoch) else 0
+
+    # watermark_after(e) = cummax over per-epoch max ts − lateness.
+    wm_after = np.full(n_epochs, -(1 << 62), dtype=np.int64)
+    for e in range(n_epochs):
+        m = ts_us[epoch == e]
+        prev = wm_after[e - 1] if e > 0 else -(1 << 62)
+        cur = int(m.max()) if len(m) else -(1 << 62)
+        wm_after[e] = max(prev, cur)
+    wm_after = wm_after - cfg.lateness_us
+
+    late_mask = np.zeros(len(table), dtype=bool)
+    for e in range(1, n_epochs):
+        in_e = epoch == e
+        late_mask |= in_e & (ts_us < wm_after[e - 1])
+
+    df = pd.DataFrame(
+        {
+            "conv_id": table["conv_id"].to_pandas().to_numpy(),
+            "turn_idx": table["turn_idx"].to_pandas().to_numpy().astype(np.int32),
+            "role": table["role"].to_pandas().to_numpy(),
+            "text": table["text"].to_pandas().to_numpy(),
+            "tool": table["tool"].to_pandas().to_numpy(),
+            "ts": ts_us.astype("datetime64[us]"),
+            "ts_us": ts_us,
+            "epoch": epoch,
+        }
+    )
+    late = df[late_mask]
+    live = df[~late_mask].copy()
+
+    scrubbed = oracle_scrub_rows(live["text"].tolist(), cfg.scrub)
+    live["text"] = [t for t, _ in scrubbed]
+    live["modified"] = [m for _, m in scrubbed]
+
+    sessions = sessionize_pdf(live, cfg.session_gap_us)
+    matches = join_pdf(live, cfg.join_gap_us)
+    ws = (live["ts_us"].to_numpy() // cfg.tumbling_us) * cfg.tumbling_us
+    windows = (
+        pd.DataFrame({"conv_id": live["conv_id"].to_numpy(), "window_start_us": ws})
+        .groupby(["conv_id", "window_start_us"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_turns"})
+    )
+    return {
+        "turns": live[["conv_id", "turn_idx", "role", "text", "tool", "ts", "modified"]],
+        "late": late[["conv_id", "turn_idx", "ts_us", "epoch"]],
+        "sessions": sessions,
+        "windows": windows,
+        "matches": matches,
+    }

@@ -1,0 +1,107 @@
+"""Exactly-once staged Parquet sink with epoch markers.
+
+Direct descendant of the reference's staging discipline — write the full
+result to a temp location first, then copy to the destination, keep the temp
+on failure (``mechanisms/watermark_processor.py:46-47,166,171-195``) — made
+idempotent and deterministic for a distributed stream:
+
+- every (epoch, stream, partition) output is written to
+  ``out/_staging/epoch={e}/{stream}/part-{p:05d}.parquet``;
+- committing epoch *e* atomically ``os.replace``s each staged file into
+  ``out/data/{stream}/epoch={e}/`` and finally writes the marker
+  ``out/_epochs/epoch-{e}.json`` — the marker IS the commit point;
+- re-running an epoch overwrites staging and re-publishes the identical
+  files, so task retries and kill/resume never duplicate or lose rows;
+- file names are deterministic functions of (epoch, partition) — NEVER
+  wall-clock (deliberately diverging from the reference's
+  ``time.time()`` suffixes, ``ui/app_ui.py:310``, which would break
+  exactly-once under replay).
+
+Layout (SURVEY.md §2.1 S5-S8):
+
+    out/
+      data/{turns,sessions,matches,windows,late}/epoch={e}/part-{p:05d}.parquet
+      _state/epoch={e}/part-{p:05d}.parquet     (checkpoint snapshots)
+      _staging/epoch={e}/...                    (scratch, survives crashes)
+      _epochs/epoch-{e}.json                    (commit markers + metrics)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+STREAMS = ("turns", "sessions", "matches", "windows", "late")
+
+
+class EpochSink:
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        for sub in ("data", "_staging", "_epochs", "_state"):
+            os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+
+    def staging_path(self, epoch: int, stream: str, partition: int) -> str:
+        d = os.path.join(self.out_dir, "_staging", f"epoch={epoch}", stream)
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"part-{partition:05d}.parquet")
+
+    def staging_state_path(self, epoch: int, partition: int) -> str:
+        d = os.path.join(self.out_dir, "_staging", f"epoch={epoch}", "_state")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"part-{partition:05d}.parquet")
+
+    def data_dir(self, stream: str, epoch: int) -> str:
+        return os.path.join(self.out_dir, "data", stream, f"epoch={epoch}")
+
+    def state_path(self, epoch: int, partition: int) -> str:
+        return os.path.join(self.out_dir, "_state", f"epoch={epoch}",
+                            f"part-{partition:05d}.parquet")
+
+    def marker_path(self, epoch: int) -> str:
+        return os.path.join(self.out_dir, "_epochs", f"epoch-{epoch}.json")
+
+    # -- commit protocol ---------------------------------------------------
+
+    def commit_epoch(self, epoch: int, marker: dict) -> None:
+        """Atomically publish staged files then write the marker."""
+        stage_root = os.path.join(self.out_dir, "_staging", f"epoch={epoch}")
+        for stream in STREAMS:
+            src_dir = os.path.join(stage_root, stream)
+            if not os.path.isdir(src_dir):
+                continue
+            dst_dir = self.data_dir(stream, epoch)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fn in sorted(os.listdir(src_dir)):
+                os.replace(os.path.join(src_dir, fn), os.path.join(dst_dir, fn))
+        src_state = os.path.join(stage_root, "_state")
+        if os.path.isdir(src_state):
+            dst_state = os.path.join(self.out_dir, "_state", f"epoch={epoch}")
+            os.makedirs(dst_state, exist_ok=True)
+            for fn in sorted(os.listdir(src_state)):
+                os.replace(os.path.join(src_state, fn), os.path.join(dst_state, fn))
+        tmp = self.marker_path(epoch) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(marker, f, sort_keys=True)
+        os.replace(tmp, self.marker_path(epoch))
+
+    def committed_epochs(self) -> list[int]:
+        d = os.path.join(self.out_dir, "_epochs")
+        out = []
+        for fn in os.listdir(d):
+            if fn.startswith("epoch-") and fn.endswith(".json"):
+                out.append(int(fn[len("epoch-"):-len(".json")]))
+        return sorted(out)
+
+    def read_marker(self, epoch: int) -> dict:
+        with open(self.marker_path(epoch)) as f:
+            return json.load(f)
+
+    def last_contiguous_epoch(self) -> int:
+        """Highest e such that 0..e are ALL committed (resume point)."""
+        done = set(self.committed_epochs())
+        e = -1
+        while (e + 1) in done:
+            e += 1
+        return e

@@ -181,6 +181,7 @@ def generate_transcripts(
         hot_total = int(total * hot_frac / (1 - hot_frac))
         sizes[:hot_keys] = np.maximum(sizes[:hot_keys], hot_total // hot_keys)
     rows_conv, rows_turn, rows_role, rows_text, rows_tool, rows_ts = [], [], [], [], [], []
+    rows_arrival = []
     for c in range(n_convs):
         conv = f"c{c:06d}"
         n = int(sizes[c])
@@ -188,7 +189,8 @@ def generate_transcripts(
         steps = rng.integers(1_000_000, 20_000_000, size=n)
         gap_mask = rng.random(n) < 0.08
         steps = np.where(gap_mask, steps + session_gap_us * 2, steps)
-        ts = start + np.cumsum(steps)
+        arrival = start + np.cumsum(steps)  # in-order arrival position
+        ts = arrival
         if late_frac > 0:
             late = rng.random(n) < late_frac
             shift = rng.integers(1, 4, size=n) * 60_000_000
@@ -206,6 +208,7 @@ def generate_transcripts(
                 _TOOLS[int(rng.integers(0, len(_TOOLS)))] if roles[i] == "tool" else ""
             )
             rows_ts.append(int(ts[i]))
+            rows_arrival.append(int(arrival[i]))
     # P4 edge rows: empty / null text.
     for j, payload in enumerate(["", None, ""]):
         rows_conv.append(f"c{n_convs + j:06d}")
@@ -214,6 +217,7 @@ def generate_transcripts(
         rows_text.append(payload)
         rows_tool.append("")
         rows_ts.append(base_ts_us + j)
+        rows_arrival.append(base_ts_us + j)
     return pa.table(
         {
             "conv_id": pa.array(rows_conv, pa.string()),
@@ -222,23 +226,46 @@ def generate_transcripts(
             "text": pa.array(rows_text, pa.string()),
             "tool": pa.array(rows_tool, pa.string()),
             "ts": pa.array(rows_ts, pa.timestamp("us")),
+            # arrival_us: in-order arrival position (pre-lateness ts) — used
+            # only to lay the stream out into files; NOT part of the schema.
+            "arrival_us": pa.array(rows_arrival, pa.int64()),
         }
     )
 
 
-def write_transcripts(table: pa.Table, out_dir: str, num_files: int = 8) -> list[str]:
-    """Write a fixture as multi-file Parquet split on conv_id hash ranges so
-    epoch slicing by file is meaningful (FIXTURES.md F1)."""
+def write_transcripts(
+    table: pa.Table, out_dir: str, num_files: int = 8, split_by: str = "ts"
+) -> list[str]:
+    """Write a fixture as multi-file Parquet (FIXTURES.md F1).
+
+    ``split_by="ts"`` (default): files are equal row-count bands of ARRIVAL
+    order (the ``arrival_us`` column when present, else ``ts``) — the
+    realistic arrival stream, where conversations span many files/epochs and
+    backward-shifted ``ts`` rows arrive at their original position (so they
+    are genuinely late at ingest).  ``split_by="conv"``: conv_id hash ranges
+    (each conversation wholly inside one file).  ``arrival_us`` is dropped
+    from the written files — the on-disk schema is the canonical 6 columns.
+    """
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    conv = table["conv_id"].to_pylist()
-    assign = np.array([hash_conv(c) % num_files for c in conv], dtype=np.int32)
+    if split_by == "ts":
+        order_col = "arrival_us" if "arrival_us" in table.column_names else "ts"
+        key = table[order_col].cast(pa.int64()).to_numpy()
+        order = np.argsort(key, kind="stable")
+        table = table.take(pa.array(order))
+        bounds = np.linspace(0, len(table), num_files + 1).astype(np.int64)
+        subs = [table.slice(bounds[f], bounds[f + 1] - bounds[f]) for f in range(num_files)]
+    else:
+        conv = table["conv_id"].to_pylist()
+        assign = np.array([hash_conv(c) % num_files for c in conv], dtype=np.int32)
+        subs = [table.filter(pa.array(assign == f)) for f in range(num_files)]
     paths = []
-    for f in range(num_files):
-        sub = table.filter(pa.array(assign == f))
+    for f, sub in enumerate(subs):
+        if "arrival_us" in sub.column_names:
+            sub = sub.drop_columns(["arrival_us"])
         path = os.path.join(out_dir, f"part-{f:05d}.parquet")
         pq.write_table(sub, path)
         paths.append(path)

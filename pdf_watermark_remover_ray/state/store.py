@@ -1,0 +1,144 @@
+"""Per-partition sorted state store with Parquet snapshots.
+
+The RocksDB-style keyed state of the north rule: each hash partition of the
+conversation key owns one :class:`SortedStateStore` holding the open windows,
+session intervals and join buffers for its key range, kept sorted by key so
+merges and range evictions are vectorized scans, and snapshotted to Parquet at
+every epoch commit (the engine's durable checkpoint — descendant of the
+reference's write-once marker-file pattern, ``ui/dialog_windows.py:31-35``:
+presence of a marker ⇒ the work it stands for is done and is skipped).
+
+State kinds (all pandas DataFrames sorted by their key columns):
+
+- ``sessions``: open session intervals  (conv_id, start_us, end_us, n)
+- ``users``:    joinable user turns     (conv_id, ts_us, turn_idx)
+- ``tools``:    pending tool turns      (conv_id, ts_us, turn_idx, tool)
+- ``windows``:  open tumbling windows   (conv_id, window_start_us, n)
+
+Snapshots store every kind in ONE Parquet file per partition with a ``kind``
+discriminator column, so restore is a single columnar read.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_EMPTY = {
+    "sessions": {"conv_id": str, "start_us": np.int64, "end_us": np.int64, "n": np.int64},
+    "users": {"conv_id": str, "ts_us": np.int64, "turn_idx": np.int32},
+    "tools": {"conv_id": str, "ts_us": np.int64, "turn_idx": np.int32, "tool": str},
+    "windows": {"conv_id": str, "window_start_us": np.int64, "n": np.int64},
+}
+
+_SORT_KEYS = {
+    "sessions": ["conv_id", "start_us"],
+    "users": ["conv_id", "ts_us", "turn_idx"],
+    "tools": ["conv_id", "ts_us", "turn_idx"],
+    "windows": ["conv_id", "window_start_us"],
+}
+
+# Superset schema used by the single-file snapshot.
+_SNAP_COLS = ["kind", "conv_id", "start_us", "end_us", "n", "ts_us", "turn_idx", "tool",
+              "window_start_us"]
+
+
+def _empty_frame(kind: str) -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in _EMPTY[kind].items()})
+
+
+class SortedStateStore:
+    """Sorted keyed state for one hash partition."""
+
+    def __init__(self) -> None:
+        self.frames: dict[str, pd.DataFrame] = {k: _empty_frame(k) for k in _EMPTY}
+
+    def get(self, kind: str) -> pd.DataFrame:
+        return self.frames[kind]
+
+    def put(self, kind: str, df: pd.DataFrame) -> None:
+        """Replace one state kind; re-sorts by its key columns (stable)."""
+        cols = list(_EMPTY[kind].keys())
+        df = df[cols].sort_values(_SORT_KEYS[kind], kind="mergesort").reset_index(drop=True)
+        self.frames[kind] = df
+
+    def total_rows(self) -> int:
+        return sum(len(f) for f in self.frames.values())
+
+    # -- snapshot / restore ------------------------------------------------
+
+    def snapshot(self, path: str) -> None:
+        parts = []
+        for kind, df in self.frames.items():
+            if len(df) == 0:
+                continue
+            d = df.copy()
+            d.insert(0, "kind", kind)
+            parts.append(d)
+        snap = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"kind": pd.Series([], dtype=str)})
+        )
+        for c in _SNAP_COLS:
+            if c not in snap.columns:
+                snap[c] = pd.Series([None] * len(snap))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(snap[_SNAP_COLS], preserve_index=False), path)
+
+    @classmethod
+    def restore(cls, path: str) -> "SortedStateStore":
+        store = cls()
+        if not os.path.exists(path):
+            return store
+        snap = pq.read_table(path).to_pandas()
+        for kind in _EMPTY:
+            sub = snap[snap["kind"] == kind]
+            if len(sub) == 0:
+                continue
+            df = pd.DataFrame(
+                {c: sub[c].to_numpy().astype(t) for c, t in _EMPTY[kind].items()}
+            )
+            store.put(kind, df)
+        return store
+
+
+def merge_session_intervals(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """Vectorized interval merge with gap tolerance.
+
+    ``df``: (conv_id, start_us, end_us, n) interval rows (open sessions and/or
+    single-turn intervals).  Two intervals of one conv_id belong to the same
+    session when ``start <= running_max(end) + gap``.  Returns merged
+    (conv_id, start_us, end_us, n) — counts sum.
+    """
+    if len(df) == 0:
+        return _empty_frame("sessions")
+    df = df.sort_values(["conv_id", "start_us", "end_us"], kind="mergesort")
+    conv = df["conv_id"].to_numpy()
+    start = df["start_us"].to_numpy(np.int64)
+    end = df["end_us"].to_numpy(np.int64)
+    new_conv = np.empty(len(df), dtype=bool)
+    new_conv[0] = True
+    new_conv[1:] = conv[1:] != conv[:-1]
+    # Running max of end within conv (cython-level grouped cummax).
+    g = pd.Series(end).groupby(pd.Series(conv), sort=False).cummax().to_numpy()
+    prev_run = np.empty(len(df), dtype=np.int64)
+    prev_run[0] = np.iinfo(np.int64).min
+    prev_run[1:] = g[:-1]
+    brk = new_conv | (start > prev_run + gap_us)
+    sid = np.cumsum(brk)
+    out = pd.DataFrame(
+        {"conv_id": conv, "start_us": start, "end_us": end, "n": df["n"].to_numpy(np.int64),
+         "sid": sid}
+    )
+    agg = out.groupby("sid", sort=True).agg(
+        conv_id=("conv_id", "first"),
+        start_us=("start_us", "min"),
+        end_us=("end_us", "max"),
+        n=("n", "sum"),
+    )
+    return agg.reset_index(drop=True)

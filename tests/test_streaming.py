@@ -1,0 +1,149 @@
+"""Streaming engine conformance: golden equality vs the single-process oracle,
+exactly-once under kill/resume, idempotent replay."""
+
+from __future__ import annotations
+
+import glob
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_watermark_remover_ray.config import ScrubConfig, StreamConfig
+from pdf_watermark_remover_ray.oracle import streaming_oracle
+from pdf_watermark_remover_ray.pipelines.streaming import StreamingEngine
+from pdf_watermark_remover_ray.sources.transcripts import (
+    generate_transcripts,
+    write_transcripts,
+)
+
+NUM_FILES = 8
+EPOCH_FILES = 2
+
+CFG = StreamConfig(
+    num_partitions=4,
+    lateness_us=15_000_000,
+    session_gap_us=30_000_000,
+    join_gap_us=30_000_000,
+    tumbling_us=60_000_000,
+    scrub=ScrubConfig(),
+)
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    table = generate_transcripts(n_convs=60, mean_turns=12, seed=11, late_frac=0.10)
+    d = tmp_path_factory.mktemp("stream_in")
+    paths = write_transcripts(table, str(d), num_files=NUM_FILES, split_by="ts")
+    golden = streaming_oracle(table, NUM_FILES, EPOCH_FILES, CFG)
+    return table, paths, golden
+
+
+def read_stream(out_dir: str, stream: str) -> pd.DataFrame:
+    files = sorted(glob.glob(f"{out_dir}/data/{stream}/epoch=*/part-*.parquet"))
+    frames = [pq.read_table(f).to_pandas() for f in files]
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+
+
+def assert_stream_equal(got: pd.DataFrame, want: pd.DataFrame, cols: list[str]):
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(g) == len(w), (len(g), len(w))
+    for c in cols:
+        gv, wv = g[c].to_numpy(), w[c].to_numpy()
+        assert (pd.isna(gv) == pd.isna(wv)).all(), c
+        ok = pd.isna(gv) | (gv.astype(str) == wv.astype(str))
+        assert ok.all(), (c, g.loc[~ok, cols].head(), w.loc[~ok, cols].head())
+
+
+def _check_outputs(out_dir: str, golden: dict):
+    assert_stream_equal(
+        read_stream(out_dir, "turns"), golden["turns"],
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts", "modified"],
+    )
+    assert_stream_equal(
+        read_stream(out_dir, "late"), golden["late"],
+        ["conv_id", "turn_idx", "ts_us", "epoch"],
+    )
+    assert_stream_equal(
+        read_stream(out_dir, "sessions"), golden["sessions"],
+        ["conv_id", "session_start_us", "session_end_us", "n_turns"],
+    )
+    assert_stream_equal(
+        read_stream(out_dir, "windows"), golden["windows"],
+        ["conv_id", "window_start_us", "n_turns"],
+    )
+    assert_stream_equal(
+        read_stream(out_dir, "matches"), golden["matches"],
+        ["conv_id", "user_turn_idx", "tool_turn_idx", "tool", "dt_us"],
+    )
+
+
+def test_full_run_matches_oracle(fixture, tmp_path):
+    table, paths, golden = fixture
+    out = str(tmp_path / "out")
+    eng = StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES)
+    res = eng.run()
+    assert len(res["epochs"]) == eng.n_input_epochs + 1
+    assert len(golden["late"]) > 0, "fixture must exercise the late-drop path"
+    assert golden["turns"]["modified"].sum() > 0, "fixture must exercise the scrub path"
+    _check_outputs(out, golden)
+    # watermark strictly monotone across markers
+    wms = [m["watermark_us"] for m in res["epochs"]]
+    assert wms == sorted(wms)
+
+
+def test_kill_after_epoch_resume_exactly_once(fixture, tmp_path):
+    table, paths, golden = fixture
+    out = str(tmp_path / "out_kill")
+    eng = StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES)
+    res = eng.run(kill_after_epoch=1)
+    assert res["killed_after"] == 1
+    # fresh engine (fresh actors) resumes from the markers
+    eng2 = StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES)
+    res2 = eng2.run()
+    assert res2["epochs"][0]["epoch"] == 2
+    _check_outputs(out, golden)
+
+
+def test_kill_mid_epoch_resume_exactly_once(fixture, tmp_path):
+    table, paths, golden = fixture
+    out = str(tmp_path / "out_mid")
+    eng = StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES)
+    res = eng.run(kill_mid_epoch=2)
+    assert res["killed_mid"] == 2
+    eng2 = StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES)
+    res2 = eng2.run()
+    assert res2["epochs"][0]["epoch"] == 2  # epoch 2 replayed from scratch
+    _check_outputs(out, golden)
+
+
+def test_replay_completed_run_is_noop(fixture, tmp_path):
+    table, paths, golden = fixture
+    out = str(tmp_path / "out_replay")
+    StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES).run()
+    before = read_stream(out, "turns")
+    res = StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES).run()
+    assert res.get("resumed_done") is True
+    after = read_stream(out, "turns")
+    pd.testing.assert_frame_equal(
+        before.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        after.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+    )
+
+
+def test_partition_parallelism_invariance(fixture, tmp_path):
+    """Output row multiset is invariant under partition count (SURVEY.md §5.3)."""
+    table, paths, golden = fixture
+    out = str(tmp_path / "out_p2")
+    cfg2 = StreamConfig(
+        num_partitions=2,
+        lateness_us=CFG.lateness_us,
+        session_gap_us=CFG.session_gap_us,
+        join_gap_us=CFG.join_gap_us,
+        tumbling_us=CFG.tumbling_us,
+        scrub=CFG.scrub,
+    )
+    StreamingEngine(paths, out, cfg2, epoch_files=EPOCH_FILES).run()
+    _check_outputs(out, golden)
