@@ -1,0 +1,321 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+Five dedup families, each expressed Ray-Data-first:
+
+- exact:        content-hash column (vectorized) → hash-partition groupby →
+                keep min doc_id (the canonical exact-dedup shuffle).
+- n-gram Jaccard: blocked all-pairs verification — block by (lang, source),
+                pairs inside blocks only, exact Jaccard over word-bigram sets.
+- MinHash+LSH:  shingle → 64 minhashes → band rows → groupby(band) buckets →
+                candidate pairs → exact-Jaccard verify. Scale path: the only
+                shuffle moves (band_hash, doc_id) pairs, not documents.
+- SimHash:      64-bit simhash, 4×16-bit band blocking, Hamming ≤ threshold.
+- embedding:    cosine ≥ θ near-dup pairs over the embedding column.
+
+All pair outputs are canonical (id_a < id_b) and deduplicated.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..stages.partition import add_partition_column
+
+from ..functions.rounding import round_half_away
+
+MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text")):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(sf_dir: str, num_partitions: int = 16):
+    """One surviving doc_id per distinct text (+ copy count)."""
+    ds = _read_docs(sf_dir)
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df["content_hash"] = df["text"].fillna("").map(
+            lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+        )
+        return df[["doc_id", "content_hash"]]
+
+    ds = ds.map_batches(add_hash, batch_format="pandas")
+    ds = add_partition_column(ds, key="content_hash", num_partitions=num_partitions)
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("content_hash", sort=False, as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
+        )
+        return g[["doc_id", "n_copies"]]
+
+    return ds.groupby("part").map_groups(keep_first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact jaccard (shared by several verifiers)
+# ---------------------------------------------------------------------------
+
+def word_bigram_set(text: str) -> set[str]:
+    toks = (text or "").split()
+    return {toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+def _verify_pairs(pairs: pd.DataFrame, texts: dict[int, str], threshold: float) -> pd.DataFrame:
+    """Exact word-bigram Jaccard verification of candidate id pairs."""
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64),
+                             "jaccard": pd.Series([], dtype=float)})
+    shingle_cache: dict[int, set] = {}
+
+    def sh(i: int) -> set:
+        if i not in shingle_cache:
+            shingle_cache[i] = word_bigram_set(texts.get(i, ""))
+        return shingle_cache[i]
+
+    sims = np.array([jaccard(sh(a), sh(b)) for a, b in
+                     zip(pairs["doc_a"], pairs["doc_b"])])
+    out = pairs.assign(jaccard=round_half_away(sims, 6))
+    return out[out["jaccard"] >= threshold].reset_index(drop=True)
+
+
+def _texts_lookup(sf_dir: str) -> dict[int, str]:
+    df = _read_docs(sf_dir).to_pandas()
+    return dict(zip(df["doc_id"].to_numpy(), df["text"].fillna("").to_numpy()))
+
+
+# ---------------------------------------------------------------------------
+# blocked n-gram Jaccard (SQL-oracle-able: deterministic blocking)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.2, num_partitions: int = 16):
+    """All pairs within a (lang, source) block with word-bigram Jaccard ≥ θ.
+
+    The blocking key bounds the quadratic term: pairs are enumerated only
+    inside hash-partition-local blocks (at 100 TB the block is the unit of
+    skew control — a hot block would be salted or sampled)."""
+    ds = _read_docs(sf_dir, columns=("doc_id", "text", "lang", "source"))
+
+    def block_key(df: pd.DataFrame) -> pd.DataFrame:
+        df["block"] = df["lang"].fillna("") + "|" + df["source"].fillna("")
+        return df[["doc_id", "text", "block"]]
+
+    ds = ds.map_batches(block_key, batch_format="pandas")
+    ds = add_partition_column(ds, key="block", num_partitions=num_partitions)
+
+    def pairs_in_block(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, g in df.groupby("block", sort=False):
+            ids = g["doc_id"].to_numpy()
+            shingles = [word_bigram_set(t) for t in g["text"].fillna("")]
+            order = np.argsort(ids)
+            for ii in range(len(order)):
+                for jj in range(ii + 1, len(order)):
+                    a, b = order[ii], order[jj]
+                    sim = jaccard(shingles[a], shingles[b])
+                    if sim >= threshold:
+                        rows.append((int(ids[a]), int(ids[b]),
+                                     float(round_half_away(sim, 6))))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]) if rows else \
+            pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                          "doc_b": pd.Series([], dtype=np.int64),
+                          "jaccard": pd.Series([], dtype=float)})
+
+    return ds.groupby("part").map_groups(pairs_in_block, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_HASHES = 64
+N_BANDS = 16  # 4 rows per band
+
+
+def _minhash_params(seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=N_HASHES, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=N_HASHES, dtype=np.uint64)
+    return a, b
+
+
+class MinHasher:
+    """Actor-pool stage: text → 16 LSH band rows (band_id, band_hash, doc_id).
+
+    Hash params generated once per actor from a fixed seed (deterministic
+    across the pool)."""
+
+    def __init__(self, seed: int = 42) -> None:
+        self.a, self.b = _minhash_params(seed)
+
+    def _sig(self, text: str) -> np.ndarray:
+        sh = word_bigram_set(text)
+        if not sh:
+            return np.full(N_HASHES, np.uint64((1 << 61) - 2))
+        x = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh),
+            dtype=np.uint64, count=len(sh),
+        )
+        # (a*x + b) mod p for all hash fns × shingles, min over shingles
+        v = (self.a[:, None] * x[None, :] + self.b[:, None]) % MERSENNE
+        return v.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, band_ids, band_hashes = [], [], []
+        rows_per_band = N_HASHES // N_BANDS
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            sig = self._sig(text).reshape(N_BANDS, rows_per_band)
+            bh = (sig * np.uint64(1099511628211)).sum(axis=1, dtype=np.uint64)
+            doc_ids.extend([doc_id] * N_BANDS)
+            band_ids.extend(range(N_BANDS))
+            band_hashes.extend(bh.astype(np.int64))
+        return pd.DataFrame({"doc_id": np.asarray(doc_ids, dtype=np.int64),
+                             "band_id": np.asarray(band_ids, dtype=np.int32),
+                             "band_hash": np.asarray(band_hashes, dtype=np.int64)})
+
+
+def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, concurrency: int = 2):
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    Pipeline: map_batches(MinHasher) → groupby(band_id, band_hash) → candidate
+    pairs per bucket → dedup pairs → verify.  Only band rows shuffle; texts are
+    re-read for the (small) candidate set."""
+    ds = _read_docs(sf_dir)
+    bands = ds.map_batches(MinHasher, batch_format="pandas", batch_size=4096,
+                           concurrency=concurrency)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = np.sort(g["doc_id"].to_numpy())
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out.append(pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}))
+        return pd.concat(out, ignore_index=True) if out else \
+            pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                          "doc_b": pd.Series([], dtype=np.int64)})
+
+    candidates = bands.groupby(["band_id", "band_hash"]) \
+        .map_groups(bucket_pairs, batch_format="pandas").to_pandas() \
+        .drop_duplicates(["doc_a", "doc_b"])
+    return _verify_pairs(candidates, _texts_lookup(sf_dir), threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    """64-bit simhash over word tokens (md5-based token hashes)."""
+
+    def _simhash(self, text: str) -> int:
+        toks = (text or "").split()
+        if not toks:
+            return 0
+        hs = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in toks),
+            dtype=np.uint64, count=len(toks),
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+        vote = (2 * bits - 1).sum(axis=0)
+        return int(((vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
+                   .astype(np.int64))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sh = batch["text"].fillna("").map(self._simhash)
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(np.int64),
+                             "simhash": sh.to_numpy(np.int64)})
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3, concurrency: int = 2):
+    """Near-dup pairs with simhash Hamming distance ≤ k via 4-band blocking
+    (a pair within Hamming ≤ 3 must agree exactly on ≥ 1 of 4 16-bit bands)."""
+    ds = _read_docs(sf_dir)
+    sigs = ds.map_batches(SimHasher, batch_format="pandas", batch_size=4096,
+                          concurrency=concurrency)
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["simhash"].to_numpy(np.int64).astype(np.uint64)
+        frames = []
+        for band in range(4):
+            frames.append(pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "simhash": df["simhash"].to_numpy(np.int64),
+                "band_id": np.int32(band),
+                "band_key": ((s >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    bands = sigs.map_batches(band_rows, batch_format="pandas")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby(["band_id", "band_key"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            hs = g["simhash"].to_numpy(np.int64).astype(np.uint64)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            ham = np.array([bin(int(hs[i] ^ hs[j])).count("1") for i, j in zip(ia, ib)])
+            keep = ham <= max_hamming
+            if keep.any():
+                out.append(pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]],
+                                         "hamming": ham[keep].astype(np.int64)}))
+        return pd.concat(out, ignore_index=True) if out else \
+            pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                          "doc_b": pd.Series([], dtype=np.int64),
+                          "hamming": pd.Series([], dtype=np.int64)})
+
+    pairs = bands.groupby(["band_id", "band_key"]) \
+        .map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    return pairs.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.30):
+    """Pairs of embeddings with cosine similarity ≥ θ.
+
+    Blocked by ``label`` (the natural cluster key): vectors shuffle once into
+    label blocks; within a block the pair scores are one numpy matmul."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+
+    def pairs_in_label(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vec_id")
+        ids = df["vec_id"].to_numpy(np.int64)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        s = sims[ia, ib]
+        keep = s >= threshold
+        return pd.DataFrame({"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
+                             "cos_sim": round_half_away(s[keep], 4)})
+
+    return ds.groupby("label").map_groups(pairs_in_label, batch_format="pandas")

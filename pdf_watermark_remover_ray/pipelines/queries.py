@@ -1,0 +1,340 @@
+"""Query registry: every operator as a ``(sf_dir) -> result`` callable plus
+its DuckDB oracle SQL (the driver's correctness gate).
+
+Column names match between Ray results and SQL (the driver sorts columns by
+name and value-hashes), floats are rounded identically on both sides, and
+non-SQL-expressible operators (span-surgery scrub, LSH families, the
+streaming engine itself) ship without an oracle entry → rows-only check,
+with their real goldens in tests/.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..config import ScrubConfig, StreamConfig
+from ..functions.scrub import scrub_dataset
+from ..sources.transcripts import TRANSCRIPTS_CTE, derive_transcripts
+from ..stages.join import stream_join
+from ..stages.watermark import late_rows
+from ..stages.windows import session_windows, sliding_counts, tumbling_counts
+from . import dedup, multimodal, relational, similarity, text
+
+# window params used by the transcript queries (microseconds)
+SIZE_US = 3_600_000_000
+SLIDE_US = 900_000_000
+GAP_US = 1_800_000_000
+LATENESS_US = 12 * 3_600_000_000
+EPOCH_SIZE = 100
+SCRAMBLE = 256
+
+# scrub patterns that actually occur in the documents corpus
+DOC_NAME_PATTERN = "customer"
+DOC_FOOTER_PATTERN = "window"
+
+
+def _transcripts(sf_dir: str):
+    return derive_transcripts(sf_dir, num_partitions=16)
+
+
+def q_transcripts(sf_dir: str):
+    return _transcripts(sf_dir)
+
+
+def q_scrub_docs(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cfg = ScrubConfig(name_pattern=DOC_NAME_PATTERN, footer_pattern=DOC_FOOTER_PATTERN)
+    return scrub_dataset(ds, cfg)
+
+
+def q_scrub_full(sf_dir: str):
+    """Full T1-T5 kernel over the seeded pattern corpus (non-SQL: span surgery
+    — golden-tested in tests/test_scrub.py instead)."""
+    import ray.data
+
+    from ..sources.transcripts import generate_transcripts
+
+    table = generate_transcripts(n_convs=300, mean_turns=8, seed=42)
+    return scrub_dataset(ray.data.from_arrow(table), ScrubConfig()) \
+        .select_columns(["conv_id", "turn_idx", "text", "modified"])
+
+
+def q_tumbling(sf_dir: str):
+    return tumbling_counts(_transcripts(sf_dir), SIZE_US)
+
+
+def q_sliding(sf_dir: str):
+    return sliding_counts(_transcripts(sf_dir), SIZE_US, SLIDE_US)
+
+
+def q_sessions(sf_dir: str):
+    return session_windows(_transcripts(sf_dir), GAP_US, num_partitions=16)
+
+
+def q_join(sf_dir: str):
+    return stream_join(_transcripts(sf_dir), GAP_US, num_partitions=16)
+
+
+def q_late(sf_dir: str):
+    ds = derive_transcripts(sf_dir, num_partitions=16, keep_event_id=True)
+    return late_rows(ds, LATENESS_US, EPOCH_SIZE, scramble_block=SCRAMBLE)
+
+
+def q_streaming_e2e(sf_dir: str):
+    """Full streaming engine (epochs, watermark, state, exactly-once sink) on
+    the seeded fixture; returns the emitted turn rows.  Non-SQL — its golden
+    conformance lives in tests/test_streaming.py."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..pipelines.streaming import StreamingEngine
+    from ..sources.transcripts import generate_transcripts, write_transcripts
+
+    table = generate_transcripts(n_convs=100, mean_turns=10, seed=42, late_frac=0.05)
+    work = tempfile.mkdtemp(prefix="pwr_stream_")
+    try:
+        paths = write_transcripts(table, f"{work}/in", num_files=8)
+        cfg = StreamConfig(num_partitions=8)
+        StreamingEngine(paths, f"{work}/out", cfg, epoch_files=2).run()
+        files = sorted(glob.glob(f"{work}/out/data/turns/epoch=*/part-*.parquet"))
+        frames = [pq.read_table(f).to_pandas() for f in files]
+        out = pd.concat(frames, ignore_index=True)
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict:
+    return {
+        # transcript / streaming family
+        "transcripts": q_transcripts,
+        "scrub_docs": q_scrub_docs,
+        "scrub_full": q_scrub_full,
+        "tumbling_counts": q_tumbling,
+        "sliding_counts": q_sliding,
+        "session_windows": q_sessions,
+        "stream_join": q_join,
+        "late_drops": q_late,
+        "streaming_e2e": q_streaming_e2e,
+        # relational family
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "q5_revenue_by_nation": relational.q5_revenue_by_nation,
+        "topk_orders_per_customer": relational.topk_orders_per_customer,
+        "order_priority_counts": relational.order_priority_counts,
+        "events_windowed_stats": relational.events_windowed_stats,
+        # dedup family
+        "exact_dedup": dedup.exact_dedup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_pairs": dedup.simhash_pairs,
+        "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        # similarity search
+        "ann_topk": similarity.ann_topk,
+        "ann_topk_lsh": similarity.ann_topk_lsh,
+        # text analysis
+        "text_stats": text.text_stats,
+        "fingerprints": lambda sf: text.fingerprints(sf).select_columns(
+            ["doc_id", "fingerprint"]),
+        "winnow_fingerprints": text.fingerprints,
+        # multimodal plumbing
+        "multimodal_features": lambda sf: multimodal.multimodal_features(sf)
+        .select_columns(["doc_id", "n_bytes", "checksum", "width", "height"]),
+    }
+
+
+TOKENS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+BIGRAMS_SQL = (
+    "list_distinct(CASE WHEN len(toks) < 2 THEN [] "
+    "ELSE list_transform(generate_series(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i + 1]) END)"
+)
+
+
+def oracle_sql() -> dict:
+    t = f"WITH {TRANSCRIPTS_CTE}"
+    return {
+        "transcripts": f"{t} SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
+        "scrub_docs": f"""
+            SELECT doc_id,
+                   replace(replace(text, '{DOC_NAME_PATTERN}', ''),
+                           '{DOC_FOOTER_PATTERN}', '') AS text,
+                   (text LIKE '%{DOC_NAME_PATTERN}%' OR text LIKE '%{DOC_FOOTER_PATTERN}%')
+                       AS modified
+            FROM documents""",
+        "tumbling_counts": f"""{t}
+            SELECT conv_id, (epoch_us(ts) // {SIZE_US}) * {SIZE_US} AS window_start_us,
+                   count(*) AS n_turns
+            FROM transcripts GROUP BY 1, 2""",
+        "sliding_counts": f"""{t}
+            SELECT conv_id,
+                   ((epoch_us(ts) // {SLIDE_US}) - off) * {SLIDE_US} AS window_start_us,
+                   count(*) AS n_turns
+            FROM transcripts,
+                 (SELECT unnest(generate_series(0, {SIZE_US // SLIDE_US - 1})) AS off)
+            WHERE ((epoch_us(ts) // {SLIDE_US}) - off) * {SLIDE_US} > epoch_us(ts) - {SIZE_US}
+            GROUP BY 1, 2""",
+        "session_windows": f"""{t},
+            flagged AS (
+                SELECT conv_id, epoch_us(ts) AS ts_us,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                            OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) > {GAP_US}
+                            THEN 1 ELSE 0 END AS brk
+                FROM transcripts),
+            sess AS (
+                SELECT conv_id, ts_us,
+                       sum(brk) OVER (PARTITION BY conv_id ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged)
+            SELECT conv_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+                   count(*) AS n_turns
+            FROM sess GROUP BY conv_id, sid""",
+        "stream_join": f"""{t}
+            SELECT tt.conv_id, u.turn_idx AS user_turn_idx, tt.turn_idx AS tool_turn_idx,
+                   tt.tool, epoch_us(tt.ts) - epoch_us(u.ts) AS dt_us
+            FROM (SELECT * FROM transcripts WHERE role = 'tool') tt
+            JOIN (SELECT * FROM transcripts WHERE role = 'user') u USING (conv_id)
+            WHERE u.ts <= tt.ts AND epoch_us(tt.ts) - epoch_us(u.ts) <= {GAP_US}
+            QUALIFY row_number() OVER (PARTITION BY tt.conv_id, tt.turn_idx
+                                       ORDER BY u.ts DESC, u.turn_idx DESC) = 1""",
+        "late_drops": f"""{t},
+            e AS (SELECT *, CAST(((event_id // {SCRAMBLE}) * {SCRAMBLE}
+                                  + ({SCRAMBLE} - 1 - event_id % {SCRAMBLE})) // {EPOCH_SIZE}
+                            AS INT) AS epoch FROM transcripts),
+            em AS (SELECT epoch, max(epoch_us(ts)) AS mx FROM e GROUP BY epoch),
+            wm AS (SELECT epoch,
+                          max(mx) OVER (ORDER BY epoch ROWS UNBOUNDED PRECEDING)
+                          - {LATENESS_US} AS wm_after
+                   FROM em)
+            SELECT e.conv_id, e.turn_idx, e.epoch
+            FROM e JOIN wm ON wm.epoch = e.epoch - 1
+            WHERE epoch_us(e.ts) < wm.wm_after""",
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(sum(l_quantity) / count(*), 4) AS avg_qty,
+                   round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1995-09-01'
+            GROUP BY l_returnflag, l_linestatus""",
+        "q3_top_orders": """
+            SELECT o.o_orderkey, o.o_orderdate,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, o.o_orderkey ASC
+            LIMIT 10""",
+        "q5_revenue_by_nation": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY n.n_name""",
+        "topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice
+            FROM orders
+            QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey DESC) <= 2""",
+        "order_priority_counts": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+            FROM orders GROUP BY 1, 2""",
+        "events_windowed_stats": """
+            SELECT event_type, (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us,
+                   count(*) AS n, round(sum(value), 2) AS sum_value,
+                   round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+            FROM events GROUP BY 1, 2""",
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text""",
+        "ngram_jaccard_pairs": f"""
+            WITH toksed AS (
+                SELECT doc_id, lang, source, {TOKENS_SQL} AS toks FROM documents),
+            sh AS (SELECT doc_id, lang, source, {BIGRAMS_SQL} AS grams FROM toksed)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0
+                              THEN 1.0
+                              ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                                   / len(list_distinct(list_concat(a.grams, b.grams))) END,
+                         6) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+            WHERE CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0 THEN 1.0
+                       ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                            / len(list_distinct(list_concat(a.grams, b.grams))) END >= 0.2""",
+        # CAST to DOUBLE[]: list_cosine_similarity on FLOAT lists computes and
+        # returns float32, which can never hash-match a float64 Ray result.
+        "embedding_dup_pairs": """
+            WITH ed AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                        FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+            FROM ed a JOIN ed b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.emb, b.emb) >= 0.30""",
+        "ann_topk": """
+            WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                        FROM embeddings),
+            q AS (SELECT vec_id AS query_id, emb AS qe FROM ed ORDER BY vec_id LIMIT 10)
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(q.qe, e.emb), 4) AS cos_sim
+            FROM q, ed e
+            WHERE e.vec_id <> q.query_id
+            QUALIFY row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY list_cosine_similarity(q.qe, e.emb) DESC, e.vec_id ASC) <= 5""",
+        "text_stats": f"""
+            WITH toksed AS (
+                SELECT doc_id, text, length(text) AS n_chars, {TOKENS_SQL} AS toks
+                FROM documents),
+            base AS (
+                SELECT doc_id, text, n_chars, len(toks) AS n_tokens,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       len(list_filter(toks, x -> x IN ('the','and','of','a','to','in')))
+                           AS n_stop,
+                       len(list_filter(toks, x -> x IN ('the','and','of'))) AS s_en,
+                       len(list_filter(toks, x -> x IN ('der','und','die'))) AS s_de,
+                       len(list_filter(toks, x -> x IN ('le','la','et'))) AS s_fr,
+                       len(list_filter(toks, x -> x IN ('el','y','los'))) AS s_es
+                FROM toksed)
+            SELECT doc_id, n_chars, n_tokens,
+                   round(CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars
+                              ELSE 0.0 END, 6) AS alpha_ratio,
+                   round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens
+                              ELSE 0.0 END, 6) AS stop_ratio,
+                   CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0
+                            THEN 'en'
+                        WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                        WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                        WHEN s_es > 0 THEN 'es'
+                        ELSE 'und' END AS lang_pred,
+                   round(0.5 * (CASE WHEN n_chars > 0
+                                     THEN CAST(n_alpha AS DOUBLE) / n_chars
+                                     ELSE 0.0 END)
+                         + 0.5 * (1.0 - CASE WHEN n_tokens > 0
+                                             THEN CAST(n_stop AS DOUBLE) / n_tokens
+                                             ELSE 0.0 END), 6) AS quality_score
+            FROM base""",
+        "fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "multimodal_features": """
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS checksum,
+                   octet_length(encode(text)) % 64 + 1 AS width,
+                   octet_length(encode(text)) % 37 + 1 AS height
+            FROM documents""",
+    }

@@ -1,0 +1,179 @@
+"""Relational query pipelines over the TPC-H-ish testdata tables.
+
+These exercise the engine's general query surface (filter / project /
+aggregate / join / top-k / distinct — SURVEY.md §2.3, §2.6, §2.7) the way the
+reference exercises its per-record predicates and run-summary aggregations,
+but at Dataset scale:
+
+- column pruning at the read (`read_parquet(columns=...)`);
+- vectorized predicates inside ``map_batches`` (never per-row ``filter(fn)``);
+- partial pre-aggregation before every ``groupby`` so the shuffle moves
+  partials, not rows;
+- broadcast joins for small dimension tables (``ray.put`` once, lookup per
+  batch), ``Dataset.join`` hash shuffle only for large⋈large.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..stages.partition import add_partition_column
+
+from ..functions.rounding import round_half_away
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q1_pricing_summary(sf_dir: str, cutoff: str = "1995-09-01"):
+    """TPC-H Q1-style pricing summary over lineitem."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp(cutoff))))
+        df = t.to_pandas()
+        disc = df["l_extendedprice"] * (1 - df["l_discount"])
+        df["disc_price"] = disc
+        df["charge"] = disc * (1 + df["l_tax"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_charge=("charge", "sum"),
+            count_order=("l_quantity", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("sum_charge", alias_name="sum_charge"),
+        Sum("count_order", alias_name="count_order"),
+    ).to_pandas()
+    # avgs derived from exact sums/counts (deterministic vs the SQL oracle)
+    out["avg_qty"] = round_half_away(out["sum_qty"] / out["count_order"], 4)
+    out["avg_price"] = round_half_away(out["sum_base_price"] / out["count_order"], 4)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+        out[c] = round_half_away(out[c], 2)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """Revenue top-k open orders for one market segment (TPC-H Q3 shape).
+
+    customer is the small side → broadcast key set; orders⋈lineitem is
+    large⋈large → ``Dataset.join`` hash shuffle.
+    """
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust_keys = set(
+        cust.map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], segment)).select(["c_custkey"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).to_pandas()["c_custkey"]
+    )
+    keys_ref = ray.put(np.fromiter(cust_keys, dtype=np.int64))
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = np.isin(t["o_custkey"].to_numpy(zero_copy_only=False), keys)
+        return t.filter(pa.array(mask)).select(["o_orderkey", "o_orderdate"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(filter_orders, batch_format="pyarrow", zero_copy_batch=True)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
+
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    out = joined.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k).to_pandas()
+    out = out.rename(columns={"l_orderkey": "o_orderkey"})
+    out["revenue"] = round_half_away(out["revenue"], 2)
+    return out[["o_orderkey", "o_orderdate", "revenue"]]
+
+
+def q5_revenue_by_nation(sf_dir: str):
+    """Revenue per supplier nation (TPC-H Q5 shape): all dimensions broadcast,
+    one large⋈large hash join orders⋈lineitem avoided entirely by pushing the
+    order-date filter through a broadcast orderkey range lookup."""
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    sup_nation = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    lookup_ref = ray.put(
+        dict(zip(sup_nation["s_suppkey"].to_numpy(), sup_nation["n_name"].to_numpy()))
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        df = t.to_pandas()
+        df["n_name"] = df["l_suppkey"].map(lookup)
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("n_name", sort=False)["revenue"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+    out = li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
+    out["revenue"] = round_half_away(out["revenue"], 2)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def topk_orders_per_customer(sf_dir: str, k: int = 2):
+    """Per-customer top-k orders by totalprice — the grouped top-k pattern:
+    hash-partition on the key, vectorized per-partition head-k (no per-key
+    Python).  Ties: higher o_orderkey wins (matches oracle ORDER BY)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    ds = add_partition_column(ds, key="o_custkey", num_partitions=16)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, False], kind="mergesort")
+        out = df.groupby("o_custkey", sort=False).head(k)
+        return out[["o_custkey", "o_orderkey", "o_totalprice"]]
+
+    return ds.groupby("part").map_groups(topk, batch_format="pandas")
+
+
+def order_priority_counts(sf_dir: str):
+    """Distinct-ish rollup: order counts by (status, priority)."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["o_orderstatus", "o_orderpriority"], sort=False).size() \
+            .reset_index(name="partial_n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["o_orderstatus", "o_orderpriority"]) \
+        .aggregate(Sum("partial_n", alias_name="n_orders"))
+
+
+def events_windowed_stats(sf_dir: str, size_us: int = 86_400_000_000):
+    """Daily tumbling per event_type: count / sum / min / max of value."""
+    from ..stages.windows import windowed_stats
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = windowed_stats(ds, size_us, key="event_type", value_col="value").to_pandas()
+    for c in ("sum_value", "min_value", "max_value"):
+        out[c] = round_half_away(out[c], 2)
+    return out

@@ -1,0 +1,130 @@
+"""Similarity search over the ``embeddings`` table.
+
+- :func:`ann_topk` — brute-force cosine top-k: the query matrix is broadcast
+  once (``ray.put``), every batch computes a (batch × queries) matmul and
+  emits its LOCAL top-k per query; the driver merges the tiny partials.
+  At 100 TB this is the exact-scan baseline: no shuffle, one pass, partial
+  top-k keeps the reduce O(queries × k × blocks).
+- :func:`ann_topk_lsh` — the scale path: random-hyperplane LSH buckets both
+  the corpus and the queries; only same-bucket candidates are scored.
+  Approximate (recall measured in tests), much less compute per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from ..functions.rounding import round_half_away
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic query workload: the n_queries lowest vec_ids."""
+    import duckdb
+
+    con = duckdb.connect()
+    q = con.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT {n_queries}"
+    ).df()
+    con.close()
+    qm = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(qm, axis=1)
+    norms[norms == 0] = 1.0
+    return q["vec_id"].to_numpy(np.int64), qm / norms[:, None]
+
+
+def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """Exact cosine top-k neighbours for the query set (excluding self)."""
+    qids, qm = _load_queries(sf_dir, n_queries)
+    q_ref = ray.put((qids, qm))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, qm_ = ray.get(q_ref)
+        ids = df["vec_id"].to_numpy(np.int64)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        sims = qm_ @ m.T  # (Q, B)
+        out = []
+        for qi in range(len(qids_)):
+            s = sims[qi].copy()
+            s[ids == qids_[qi]] = -np.inf  # exclude self
+            take = min(k, len(ids))
+            idx = np.argpartition(-s, take - 1)[:take]
+            out.append(pd.DataFrame({"query_id": qids_[qi], "vec_id": ids[idx],
+                                     "cos_sim": s[idx]}))
+        return pd.concat(out, ignore_index=True)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    partials = ds.map_batches(local_topk, batch_format="pandas", batch_size=4096) \
+        .to_pandas()
+    # tiny driver-side merge: global top-k per query, ties → lower vec_id
+    partials = partials.sort_values(["query_id", "cos_sim", "vec_id"],
+                                    ascending=[True, False, True], kind="mergesort")
+    out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["cos_sim"] = round_half_away(out["cos_sim"], 4)
+    return out[["query_id", "vec_id", "cos_sim"]]
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures: sign bits of (v · H) as a bucket key."""
+
+    def __init__(self, dim: int = 64, n_planes: int = 8, seed: int = 42) -> None:
+        rng = np.random.default_rng(seed)
+        self.h = rng.standard_normal((dim, n_planes))
+
+    def key(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.h) > 0
+        return (bits.astype(np.int64) << np.arange(bits.shape[1], dtype=np.int64)).sum(axis=1)
+
+
+def ann_topk_lsh(sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 6):
+    """Bucketed approximate top-k: score only corpus vectors whose hyperplane
+    signature matches a query's.  Emits the same schema as :func:`ann_topk`
+    (possibly fewer than k rows per query when a bucket is small)."""
+    qids, qm = _load_queries(sf_dir, n_queries)
+    lsh = HyperplaneLSH(dim=qm.shape[1], n_planes=n_planes)
+    qkeys = lsh.key(qm)
+    q_ref = ray.put((qids, qm, qkeys))
+    # Corpus keys must come from the SAME planes as the queries → broadcast the LSH.
+    lsh_ref = ray.put(lsh)
+
+    def local_topk2(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, qm_, qkeys_ = ray.get(q_ref)
+        lsh_ = ray.get(lsh_ref)
+        ids = df["vec_id"].to_numpy(np.int64)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        keys = lsh_.key(mn)
+        out = []
+        for qi in range(len(qids_)):
+            cand = np.flatnonzero((keys == qkeys_[qi]) & (ids != qids_[qi]))
+            if len(cand) == 0:
+                continue
+            s = mn[cand] @ qm_[qi]
+            take = min(k, len(cand))
+            idx = np.argpartition(-s, take - 1)[:take]
+            out.append(pd.DataFrame({"query_id": qids_[qi], "vec_id": ids[cand[idx]],
+                                     "cos_sim": s[idx]}))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"query_id": pd.Series([], dtype=np.int64),
+             "vec_id": pd.Series([], dtype=np.int64),
+             "cos_sim": pd.Series([], dtype=float)})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    partials = ds.map_batches(local_topk2, batch_format="pandas", batch_size=4096) \
+        .to_pandas()
+    partials = partials.sort_values(["query_id", "cos_sim", "vec_id"],
+                                    ascending=[True, False, True], kind="mergesort")
+    out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["cos_sim"] = round_half_away(out["cos_sim"], 4)
+    return out[["query_id", "vec_id", "cos_sim"]]

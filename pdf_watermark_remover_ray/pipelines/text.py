@@ -1,0 +1,135 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data-pipeline stages: token counting, quality scoring,
+language-ID (marker-word heuristic), document fingerprinting.  All are
+actor-pool ``map_batches`` stages — patterns/stopword sets are compiled once
+per actor in ``__init__`` (the reference's construct-once processor seam,
+``main/remove_watermark.py:53``), work is vectorized pandas per batch.
+
+Every operator's semantics are deliberately SQL-expressible so the DuckDB
+oracle can check them exactly (see pipelines/queries.py):
+token = non-empty chunk of a ``\\s+`` split; ratios guarded against /0;
+floats rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ..functions.rounding import round_half_away
+
+STOPWORDS = ("the", "and", "of", "a", "to", "in")
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "y", "los"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")
+
+
+def _token_lists(s: pd.Series) -> pd.Series:
+    return s.fillna("").str.split()
+
+
+class TextAnalyzer:
+    """Stateful batch stage: token stats + quality + language-ID."""
+
+    def __init__(self) -> None:
+        self.stop = set(STOPWORDS)
+        self.markers = {k: set(v) for k, v in LANG_MARKERS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        toks = _token_lists(text)
+        n_tokens = toks.str.len().astype(np.int64)
+        n_chars = text.str.len().astype(np.int64)
+        n_alpha = text.str.count(r"[A-Za-z]").astype(np.int64)
+
+        exploded = toks.explode()
+        idx = exploded.index
+        stop_hits = pd.Series(exploded.isin(self.stop).astype(np.int64), index=idx) \
+            .groupby(level=0).sum().reindex(batch.index, fill_value=0)
+
+        lang_counts = {}
+        for lang in LANG_ORDER:
+            hits = pd.Series(exploded.isin(self.markers[lang]).astype(np.int64), index=idx) \
+                .groupby(level=0).sum().reindex(batch.index, fill_value=0)
+            lang_counts[lang] = hits.to_numpy()
+
+        counts = np.stack([lang_counts[lang] for lang in LANG_ORDER])  # (4, n)
+        best = counts.max(axis=0)
+        # first language (in LANG_ORDER) achieving the max, 'und' if all zero
+        pred = np.full(len(batch), "und", dtype=object)
+        taken = np.zeros(len(batch), dtype=bool)
+        for i, lang in enumerate(LANG_ORDER):
+            win = (~taken) & (counts[i] == best) & (best > 0)
+            pred[win] = lang
+            taken |= win
+
+        alpha_ratio = np.where(n_chars > 0, n_alpha / n_chars.replace(0, 1), 0.0).astype(float)
+        stop_ratio = np.where(n_tokens > 0, stop_hits / n_tokens.replace(0, 1), 0.0).astype(float)
+        # quality from the UNROUNDED ratios: rounding first would park the
+        # composite exactly on a .5e-7 boundary where numpy (half-even) and
+        # DuckDB (half-away) round differently.
+        quality = 0.5 * alpha_ratio + 0.5 * (1.0 - stop_ratio)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_chars": n_chars.to_numpy(),
+                "n_tokens": n_tokens.to_numpy(),
+                "alpha_ratio": round_half_away(alpha_ratio, 6),
+                "stop_ratio": round_half_away(stop_ratio, 6),
+                "lang_pred": pred,
+                "quality_score": round_half_away(quality, 6),
+            }
+        )
+
+
+def text_stats(sf_dir: str, concurrency: int = 2):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(TextAnalyzer, batch_format="pandas", batch_size=4096,
+                          concurrency=concurrency)
+
+
+class Fingerprinter:
+    """md5 content fingerprint + 64-bit winnowing (rolling-hash) sketch."""
+
+    def __init__(self, window: int = 8) -> None:
+        self.window = window
+
+    def _winnow(self, text: str) -> int:
+        """Min over character-8-gram polynomial rolling hashes (winnowing-style
+        document sketch).  Fully vectorized: uint64 wraparound arithmetic on a
+        sliding window view — no per-character Python loop."""
+        if not text or len(text) < self.window:
+            return 0
+        arr = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        k = self.window
+        if len(arr) < k:
+            return 0
+        powers = np.power(np.uint64(1099511628211), np.arange(k - 1, -1, -1, dtype=np.uint64))
+        windows = np.lib.stride_tricks.sliding_window_view(arr, k)
+        h = (windows * powers).sum(axis=1, dtype=np.uint64)
+        return int(h.min().astype(np.int64))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        md5 = text.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        win = text.map(self._winnow)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(), "fingerprint": md5.to_numpy(),
+             "winnow64": win.to_numpy(np.int64)}
+        )
+
+
+def fingerprints(sf_dir: str, concurrency: int = 2):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(Fingerprinter, batch_format="pandas", batch_size=4096,
+                          concurrency=concurrency)

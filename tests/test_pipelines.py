@@ -1,0 +1,159 @@
+"""Dedup / similarity / text / multimodal pipeline tests (planted goldens)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the data stream "
+    "flows through arrow batches into partitioned parquet sinks at scale"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """A documents/embeddings mini-sf_dir with planted near/exact dups."""
+    d = tmp_path_factory.mktemp("planted")
+    texts = []
+    for i in range(40):
+        texts.append(f"unique document {i} " + " ".join(f"w{i}x{j}" for j in range(30)))
+    texts.append(BASE)                                   # 40
+    texts.append(BASE)                                   # 41 exact dup of 40
+    texts.append(BASE.replace("lazy", "sleepy"))         # 42 near dup of 40
+    texts.append(BASE.replace("quick brown", "swift red"))  # 43 near dup
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["srcA"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    rng = np.random.default_rng(5)
+    base_vecs = rng.standard_normal((20, 16)).astype(np.float32)
+    vecs = list(base_vecs)
+    vecs.append(base_vecs[0] + rng.standard_normal(16).astype(np.float32) * 0.01)  # 20 ~ 0
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+def test_exact_dedup_planted(planted_dir):
+    from pdf_watermark_remover_ray.pipelines.dedup import exact_dedup
+
+    out = exact_dedup(planted_dir, num_partitions=4).to_pandas()
+    assert len(out) == 43  # 44 docs, one exact dup collapsed
+    dup = out[out["n_copies"] > 1]
+    assert list(dup["doc_id"]) == [40] and list(dup["n_copies"]) == [2]
+
+
+def test_ngram_jaccard_planted(planted_dir):
+    from pdf_watermark_remover_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(planted_dir, threshold=0.5, num_partitions=4).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (40, 41) in pairs  # exact dup → jaccard 1.0
+    assert (40, 42) in pairs and (41, 42) in pairs  # one-word edit
+    assert out["jaccard"].between(0, 1).all()
+
+
+def test_minhash_lsh_planted(planted_dir):
+    from pdf_watermark_remover_ray.pipelines.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(planted_dir, threshold=0.5)
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (40, 41) in pairs
+    assert (40, 42) in pairs
+    got = out[(out["doc_a"] == 40) & (out["doc_b"] == 41)]["jaccard"].iloc[0]
+    assert got == 1.0
+
+
+def test_simhash_planted(planted_dir):
+    from pdf_watermark_remover_ray.pipelines.dedup import simhash_pairs
+
+    out = simhash_pairs(planted_dir, max_hamming=6)
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (40, 41) in pairs  # identical text → hamming 0
+    h = out[(out["doc_a"] == 40) & (out["doc_b"] == 41)]["hamming"].iloc[0]
+    assert h == 0
+
+
+def test_embedding_dup_planted(planted_dir):
+    from pdf_watermark_remover_ray.pipelines.dedup import embedding_dup_pairs
+
+    out = embedding_dup_pairs(planted_dir, threshold=0.95).to_pandas()
+    pairs = set(zip(out["vec_a"], out["vec_b"]))
+    assert (0, 20) in pairs  # the planted near-identical vector
+
+
+def test_ann_lsh_subset_of_exact_candidates(planted_dir):
+    from pdf_watermark_remover_ray.pipelines.similarity import ann_topk, ann_topk_lsh
+
+    exact = ann_topk(planted_dir, n_queries=5, k=3)
+    approx = ann_topk_lsh(planted_dir, n_queries=5, k=3)
+    assert set(approx.columns) == set(exact.columns)
+    # every approximate sim is ≤ the exact best for that query
+    best = exact.groupby("query_id")["cos_sim"].max()
+    for _, r in approx.iterrows():
+        assert r["cos_sim"] <= best[r["query_id"]] + 1e-9
+    # the planted near-dup must be the exact top-1 of query 0
+    top0 = exact[exact["query_id"] == 0].iloc[0]
+    assert top0["vec_id"] == 20 and top0["cos_sim"] > 0.99
+
+
+def test_text_analyzer_edges():
+    from pdf_watermark_remover_ray.pipelines.text import TextAnalyzer
+
+    an = TextAnalyzer()
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["", "the the the", "der und die der"]})
+    out = an(df)
+    assert list(out["n_tokens"]) == [0, 3, 4]
+    assert out.loc[0, "lang_pred"] == "und"
+    assert out.loc[1, "lang_pred"] == "en"
+    assert out.loc[2, "lang_pred"] == "de"
+    assert out.loc[0, "stop_ratio"] == 0.0
+    assert out.loc[1, "stop_ratio"] == 1.0
+
+
+def test_multimodal_stub(planted_dir):
+    from pdf_watermark_remover_ray.pipelines.multimodal import (
+        PayloadFeaturizer,
+        multimodal_features,
+    )
+
+    with pytest.raises(NotImplementedError):
+        PayloadFeaturizer(real=True)
+    out = multimodal_features(planted_dir).to_pandas().sort_values("doc_id")
+    assert len(out) == 44
+    row = out[out["doc_id"] == 40].iloc[0]
+    assert row["n_bytes"] == len(BASE.encode("utf-8"))
+    assert row["width"] == row["n_bytes"] % 64 + 1
+    import hashlib
+
+    assert row["checksum"] == hashlib.md5(BASE.encode()).hexdigest()
+
+
+def test_winnow_fingerprint_properties(planted_dir):
+    from pdf_watermark_remover_ray.pipelines.text import fingerprints
+
+    out = fingerprints(planted_dir).to_pandas()
+    f40 = out[out["doc_id"] == 40].iloc[0]
+    f41 = out[out["doc_id"] == 41].iloc[0]
+    f0 = out[out["doc_id"] == 0].iloc[0]
+    assert f40["winnow64"] == f41["winnow64"]  # identical docs, identical sketch
+    assert f40["fingerprint"] == f41["fingerprint"]
+    assert f40["fingerprint"] != f0["fingerprint"]

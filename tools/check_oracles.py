@@ -1,0 +1,107 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+and its oracle_sql() side-by-side on one sf_dir; compare row count, schema
+(column names) and an order-insensitive value hash.
+
+Usage: PYTHONPATH=/root/repo python tools/check_oracles.py [sf_dir] [name...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if str(s.dtype).startswith("datetime64"):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.astype(str)
+        elif s.dtype.kind in "iu":
+            df[c] = s.astype(np.int64)
+        elif s.dtype.kind == "b":
+            df[c] = s.astype(bool)
+        elif s.dtype.kind == "f":
+            df[c] = np.round(s.astype(np.float64), 9)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def value_hash(df: pd.DataFrame) -> int:
+    return int(pd.util.hash_pandas_object(df.astype(str), index=False).sum())
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    import __ray_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            got = canon(to_pandas(fn(sf_dir)))
+        except Exception as ex:
+            failures.append(name)
+            print(f"ERROR {name}: {type(ex).__name__}: {ex}")
+            continue
+        el = time.monotonic() - t0
+        if name not in oracles:
+            print(f"rows-only {name}: {len(got)} rows ({el:.1f}s)")
+            continue
+        want = canon(con.sql(oracles[name]).df())
+        ok_rows = len(got) == len(want)
+        ok_schema = list(got.columns) == list(want.columns)
+        ok_hash = ok_rows and ok_schema and value_hash(got) == value_hash(want)
+        status = "OK  " if (ok_rows and ok_schema and ok_hash) else "FAIL"
+        print(f"{status} {name}: rows {len(got)}/{len(want)} schema={ok_schema} "
+              f"hash={ok_hash} ({el:.1f}s)")
+        if status == "FAIL":
+            failures.append(name)
+            if not ok_schema:
+                print("   got ", list(got.columns))
+                print("   want", list(want.columns))
+            elif ok_rows:
+                neq = ~(got.astype(str) == want.astype(str)).all(axis=1)
+                print("   first diffs:")
+                print(pd.concat([got[neq].head(3), want[neq].head(3)],
+                                keys=["got", "want"]))
+    print("FAILURES:", failures or "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    rc = main()
+    ray.shutdown()
+    sys.exit(rc)
