@@ -134,30 +134,36 @@ def make_scrub_batch_fn(cfg: ScrubConfig, text_col: str = "text"):
     ``modified`` column (reference's per-page ``modified`` flag / conditional
     write-back T6, watermark_processor.py:55,157-159).
     """
+    import re
+
     patterns = _anchor_patterns(cfg)
+    # ONE vectorized pass: alternation regex instead of N substring scans.
+    anchor_re = "|".join(re.escape(p) for p in patterns)
     name, footer = cfg.name_pattern, cfg.effective_footer
 
     def scrub_batch(batch: pa.Table) -> pa.Table:
         col = batch[text_col]
-        if col.num_chunks != 1:
-            col = pa.chunked_array([pc.cast(col.combine_chunks(), pa.string())])
-        mask = None
-        for p in patterns:
-            m = pc.match_substring(col, p)
-            mask = m if mask is None else pc.or_kleene(mask, m)
-        mask = pc.fill_null(mask, False)
-        hits = np.flatnonzero(mask.combine_chunks().to_numpy(zero_copy_only=False))
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.cast(pa.string())
+        mask = pc.fill_null(pc.match_substring_regex(col, anchor_re), False)
+        hits = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
         modified = np.zeros(len(batch), dtype=bool)
         if len(hits) == 0:
             return batch.append_column("modified", pa.array(modified))
-        values = col.to_pylist()  # only needed when at least one row matched
-        for i in hits:
-            new_text, mod = scrub_text(values[i], name, footer)
+        # Materialize ONLY the matched rows' strings; splice the scrubbed
+        # values back with a vectorized masked replace (non-matching rows are
+        # never converted to Python objects).
+        hit_values = col.take(pa.array(hits)).to_pylist()
+        for j, v in enumerate(hit_values):
+            new_text, mod = scrub_text(v, name, footer)
             if mod:
-                values[i] = new_text
-                modified[i] = True
+                hit_values[j] = new_text
+                modified[hits[j]] = True
+        new_col = pc.replace_with_mask(col, pa.array(mask.to_numpy(zero_copy_only=False)),
+                                       pa.array(hit_values, pa.string()))
         out = batch.set_column(
-            batch.schema.get_field_index(text_col), text_col, pa.array(values, pa.string())
+            batch.schema.get_field_index(text_col), text_col, new_col
         )
         return out.append_column("modified", pa.array(modified))
 

@@ -32,6 +32,14 @@ from ..functions.rounding import round_half_away
 
 MERSENNE = np.uint64((1 << 61) - 1)
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (Hamming distances)."""
+    return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64) \
+        if len(x) else np.zeros(0, dtype=np.int64)
+
 
 def _read_docs(sf_dir: str, columns=("doc_id", "text")):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
@@ -162,35 +170,37 @@ class MinHasher:
     """Actor-pool stage: text → 16 LSH band rows (band_id, band_hash, doc_id).
 
     Hash params generated once per actor from a fixed seed (deterministic
-    across the pool)."""
+    across the pool).  Fully vectorized across the batch: ALL shingles of the
+    batch are hashed in one cython call (``pd.util.hash_array``), the 64×M
+    permutation-min runs as one matrix op with a per-document segmented min
+    (``np.minimum.reduceat``) — no per-document Python beyond shingling."""
 
     def __init__(self, seed: int = 42) -> None:
         self.a, self.b = _minhash_params(seed)
 
-    def _sig(self, text: str) -> np.ndarray:
-        sh = word_bigram_set(text)
-        if not sh:
-            return np.full(N_HASHES, np.uint64((1 << 61) - 2))
-        x = np.fromiter(
-            (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh),
-            dtype=np.uint64, count=len(sh),
-        )
-        # (a*x + b) mod p for all hash fns × shingles, min over shingles
-        v = (self.a[:, None] * x[None, :] + self.b[:, None]) % MERSENNE
-        return v.min(axis=1)
-
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, band_ids, band_hashes = [], [], []
+        texts = batch["text"].fillna("")
+        shingle_lists = [sorted(word_bigram_set(t)) for t in texts]
+        counts = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+        n_docs = len(texts)
+        sigs = np.full((n_docs, N_HASHES), np.uint64((1 << 61) - 2), dtype=np.uint64)
+        nonempty = np.flatnonzero(counts)
+        if len(nonempty):
+            flat = np.concatenate([np.asarray(shingle_lists[i], dtype=object)
+                                   for i in nonempty])
+            x = pd.util.hash_array(flat).astype(np.uint64) % MERSENNE
+            v = (self.a[:, None] * x[None, :] + self.b[:, None]) % MERSENNE  # (64, M)
+            seg = np.concatenate([[0], np.cumsum(counts[nonempty])[:-1]])
+            mins = np.minimum.reduceat(v, seg, axis=1)  # (64, n_nonempty)
+            sigs[nonempty] = mins.T
         rows_per_band = N_HASHES // N_BANDS
-        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
-            sig = self._sig(text).reshape(N_BANDS, rows_per_band)
-            bh = (sig * np.uint64(1099511628211)).sum(axis=1, dtype=np.uint64)
-            doc_ids.extend([doc_id] * N_BANDS)
-            band_ids.extend(range(N_BANDS))
-            band_hashes.extend(bh.astype(np.int64))
-        return pd.DataFrame({"doc_id": np.asarray(doc_ids, dtype=np.int64),
-                             "band_id": np.asarray(band_ids, dtype=np.int32),
-                             "band_hash": np.asarray(band_hashes, dtype=np.int64)})
+        band = sigs.reshape(n_docs, N_BANDS, rows_per_band)
+        bh = (band * np.uint64(1099511628211)).sum(axis=2, dtype=np.uint64)  # (n, 16)
+        return pd.DataFrame({
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(np.int64), N_BANDS),
+            "band_id": np.tile(np.arange(N_BANDS, dtype=np.int32), n_docs),
+            "band_hash": bh.reshape(-1).astype(np.int64),
+        })
 
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, concurrency: int = 2):
@@ -215,7 +225,10 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, concurrency: int = 2)
             pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                           "doc_b": pd.Series([], dtype=np.int64)})
 
-    candidates = bands.groupby(["band_id", "band_hash"]) \
+    # ONE hash shuffle into P partitions keyed by the bucket, then vectorized
+    # bucket pairing per partition — not one map_groups task per tiny bucket.
+    bands = add_partition_column(bands, key="band_hash", num_partitions=16)
+    candidates = bands.groupby("part") \
         .map_groups(bucket_pairs, batch_format="pandas").to_pandas() \
         .drop_duplicates(["doc_a", "doc_b"])
     return _verify_pairs(candidates, _texts_lookup(sf_dir), threshold)
@@ -226,25 +239,31 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, concurrency: int = 2)
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit simhash over word tokens (md5-based token hashes)."""
-
-    def _simhash(self, text: str) -> int:
-        toks = (text or "").split()
-        if not toks:
-            return 0
-        hs = np.fromiter(
-            (int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in toks),
-            dtype=np.uint64, count=len(toks),
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-        vote = (2 * bits - 1).sum(axis=0)
-        return int(((vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
-                   .astype(np.int64))
+    """64-bit simhash over word tokens — vectorized across the batch: one
+    ``pd.util.hash_array`` over all tokens, per-document bit votes via
+    ``np.add.reduceat`` on the token segments."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sh = batch["text"].fillna("").map(self._simhash)
+        texts = batch["text"].fillna("")
+        tok_lists = [t.split() for t in texts]
+        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        n_docs = len(texts)
+        out = np.zeros(n_docs, dtype=np.uint64)
+        nonempty = np.flatnonzero(counts)
+        if len(nonempty):
+            flat = np.concatenate([np.asarray(tok_lists[i], dtype=object)
+                                   for i in nonempty])
+            hs = pd.util.hash_array(flat).astype(np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1) \
+                .astype(np.int64)
+            pm = 2 * bits - 1  # (M, 64) ±1 votes
+            seg = np.concatenate([[0], np.cumsum(counts[nonempty])[:-1]])
+            votes = np.add.reduceat(pm, seg, axis=0)  # (n_nonempty, 64)
+            sh = ((votes > 0).astype(np.uint64)
+                  << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+            out[nonempty] = sh
         return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(np.int64),
-                             "simhash": sh.to_numpy(np.int64)})
+                             "simhash": out.astype(np.int64)})
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3, concurrency: int = 2):
@@ -277,7 +296,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, concurrency: int = 2):
             ids = g["doc_id"].to_numpy()
             hs = g["simhash"].to_numpy(np.int64).astype(np.uint64)
             ia, ib = np.triu_indices(len(ids), k=1)
-            ham = np.array([bin(int(hs[i] ^ hs[j])).count("1") for i, j in zip(ia, ib)])
+            ham = _popcount64(hs[ia] ^ hs[ib])
             keep = ham <= max_hamming
             if keep.any():
                 out.append(pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]],
@@ -287,7 +306,8 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, concurrency: int = 2):
                           "doc_b": pd.Series([], dtype=np.int64),
                           "hamming": pd.Series([], dtype=np.int64)})
 
-    pairs = bands.groupby(["band_id", "band_key"]) \
+    bands = add_partition_column(bands, key="band_key", num_partitions=16)
+    pairs = bands.groupby("part") \
         .map_groups(bucket_pairs, batch_format="pandas").to_pandas()
     return pairs.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
 

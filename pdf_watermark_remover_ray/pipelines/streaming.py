@@ -45,6 +45,7 @@ import time
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -77,7 +78,10 @@ class StatePartition:
         self.pid = partition_id
         self.cfg = cfg
         self.sink = EpochSink(out_dir)
-        self.buffer: list[pa.Table] = []
+        # Per-epoch ingest buffers: keyed by epoch so routing of epoch e+1 may
+        # overlap with (pipelined) close of epoch e without mixing rows; inner
+        # dict keyed by deterministic source key for retry idempotence.
+        self.buffer: dict[int, dict[str, tuple[pa.Table, bool]]] = {}
         if restore_epoch >= 0:
             self.store = SortedStateStore.restore(
                 self.sink.state_path(restore_epoch, partition_id)
@@ -85,54 +89,91 @@ class StatePartition:
         else:
             self.store = SortedStateStore()
 
-    def ingest(self, epoch: int, table: pa.Table) -> int:
-        self.buffer.append(table)
+    def ping(self) -> int:
+        """Cheap readiness probe — the engine warms the pool right after
+        creation so cold actor starts never stall the first epoch's routing
+        tasks (blocked ray.get inside tasks + starting actors oversubscribes
+        the node)."""
+        return self.pid
+
+    def ingest(self, epoch: int, table: pa.Table, source_key: str | None = None) -> int:
+        """Idempotent ingestion.  ``source_key`` identifies the deterministic
+        unit of routing work (input file + slice); a retried routing task
+        re-sends the identical table under the same key and simply overwrites
+        it — table-level dedup instead of a per-row drop_duplicates at close
+        (which costs O(rows) sort time on the critical path).  ``None`` keys
+        (Dataset-route path) fall back to row-level dedup at close."""
+        bucket = self.buffer.setdefault(epoch, {})
+        if source_key is None:
+            bucket[f"__anon_{len(bucket)}"] = (table, True)
+        else:
+            bucket[source_key] = (table, False)
         return table.num_rows
 
     # -- epoch close -------------------------------------------------------
 
-    def close_epoch(self, epoch: int, wm_prev_us: int, wm_after_us: int) -> dict:
-        t0 = time.monotonic()
-        cfg = self.cfg
-        buf = (
-            pa.concat_tables(self.buffer).to_pandas()
-            if self.buffer
-            else pd.DataFrame(
-                {c: pd.Series([], dtype=d) for c, d in
-                 [("conv_id", str), ("turn_idx", np.int32), ("role", str),
-                  ("text", object), ("tool", str), ("ts_us", np.int64),
-                  ("modified", bool)]}
-            )
-        )
-        self.buffer = []
-        # Retry idempotence: rows are unique by (conv_id, turn_idx); a retried
-        # route task re-sends identical content, so keep-first is exact.
-        buf = buf.drop_duplicates(subset=["conv_id", "turn_idx"])
-        # Deterministic late-drop vs the watermark BEFORE this epoch.
-        late_mask = buf["ts_us"].to_numpy(np.int64, copy=False) < wm_prev_us \
-            if len(buf) else np.zeros(0, dtype=bool)
-        late = buf[late_mask]
-        live = buf[~late_mask]
+    _EMPTY_BUF = pa.schema(
+        [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("role", pa.string()),
+         ("text", pa.string()), ("tool", pa.string()), ("ts_us", pa.int64()),
+         ("modified", pa.bool_())]
+    )
 
-        n_sessions = self._fold_sessions(live)
-        n_windows = self._fold_windows(live)
+    def close_epoch(self, epoch: int, wm_prev_us: int, wm_after_us: int) -> dict:
+        """Fold the epoch's buffered rows into keyed state and emit.
+
+        The text column never round-trips through Python objects: the
+        late-split and the turn/late emissions are pure Arrow (C++ filter /
+        sort / write); only the narrow fold columns (conv_id, turn_idx, role,
+        tool, ts_us) are converted to pandas for the state updates.
+        """
+        t0 = time.monotonic()
+        bucket = self.buffer.pop(epoch, {})
+        tables = [t for _, (t, _) in sorted(bucket.items())]
+        need_row_dedup = any(anon for _, (_, anon) in bucket.items())
+        tbl = pa.concat_tables(tables) if tables else self._EMPTY_BUF.empty_table()
+        if need_row_dedup and len(tbl):
+            # Dataset-route path has no stable source keys → row-level guard.
+            tbl = pa.concat_tables(
+                [pa.Table.from_pandas(
+                    tbl.to_pandas().drop_duplicates(subset=["conv_id", "turn_idx"]),
+                    schema=tbl.schema, preserve_index=False)]
+            )
+        # Deterministic late-drop vs the watermark BEFORE this epoch.
+        late_mask = pa.array(
+            tbl["ts_us"].to_numpy(zero_copy_only=False) < wm_prev_us
+        )
+        late_tbl = tbl.filter(late_mask)
+        live_tbl = tbl.filter(pc.invert(late_mask))
+        t_split = time.monotonic()
+
+        live = live_tbl.select(
+            ["conv_id", "turn_idx", "role", "tool", "ts_us"]
+        ).to_pandas()
+        self._fold_sessions(live)
+        self._fold_windows(live)
         self._fold_join(live)
+        t_fold = time.monotonic()
 
         emitted = {
-            "turns": self._emit_turns(live, epoch),
-            "late": self._emit_late(late, epoch),
+            "turns": self._emit_turns(live_tbl, epoch),
+            "late": self._emit_late(late_tbl, epoch),
             "sessions": self._emit_sessions(wm_after_us, epoch),
             "windows": self._emit_windows(wm_after_us, epoch),
             "matches": self._emit_matches(wm_after_us, epoch),
         }
+        t_emit = time.monotonic()
         self.store.snapshot(self.sink.staging_state_path(epoch, self.pid))
         return {
             "partition": self.pid,
-            "rows": int(len(buf)),
-            "late_dropped": int(len(late)),
+            "rows": int(len(tbl)),
+            "late_dropped": int(len(late_tbl)),
             "state_rows": int(self.store.total_rows()),
             "emitted": {k: int(v) for k, v in emitted.items()},
             "close_s": round(time.monotonic() - t0, 4),
+            "split_s": round(t_split - t0, 4),
+            "fold_s": round(t_fold - t_split, 4),
+            "emit_s": round(t_emit - t_fold, 4),
+            "snap_s": round(time.monotonic() - t_emit, 4),
         }
 
     # -- folds (state updates) --------------------------------------------
@@ -192,27 +233,39 @@ class StatePartition:
         pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
         return len(df)
 
-    def _emit_turns(self, live: pd.DataFrame, epoch: int) -> int:
-        out = live.sort_values(["conv_id", "turn_idx"], kind="mergesort").copy()
-        out["ts"] = out["ts_us"].to_numpy(np.int64).astype("datetime64[us]")
-        out["epoch"] = np.int64(epoch)
+    def _emit_turns(self, live_tbl: pa.Table, epoch: int) -> int:
+        # Stable (conv_id, turn_idx) emission order — pure Arrow sort+write.
+        idx = pc.sort_indices(
+            live_tbl, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        out = live_tbl.take(idx)
+        n = len(out)
+        out = out.append_column("ts", out["ts_us"].cast(pa.timestamp("us")))
+        out = out.drop_columns(["ts_us"])
+        out = out.append_column("epoch", pa.array(np.full(n, epoch, dtype=np.int64)))
         # Provenance stamp (reference T7, watermark_processor.py:177-186) —
         # deterministic lineage id, NOT wall-clock.
-        out["lineage"] = f"part-{self.pid:05d}/epoch-{epoch:05d}"
-        schema = pa.schema(
-            [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("role", pa.string()),
-             ("text", pa.string()), ("tool", pa.string()), ("ts", pa.timestamp("us")),
-             ("modified", pa.bool_()), ("epoch", pa.int64()), ("lineage", pa.string())]
+        lineage = f"part-{self.pid:05d}/epoch-{epoch:05d}"
+        out = out.append_column(
+            "lineage", pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(n, dtype=np.int32)), pa.array([lineage]))
+            .cast(pa.string())
         )
-        return self._write("turns", epoch, out[TURN_COLS], schema)
+        out = out.select(TURN_COLS)
+        path = self.sink.staging_path(epoch, "turns", self.pid)
+        pq.write_table(out, path)
+        return n
 
-    def _emit_late(self, late: pd.DataFrame, epoch: int) -> int:
-        out = late.sort_values(["conv_id", "turn_idx"], kind="mergesort")[
-            ["conv_id", "turn_idx", "ts_us"]].copy()
-        out["epoch"] = np.int64(epoch)
-        schema = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
-                            ("ts_us", pa.int64()), ("epoch", pa.int64())])
-        return self._write("late", epoch, out, schema)
+    def _emit_late(self, late_tbl: pa.Table, epoch: int) -> int:
+        sub = late_tbl.select(["conv_id", "turn_idx", "ts_us"])
+        idx = pc.sort_indices(
+            sub, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        out = sub.take(idx)
+        out = out.append_column("epoch", pa.array(np.full(len(out), epoch, dtype=np.int64)))
+        path = self.sink.staging_path(epoch, "late", self.pid)
+        pq.write_table(out, path)
+        return len(out)
 
     def _emit_sessions(self, wm_us: int, epoch: int) -> int:
         s = self.store.get("sessions")
@@ -290,6 +343,58 @@ class StatePartition:
         return n
 
 
+def _prepare_table(t: pa.Table, scrub_fn, num_partitions: int) -> pa.Table:
+    """scrub + ts_us + partition columns (shared by both routing paths)."""
+    t = scrub_fn(t)
+    t = t.append_column("ts_us", t["ts"].cast(pa.int64()))
+    part = partition_table(t, "conv_id", num_partitions)
+    return t.append_column("part", pa.array(part))
+
+
+_INGEST_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts_us", "modified"]
+
+
+def _route_table(t: pa.Table, actors, epoch: int,
+                 source_key: str | None = None) -> tuple[int, int]:
+    """Partition one prepared table and push slices to the state actors.
+    Returns (rows, max_ts_us).  One gather, then zero-copy range slices."""
+    part = t["part"].to_numpy(zero_copy_only=False)
+    ts = t["ts_us"].to_numpy(zero_copy_only=False)
+    order = np.argsort(part, kind="stable")
+    sub = t.select(_INGEST_COLS).take(pa.array(order))
+    sorted_part = part[order]
+    bounds = np.searchsorted(sorted_part, np.arange(len(actors) + 1))
+    acks = []
+    for p in range(len(actors)):
+        lo, hi = int(bounds[p]), int(bounds[p + 1])
+        if hi > lo:
+            acks.append(actors[p].ingest.options(concurrency_group="ingest")
+                        .remote(epoch, sub.slice(lo, hi - lo), source_key))
+    ray.get(acks)  # backpressure: done only once state holds the rows
+    mx = int(ts.max()) if len(ts) else -INF_US
+    return len(t), mx
+
+
+def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig):
+    """One routing task: read → scrub → partition → ingest.  The raw-task
+    fast path of the micro-batch loop — a per-epoch ray.data.Dataset pays
+    ~0.5 s planning/launch per epoch, which dominates micro-batch cadence;
+    the file is the natural work unit of the arrival log, so the epoch's
+    routing is plain data-parallel tasks (Dataset stays the API for every
+    batch/oracle pipeline)."""
+    scrub_fn = make_scrub_batch_fn(cfg.scrub)
+    rows, mx = 0, -INF_US
+    for f in files:
+        t = pq.read_table(
+            f, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        t = _prepare_table(t, scrub_fn, cfg.num_partitions)
+        r, m = _route_table(t, actors, epoch, source_key=f)
+        rows += r
+        mx = max(mx, m)
+    return rows, mx
+
+
 class StreamingEngine:
     """Bounded-replayable streaming run over a list of Parquet files.
 
@@ -300,58 +405,54 @@ class StreamingEngine:
 
     def __init__(self, input_paths: list[str], out_dir: str,
                  cfg: StreamConfig | None = None, epoch_files: int = 1,
-                 actor_cpus: float = 0.25):
+                 actor_cpus: float = 0.25, dataset_route: bool = False):
         self.cfg = cfg or StreamConfig()
         self.paths = sorted(input_paths)
         self.out_dir = out_dir
         self.epoch_files = epoch_files
         self.actor_cpus = actor_cpus
+        self.dataset_route = dataset_route
         self.sink = EpochSink(out_dir)
         self.epochs = [self.paths[i:i + epoch_files]
                        for i in range(0, len(self.paths), epoch_files)]
+        self._route_task = ray.remote(num_cpus=1)(_route_file_task)
 
     @property
     def n_input_epochs(self) -> int:
         return len(self.epochs)
 
     def _make_actors(self, restore_epoch: int):
-        cls = ray.remote(num_cpus=self.actor_cpus)(StatePartition)
-        return [cls.remote(p, self.cfg, self.out_dir, restore_epoch)
-                for p in range(self.cfg.num_partitions)]
+        # Two concurrency groups: "ingest" and "state" each single-threaded.
+        # close_epoch(e) (group "state", long) must not block ingest(e+1)
+        # (group "ingest", cheap) — otherwise the pipelined epoch's routing
+        # tasks stall behind the previous epoch's close in the actor queue.
+        # Closes stay mutually serialized (state integrity); the buffer dict
+        # is the only shared structure (per-epoch keys, GIL-atomic ops).
+        cls = ray.remote(num_cpus=self.actor_cpus,
+                         concurrency_groups={"ingest": 1, "state": 1})(StatePartition)
+        actors = [cls.remote(p, self.cfg, self.out_dir, restore_epoch)
+                  for p in range(self.cfg.num_partitions)]
+        ray.get([a.ping.remote() for a in actors])  # warm before any routing
+        return actors
 
     def _epoch_dataset(self, files: list[str]):
         cfg = self.cfg
         scrub_fn = make_scrub_batch_fn(cfg.scrub)
         num_partitions = cfg.num_partitions
-
-        def prepare(t: pa.Table) -> pa.Table:
-            t = scrub_fn(t)
-            ts_us = t["ts"].cast(pa.int64())
-            t = t.append_column("ts_us", ts_us)
-            part = partition_table(t, "conv_id", num_partitions)
-            return t.append_column("part", pa.array(part))
-
         ds = ray.data.read_parquet(
             files, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
         )
-        return ds.map_batches(prepare, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.map_batches(lambda t: _prepare_table(t, scrub_fn, num_partitions),
+                              batch_format="pyarrow", zero_copy_batch=True)
 
     def _route(self, ds, actors, epoch: int) -> pd.DataFrame:
-        """Push each batch's sub-tables to their partition actors; returns the
+        """Dataset-based routing (alternate path; ``dataset_route=True``).
+        Push each batch's sub-tables to their partition actors; returns the
         per-task summaries (rows, max ts) the watermark folds over."""
-        ingest_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts_us", "modified"]
 
         def route(t: pa.Table) -> pa.Table:
-            part = t["part"].to_numpy(zero_copy_only=False)
-            ts = t["ts_us"].to_numpy(zero_copy_only=False)
-            sub = t.select(ingest_cols)
-            acks = []
-            for p in np.unique(part):
-                idx = np.flatnonzero(part == p)
-                acks.append(actors[int(p)].ingest.remote(epoch, sub.take(pa.array(idx))))
-            ray.get(acks)  # backpressure: task completes only once state holds the rows
-            mx = int(ts.max()) if len(ts) else -INF_US
-            return pa.table({"rows": pa.array([len(t)], pa.int64()),
+            rows, mx = _route_table(t, actors, epoch)
+            return pa.table({"rows": pa.array([rows], pa.int64()),
                              "max_ts_us": pa.array([mx], pa.int64())})
 
         return ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
@@ -373,37 +474,72 @@ class StreamingEngine:
             max_ts = int(self.sink.read_marker(last)["max_ts_us"])
         actors = self._make_actors(restore_epoch=last)
         summaries = []
+        # Pipelined epoch loop: the close+commit of epoch e overlaps with the
+        # routing of epoch e+1 (per-epoch ingest buffers keep them disjoint;
+        # actor task ordering keeps close(e) before close(e+1) per partition).
+        pending: tuple | None = None  # (epoch, close_refs, marker_base)
+
+        def drain() -> None:
+            nonlocal pending
+            if pending is None:
+                return
+            pe, refs, marker = pending
+            marker["partitions"] = ray.get(list(refs))
+            marker["epoch_s"] = round(time.monotonic() - marker.pop("_t0"), 4)
+            self.sink.commit_epoch(pe, marker)
+            summaries.append(marker)
+            pending = None
+
+        # Double-buffered routing: epoch e+1's route tasks are submitted while
+        # e's are still in flight (buffers are epoch-keyed, and e's watermark
+        # depends only on e's own routing barrier), so route coordination
+        # overheads of consecutive epochs overlap.
+        route_refs: dict[int, list] = {}
+
+        def submit_route(e: int) -> None:
+            if e <= final_epoch - 1 and e >= last + 1 and e not in route_refs \
+                    and not self.dataset_route:
+                route_refs[e] = [self._route_task.remote([f], actors, e, self.cfg)
+                                 for f in self.epochs[e]]
+
         try:
             for e in range(last + 1, final_epoch + 1):
                 t0 = time.monotonic()
                 wm_prev = max_ts - self.cfg.lateness_us
                 rows = 0
                 if e < final_epoch:
-                    ds = self._epoch_dataset(self.epochs[e])
-                    summary = self._route(ds, actors, e)
-                    if len(summary):
-                        rows = int(summary["rows"].sum())
-                        max_ts = max(max_ts, int(summary["max_ts_us"].max()))
+                    if self.dataset_route:
+                        summary = self._route(self._epoch_dataset(self.epochs[e]),
+                                              actors, e)
+                        if len(summary):
+                            rows = int(summary["rows"].sum())
+                            max_ts = max(max_ts, int(summary["max_ts_us"].max()))
+                    else:
+                        submit_route(e)
+                        submit_route(e + 1)
+                        for r, m in ray.get(route_refs.pop(e)):
+                            rows += r
+                            max_ts = max(max_ts, m)
                     if kill_mid_epoch == e:
+                        drain()  # crash point: previous epoch committed, e not
                         return {"killed_mid": e}
                     wm_after = max_ts - self.cfg.lateness_us
                 else:
                     wm_after = INF_US  # flush everything
-                metrics = ray.get(
-                    [a.close_epoch.remote(e, wm_prev, wm_after) for a in actors]
-                )
-                marker = {
+                close_refs = [a.close_epoch.options(concurrency_group="state")
+                              .remote(e, wm_prev, wm_after) for a in actors]
+                drain()  # finish epoch e-1 while e's closes run
+                pending = (e, close_refs, {
                     "epoch": e,
                     "rows": rows,
                     "max_ts_us": max_ts,
                     "watermark_us": wm_after,
-                    "epoch_s": round(time.monotonic() - t0, 4),
-                    "partitions": metrics,
-                }
-                self.sink.commit_epoch(e, marker)
-                summaries.append(marker)
+                    "_t0": t0,
+                })
                 if kill_after_epoch == e:
+                    drain()
                     return {"killed_after": e, "epochs": summaries}
+            drain()
         finally:
             for a in actors:
                 ray.kill(a)

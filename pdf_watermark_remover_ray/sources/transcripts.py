@@ -233,6 +233,73 @@ def generate_transcripts(
     )
 
 
+def generate_transcripts_fast(
+    n_rows: int = 2_000_000,
+    mean_turns: int = 10,
+    seed: int = 42,
+    name_pattern: str = "CONFIDENTIEL J.DUPONT",
+    footer_pattern: str = "DOCUMENT NON APPLICABLE",
+    late_frac: float = 0.02,
+    text_pool: int = 20_000,
+    base_ts_us: int = 1_700_000_000_000_000,
+    session_gap_us: int = 30_000_000,
+) -> pa.Table:
+    """Fully vectorized bench-scale fixture (FIXTURES.md F1 'bench').
+
+    Same statistical shape as :func:`generate_transcripts` but texts are drawn
+    from a pre-generated pool (the scrub kernel's work depends on pattern mix,
+    not uniqueness), so 10^6+ rows generate in seconds with zero per-row
+    Python.
+    """
+    rng = np.random.default_rng(seed)
+    # text pool with the F1 pattern mix
+    pool_rng = np.random.default_rng(seed + 1)
+    pool_kinds = pool_rng.choice([0, 1, 2, 3, 4, 5], size=text_pool,
+                                 p=[0.60, 0.10, 0.10, 0.08, 0.06, 0.06])
+    pool = np.array(
+        [_make_text(pool_rng, int(k), name_pattern, footer_pattern) for k in pool_kinds],
+        dtype=object,
+    )
+    n_convs = max(1, n_rows // mean_turns)
+    sizes = np.maximum(1, rng.poisson(mean_turns, size=n_convs))
+    total = int(sizes.sum())
+    # build one id string per conversation, then repeat — the string ufuncs
+    # run on n_convs elements, not n_rows
+    per_conv_ids = np.char.add("c", np.char.zfill(np.arange(n_convs).astype(str), 8))
+    conv_ids = np.repeat(per_conv_ids, sizes)
+    # turn_idx = position within conversation (vectorized cumcount)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    turn_idx = (np.arange(total) - np.repeat(starts, sizes)).astype(np.int32)
+    # event times: per-conv start + cumulative steps (reset per conv)
+    conv_start = base_ts_us + rng.integers(0, 72 * 3_600_000_000, size=n_convs)
+    steps = rng.integers(1_000_000, 20_000_000, size=total)
+    gap_mask = rng.random(total) < 0.08
+    steps = np.where(gap_mask, steps + session_gap_us * 2, steps)
+    cum = np.cumsum(steps)
+    cum_at_start = np.concatenate([[0], cum[np.cumsum(sizes) - 1][:-1]])
+    arrival = np.repeat(conv_start, sizes) + (cum - np.repeat(cum_at_start, sizes))
+    ts = arrival.copy()
+    if late_frac > 0:
+        late = rng.random(total) < late_frac
+        ts = np.where(late, ts - rng.integers(1, 4, size=total) * 60_000_000, ts)
+    roles = rng.choice(["user", "assistant", "tool"], size=total, p=[0.45, 0.35, 0.2])
+    texts = pool[rng.integers(0, text_pool, size=total)]
+    tools = np.where(roles == "tool",
+                     np.array(_TOOLS, dtype=object)[rng.integers(0, len(_TOOLS), size=total)],
+                     "")
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "turn_idx": pa.array(turn_idx, pa.int32()),
+            "role": pa.array(roles, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array(tools, pa.string()),
+            "ts": pa.array(ts.astype(np.int64), pa.timestamp("us")),
+            "arrival_us": pa.array(arrival.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def write_transcripts(
     table: pa.Table, out_dir: str, num_files: int = 8, split_by: str = "ts"
 ) -> list[str]:
