@@ -161,9 +161,12 @@ def run_scaling() -> dict:
             # node" would still spread its actors over all 32 physical cores
             # and the comparison would not emulate an 8-core node.
             cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
-        out = subprocess.run(cmd, env=env,
-                             capture_output=True, text=True, check=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"bench subprocess (ncpu={ncpu}) failed")
+        out = proc.stdout
         results[ncpu] = json.loads(out.strip().splitlines()[-1])
     t8, t32 = results[8]["value"], results[32]["value"]
     eff = (t8 / t32) / (32 / 8)

@@ -78,3 +78,12 @@ class StreamConfig:
     tumbling_us: int = 60_000_000
     epoch_rows: int = 50_000
     scrub: ScrubConfig = field(default_factory=ScrubConfig)
+    # Skew handling: hot conversations get RESERVED partitions (ids P..P+H-1,
+    # one dedicated state actor each) instead of salting — salting a stateful
+    # key would split its sessions/join state across actors (SURVEY.md §7.4
+    # "Skew vs sessions").  Fixed for the run → deterministic replays.
+    hot_keys: tuple[str, ...] = ()
+
+    @property
+    def total_partitions(self) -> int:
+        return self.num_partitions + len(self.hot_keys)

@@ -62,6 +62,39 @@ def q_scrub_full(sf_dir: str):
         .select_columns(["conv_id", "turn_idx", "text", "modified"])
 
 
+def q_scrub_docs_footer_off(sf_dir: str):
+    """T2's toggle: footer pattern disabled (reference passes '' when the
+    checkbox is off, ui/app_ui.py:280-282) — only the name pattern fires."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cfg = ScrubConfig(name_pattern=DOC_NAME_PATTERN,
+                      footer_pattern=DOC_FOOTER_PATTERN, use_footer=False)
+    return scrub_dataset(ds, cfg)
+
+
+def q_transcript_summary(sf_dir: str):
+    """Global counts incl. a distinct aggregation: per-batch partial distinct
+    sets merged in one small reduce (no row-level shuffle)."""
+    import pyarrow as pa
+
+    ds = _transcripts(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        convs = pd.unique(t["conv_id"].to_pandas())
+        return pa.table({"conv_id": pa.array(convs, pa.string()),
+                         "partial_n": pa.array(
+                             [len(t)] + [0] * (len(convs) - 1), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    per_conv = parts.groupby("conv_id").aggregate(Sum("partial_n", alias_name="n")) \
+        .to_pandas()
+    return pd.DataFrame({"n_turns": [int(per_conv["n"].sum())],
+                         "n_convs": [int(len(per_conv))]})
+
+
 def q_tumbling(sf_dir: str):
     return tumbling_counts(_transcripts(sf_dir), SIZE_US)
 
@@ -118,7 +151,9 @@ def queries() -> dict:
         # transcript / streaming family
         "transcripts": q_transcripts,
         "scrub_docs": q_scrub_docs,
+        "scrub_docs_footer_off": q_scrub_docs_footer_off,
         "scrub_full": q_scrub_full,
+        "transcript_summary": q_transcript_summary,
         "tumbling_counts": q_tumbling,
         "sliding_counts": q_sliding,
         "session_windows": q_sessions,
@@ -172,6 +207,14 @@ def oracle_sql() -> dict:
                    (text LIKE '%{DOC_NAME_PATTERN}%' OR text LIKE '%{DOC_FOOTER_PATTERN}%')
                        AS modified
             FROM documents""",
+        "scrub_docs_footer_off": f"""
+            SELECT doc_id,
+                   replace(text, '{DOC_NAME_PATTERN}', '') AS text,
+                   (text LIKE '%{DOC_NAME_PATTERN}%') AS modified
+            FROM documents""",
+        "transcript_summary": f"""{t}
+            SELECT count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs
+            FROM transcripts""",
         "tumbling_counts": f"""{t}
             SELECT conv_id, (epoch_us(ts) // {SIZE_US}) * {SIZE_US} AS window_start_us,
                    count(*) AS n_turns

@@ -343,11 +343,12 @@ class StatePartition:
         return n
 
 
-def _prepare_table(t: pa.Table, scrub_fn, num_partitions: int) -> pa.Table:
+def _prepare_table(t: pa.Table, scrub_fn, num_partitions: int,
+                   hot_keys: tuple[str, ...] = ()) -> pa.Table:
     """scrub + ts_us + partition columns (shared by both routing paths)."""
     t = scrub_fn(t)
     t = t.append_column("ts_us", t["ts"].cast(pa.int64()))
-    part = partition_table(t, "conv_id", num_partitions)
+    part = partition_table(t, "conv_id", num_partitions, hot_keys=hot_keys)
     return t.append_column("part", pa.array(part))
 
 
@@ -384,15 +385,24 @@ def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig):
     batch/oracle pipeline)."""
     scrub_fn = make_scrub_batch_fn(cfg.scrub)
     rows, mx = 0, -INF_US
+    failed: list[str] = []
     for f in files:
-        t = pq.read_table(
-            f, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-        )
-        t = _prepare_table(t, scrub_fn, cfg.num_partitions)
+        # Per-file failure isolation: a corrupt/unreadable file is recorded
+        # and the stream continues — the reference's continue-on-failure batch
+        # semantics with its end-of-run failed_files summary
+        # (watermark_processor.py:243-262).
+        try:
+            t = pq.read_table(
+                f, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            )
+            t = _prepare_table(t, scrub_fn, cfg.num_partitions, cfg.hot_keys)
+        except Exception:
+            failed.append(f)
+            continue
         r, m = _route_table(t, actors, epoch, source_key=f)
         rows += r
         mx = max(mx, m)
-    return rows, mx
+    return rows, mx, failed
 
 
 class StreamingEngine:
@@ -431,7 +441,7 @@ class StreamingEngine:
         cls = ray.remote(num_cpus=self.actor_cpus,
                          concurrency_groups={"ingest": 1, "state": 1})(StatePartition)
         actors = [cls.remote(p, self.cfg, self.out_dir, restore_epoch)
-                  for p in range(self.cfg.num_partitions)]
+                  for p in range(self.cfg.total_partitions)]
         ray.get([a.ping.remote() for a in actors])  # warm before any routing
         return actors
 
@@ -442,7 +452,8 @@ class StreamingEngine:
         ds = ray.data.read_parquet(
             files, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
         )
-        return ds.map_batches(lambda t: _prepare_table(t, scrub_fn, num_partitions),
+        return ds.map_batches(lambda t: _prepare_table(t, scrub_fn, num_partitions,
+                                               hot_keys=self.cfg.hot_keys),
                               batch_format="pyarrow", zero_copy_batch=True)
 
     def _route(self, ds, actors, epoch: int) -> pd.DataFrame:
@@ -456,6 +467,27 @@ class StreamingEngine:
                              "max_ts_us": pa.array([mx], pa.int64())})
 
         return ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+
+    def metrics_df(self) -> pd.DataFrame:
+        """Per-(epoch, partition) observability from the committed markers:
+        rows routed, late drops, state size, emission counts, phase timings —
+        the engine's answer to the reference's progress/status variables
+        (``watermark_processor.py:162-163,250-258``) and the per-partition
+        throughput/lag metrics the north rule asks for."""
+        rows = []
+        for e in self.sink.committed_epochs():
+            m = self.sink.read_marker(e)
+            for pm in m["partitions"]:
+                rec = {"epoch": e, "watermark_us": m["watermark_us"],
+                       "epoch_s": m["epoch_s"], **{k: v for k, v in pm.items()
+                                                   if k != "emitted"}}
+                for k, v in pm.get("emitted", {}).items():
+                    rec[f"emitted_{k}"] = v
+                rows.append(rec)
+        df = pd.DataFrame(rows)
+        if len(df):
+            df["rows_per_s"] = (df["rows"] / df["epoch_s"].replace(0, float("nan"))).round(1)
+        return df
 
     def run(self, kill_after_epoch: int | None = None,
             kill_mid_epoch: int | None = None) -> dict:
@@ -478,6 +510,7 @@ class StreamingEngine:
         # routing of epoch e+1 (per-epoch ingest buffers keep them disjoint;
         # actor task ordering keeps close(e) before close(e+1) per partition).
         pending: tuple | None = None  # (epoch, close_refs, marker_base)
+        failed_files: list[str] = []  # per-epoch dead-letter file accumulator
 
         def drain() -> None:
             nonlocal pending
@@ -517,9 +550,10 @@ class StreamingEngine:
                     else:
                         submit_route(e)
                         submit_route(e + 1)
-                        for r, m in ray.get(route_refs.pop(e)):
+                        for r, m, failed in ray.get(route_refs.pop(e)):
                             rows += r
                             max_ts = max(max_ts, m)
+                            failed_files.extend(failed)
                     if kill_mid_epoch == e:
                         drain()  # crash point: previous epoch committed, e not
                         return {"killed_mid": e}
@@ -534,8 +568,10 @@ class StreamingEngine:
                     "rows": rows,
                     "max_ts_us": max_ts,
                     "watermark_us": wm_after,
+                    "failed_files": list(failed_files),
                     "_t0": t0,
                 })
+                failed_files.clear()
                 if kill_after_epoch == e:
                     drain()
                     return {"killed_after": e, "epochs": summaries}
@@ -543,4 +579,7 @@ class StreamingEngine:
         finally:
             for a in actors:
                 ray.kill(a)
-        return {"epochs": summaries}
+        all_failed = [f for m in summaries for f in m.get("failed_files", [])]
+        # A3 analog: True iff zero failures (watermark_processor.py:277,281).
+        return {"epochs": summaries, "failed_files": all_failed,
+                "all_succeeded": not all_failed}

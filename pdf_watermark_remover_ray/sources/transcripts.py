@@ -287,6 +287,12 @@ def generate_transcripts_fast(
     tools = np.where(roles == "tool",
                      np.array(_TOOLS, dtype=object)[rng.integers(0, len(_TOOLS), size=total)],
                      "")
+    # Pre-sort by arrival while everything is still numpy: arrival order IS
+    # the stream order, and sorting here lets the file writer use zero-copy
+    # slices (an Arrow-level take on >2 GB of strings overflows offsets).
+    order = np.argsort(arrival, kind="stable")
+    conv_ids, turn_idx, roles = conv_ids[order], turn_idx[order], roles[order]
+    texts, tools, ts, arrival = texts[order], tools[order], ts[order], arrival[order]
     return pa.table(
         {
             "conv_id": pa.array(conv_ids, pa.string()),
@@ -321,10 +327,17 @@ def write_transcripts(
     if split_by == "ts":
         order_col = "arrival_us" if "arrival_us" in table.column_names else "ts"
         key = table[order_col].cast(pa.int64()).to_numpy()
-        order = np.argsort(key, kind="stable")
-        table = table.take(pa.array(order))
         bounds = np.linspace(0, len(table), num_files + 1).astype(np.int64)
-        subs = [table.slice(bounds[f], bounds[f + 1] - bounds[f]) for f in range(num_files)]
+        if np.all(key[1:] >= key[:-1]):
+            # already arrival-sorted (generate_transcripts_fast) → zero-copy
+            subs = [table.slice(bounds[f], bounds[f + 1] - bounds[f])
+                    for f in range(num_files)]
+        else:
+            order = np.argsort(key, kind="stable")
+            # per-file takes: a single whole-table gather overflows 32-bit
+            # string offsets beyond ~2 GB of text
+            subs = [table.take(pa.array(order[bounds[f]:bounds[f + 1]]))
+                    for f in range(num_files)]
     else:
         conv = table["conv_id"].to_pylist()
         assign = np.array([hash_conv(c) % num_files for c in conv], dtype=np.int32)

@@ -48,6 +48,44 @@ def partitioned_map(ds, fn, key: str = "conv_id", num_partitions: int = 16):
     return ds.groupby("part").map_groups(fn, batch_format="pandas")
 
 
-def partition_table(table: pa.Table, key: str, num_partitions: int) -> np.ndarray:
-    """Partition ids for an in-memory Arrow table (streaming router path)."""
-    return (stable_hash(table[key].to_pandas()) % num_partitions).astype(np.int32)
+def partition_table(table: pa.Table, key: str, num_partitions: int,
+                    hot_keys: tuple[str, ...] = ()) -> np.ndarray:
+    """Partition ids for an in-memory Arrow table (streaming router path).
+
+    Keys in ``hot_keys`` are routed to reserved partitions
+    ``num_partitions + index`` — one dedicated state partition per hot key,
+    so a heavy conversation never contends with the rest of its hash bucket
+    (and is never salted, which would split its session/join state)."""
+    s = table[key].to_pandas()
+    part = (stable_hash(s) % num_partitions).astype(np.int32)
+    for i, k in enumerate(hot_keys):
+        part[(s == k).to_numpy()] = num_partitions + i
+    return part
+
+
+def detect_hot_keys(ds, key: str = "conv_id", frac_threshold: float = 0.05,
+                    max_keys: int = 8) -> tuple[str, ...]:
+    """Plan-time hot-key detection: keys holding more than ``frac_threshold``
+    of all rows (partial per-batch counts → one small groupby merge).
+    Returns up to ``max_keys`` hottest keys, deterministic order (count desc,
+    key asc)."""
+    import pandas as pd_
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[key].to_pandas().value_counts()
+        return pa.table({key: g.index.astype(str), "partial_n": g.to_numpy()})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key)
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .to_pandas()
+    )
+    total = counts["n"].sum()
+    if total == 0:
+        return ()
+    hot = counts[counts["n"] > total * frac_threshold]
+    hot = hot.sort_values(["n", key], ascending=[False, True]).head(max_keys)
+    return tuple(hot[key].tolist())

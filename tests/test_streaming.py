@@ -147,3 +147,38 @@ def test_partition_parallelism_invariance(fixture, tmp_path):
     )
     StreamingEngine(paths, out, cfg2, epoch_files=EPOCH_FILES).run()
     _check_outputs(out, golden)
+
+
+def test_corrupt_file_failure_isolation(fixture, tmp_path):
+    """Reference continue-on-failure semantics: a corrupt input file is
+    dead-lettered in the epoch marker; every other file still processes."""
+    table, paths, golden = fixture
+    import shutil
+
+    d = tmp_path / "in_corrupt"
+    d.mkdir()
+    new_paths = []
+    for p in paths:
+        q = d / p.split("/")[-1]
+        shutil.copy(p, q)
+        new_paths.append(str(q))
+    bad = d / "part-00099.parquet"
+    bad.write_bytes(b"this is not a parquet file")
+    new_paths.append(str(bad))
+
+    out = str(tmp_path / "out_corrupt")
+    res = StreamingEngine(new_paths, out, CFG, epoch_files=EPOCH_FILES).run()
+    assert res["all_succeeded"] is False
+    assert res["failed_files"] == [str(bad)]
+    # all good files' rows still flowed through
+    total_rows = sum(m["rows"] for m in res["epochs"])
+    assert total_rows == len(table)
+
+
+def test_empty_input_run(tmp_path):
+    """S3 empty-source guard: zero input files → flush epoch only, clean run."""
+    out = str(tmp_path / "out_empty")
+    res = StreamingEngine([], out, CFG, epoch_files=EPOCH_FILES).run()
+    assert res["all_succeeded"] is True
+    assert len(res["epochs"]) == 1  # just the flush epoch
+    assert res["epochs"][0]["rows"] == 0
