@@ -81,7 +81,7 @@ class StatePartition:
         # Per-epoch ingest buffers: keyed by epoch so routing of epoch e+1 may
         # overlap with (pipelined) close of epoch e without mixing rows; inner
         # dict keyed by deterministic source key for retry idempotence.
-        self.buffer: dict[int, dict[str, tuple[pa.Table, bool]]] = {}
+        self.buffer: dict[int, dict[str, pa.Table]] = {}
         if restore_epoch >= 0:
             self.store = SortedStateStore.restore(
                 self.sink.state_path(restore_epoch, partition_id)
@@ -96,67 +96,37 @@ class StatePartition:
         the node)."""
         return self.pid
 
-    def ingest(self, epoch: int, table: pa.Table, source_key: str | None = None) -> int:
+    def ingest(self, epoch: int, table: pa.Table, source_key: str) -> int:
         """Idempotent ingestion.  ``source_key`` identifies the deterministic
-        unit of routing work (input file + slice); a retried routing task
-        re-sends the identical table under the same key and simply overwrites
-        it — table-level dedup instead of a per-row drop_duplicates at close
-        (which costs O(rows) sort time on the critical path).  ``None`` keys
-        (Dataset-route path) fall back to row-level dedup at close."""
-        bucket = self.buffer.setdefault(epoch, {})
-        if source_key is None:
-            bucket[f"__anon_{len(bucket)}"] = (table, True)
-        else:
-            bucket[source_key] = (table, False)
+        unit of routing work (the input file); a retried routing task re-sends
+        the identical table under the same key and simply overwrites it —
+        table-level dedup instead of a per-row drop_duplicates at close."""
+        self.buffer.setdefault(epoch, {})[source_key] = table
         return table.num_rows
 
     # -- epoch close -------------------------------------------------------
 
     _EMPTY_BUF = pa.schema(
         [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("role", pa.string()),
-         ("text", pa.string()), ("tool", pa.string()), ("ts_us", pa.int64()),
-         ("modified", pa.bool_())]
+         ("tool", pa.string()), ("ts_us", pa.int64())]
     )
 
     def close_epoch(self, epoch: int, wm_prev_us: int, wm_after_us: int) -> dict:
-        """Fold the epoch's buffered rows into keyed state and emit.
-
-        The text column never round-trips through Python objects: the
-        late-split and the turn/late emissions are pure Arrow (C++ filter /
-        sort / write); only the narrow fold columns (conv_id, turn_idx, role,
-        tool, ts_us) are converted to pandas for the state updates.
-        """
+        """Fold the epoch's buffered (narrow, already-late-filtered) rows into
+        keyed state and emit the watermark-driven streams.  Turn and late
+        emission happen at route time (they need the bulky text column, which
+        never reaches the actors)."""
         t0 = time.monotonic()
         bucket = self.buffer.pop(epoch, {})
-        tables = [t for _, (t, _) in sorted(bucket.items())]
-        need_row_dedup = any(anon for _, (_, anon) in bucket.items())
+        tables = [t for _, t in sorted(bucket.items())]
         tbl = pa.concat_tables(tables) if tables else self._EMPTY_BUF.empty_table()
-        if need_row_dedup and len(tbl):
-            # Dataset-route path has no stable source keys → row-level guard.
-            tbl = pa.concat_tables(
-                [pa.Table.from_pandas(
-                    tbl.to_pandas().drop_duplicates(subset=["conv_id", "turn_idx"]),
-                    schema=tbl.schema, preserve_index=False)]
-            )
-        # Deterministic late-drop vs the watermark BEFORE this epoch.
-        late_mask = pa.array(
-            tbl["ts_us"].to_numpy(zero_copy_only=False) < wm_prev_us
-        )
-        late_tbl = tbl.filter(late_mask)
-        live_tbl = tbl.filter(pc.invert(late_mask))
-        t_split = time.monotonic()
-
-        live = live_tbl.select(
-            ["conv_id", "turn_idx", "role", "tool", "ts_us"]
-        ).to_pandas()
+        live = tbl.select(_INGEST_COLS).to_pandas()
         self._fold_sessions(live)
         self._fold_windows(live)
         self._fold_join(live)
         t_fold = time.monotonic()
 
         emitted = {
-            "turns": self._emit_turns(live_tbl, epoch),
-            "late": self._emit_late(late_tbl, epoch),
             "sessions": self._emit_sessions(wm_after_us, epoch),
             "windows": self._emit_windows(wm_after_us, epoch),
             "matches": self._emit_matches(wm_after_us, epoch),
@@ -166,12 +136,10 @@ class StatePartition:
         return {
             "partition": self.pid,
             "rows": int(len(tbl)),
-            "late_dropped": int(len(late_tbl)),
             "state_rows": int(self.store.total_rows()),
             "emitted": {k: int(v) for k, v in emitted.items()},
             "close_s": round(time.monotonic() - t0, 4),
-            "split_s": round(t_split - t0, 4),
-            "fold_s": round(t_fold - t_split, 4),
+            "fold_s": round(t_fold - t0, 4),
             "emit_s": round(t_emit - t_fold, 4),
             "snap_s": round(time.monotonic() - t_emit, 4),
         }
@@ -232,40 +200,6 @@ class StatePartition:
         path = self.sink.staging_path(epoch, stream, self.pid)
         pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
         return len(df)
-
-    def _emit_turns(self, live_tbl: pa.Table, epoch: int) -> int:
-        # Stable (conv_id, turn_idx) emission order — pure Arrow sort+write.
-        idx = pc.sort_indices(
-            live_tbl, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
-        )
-        out = live_tbl.take(idx)
-        n = len(out)
-        out = out.append_column("ts", out["ts_us"].cast(pa.timestamp("us")))
-        out = out.drop_columns(["ts_us"])
-        out = out.append_column("epoch", pa.array(np.full(n, epoch, dtype=np.int64)))
-        # Provenance stamp (reference T7, watermark_processor.py:177-186) —
-        # deterministic lineage id, NOT wall-clock.
-        lineage = f"part-{self.pid:05d}/epoch-{epoch:05d}"
-        out = out.append_column(
-            "lineage", pa.DictionaryArray.from_arrays(
-                pa.array(np.zeros(n, dtype=np.int32)), pa.array([lineage]))
-            .cast(pa.string())
-        )
-        out = out.select(TURN_COLS)
-        path = self.sink.staging_path(epoch, "turns", self.pid)
-        pq.write_table(out, path)
-        return n
-
-    def _emit_late(self, late_tbl: pa.Table, epoch: int) -> int:
-        sub = late_tbl.select(["conv_id", "turn_idx", "ts_us"])
-        idx = pc.sort_indices(
-            sub, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
-        )
-        out = sub.take(idx)
-        out = out.append_column("epoch", pa.array(np.full(len(out), epoch, dtype=np.int64)))
-        path = self.sink.staging_path(epoch, "late", self.pid)
-        pq.write_table(out, path)
-        return len(out)
 
     def _emit_sessions(self, wm_us: int, epoch: int) -> int:
         s = self.store.get("sessions")
@@ -352,15 +286,17 @@ def _prepare_table(t: pa.Table, scrub_fn, num_partitions: int,
     return t.append_column("part", pa.array(part))
 
 
-_INGEST_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts_us", "modified"]
+# Only the narrow fold columns reach the state actors — the text column (the
+# bulk of every row) is emitted at route time and never crosses the object
+# store twice.
+_INGEST_COLS = ["conv_id", "turn_idx", "role", "tool", "ts_us"]
 
 
 def _route_table(t: pa.Table, actors, epoch: int,
-                 source_key: str | None = None) -> tuple[int, int]:
-    """Partition one prepared table and push slices to the state actors.
-    Returns (rows, max_ts_us).  One gather, then zero-copy range slices."""
+                 source_key: str | None = None) -> None:
+    """Partition one prepared (narrow) table and push slices to the state
+    actors.  One gather, then zero-copy range slices."""
     part = t["part"].to_numpy(zero_copy_only=False)
-    ts = t["ts_us"].to_numpy(zero_copy_only=False)
     order = np.argsort(part, kind="stable")
     sub = t.select(_INGEST_COLS).take(pa.array(order))
     sorted_part = part[order]
@@ -372,21 +308,59 @@ def _route_table(t: pa.Table, actors, epoch: int,
             acks.append(actors[p].ingest.options(concurrency_group="ingest")
                         .remote(epoch, sub.slice(lo, hi - lo), source_key))
     ray.get(acks)  # backpressure: done only once state holds the rows
-    mx = int(ts.max()) if len(ts) else -INF_US
-    return len(t), mx
 
 
-def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig):
-    """One routing task: read → scrub → partition → ingest.  The raw-task
-    fast path of the micro-batch loop — a per-epoch ray.data.Dataset pays
-    ~0.5 s planning/launch per epoch, which dominates micro-batch cadence;
-    the file is the natural work unit of the arrival log, so the epoch's
-    routing is plain data-parallel tasks (Dataset stays the API for every
-    batch/oracle pipeline)."""
+def _emit_turns_file(sink: EpochSink, live: pa.Table, epoch: int, file_idx: int) -> int:
+    """Stage the scrubbed turn rows of one input file, stably sorted by
+    (conv_id, turn_idx), with epoch + per-row partition lineage (the
+    reference's T7 provenance stamp, watermark_processor.py:177-186 —
+    deterministic ids, NOT wall-clock)."""
+    idx = pc.sort_indices(
+        live, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    out = live.take(idx)
+    n = len(out)  # original "ts" column is still present (ts_us is its cast)
+    part = out["part"].to_numpy(zero_copy_only=False)
+    lineage_pool = pa.array(
+        [f"part-{p:05d}/epoch-{epoch:05d}" for p in range(int(part.max()) + 1 if n else 1)]
+    )
+    lineage = pa.DictionaryArray.from_arrays(pa.array(part.astype(np.int32)),
+                                             lineage_pool).cast(pa.string())
+    out = out.append_column("epoch", pa.array(np.full(n, epoch, dtype=np.int64)))
+    out = out.append_column("lineage", lineage)
+    out = out.select(TURN_COLS)
+    pq.write_table(out, sink.staging_path(epoch, "turns", file_idx))
+    return n
+
+
+def _emit_late_file(sink: EpochSink, late: pa.Table, epoch: int, file_idx: int) -> int:
+    sub = late.select(["conv_id", "turn_idx", "ts_us"])
+    idx = pc.sort_indices(
+        sub, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    out = sub.take(idx)
+    out = out.append_column("epoch", pa.array(np.full(len(out), epoch, dtype=np.int64)))
+    pq.write_table(out, sink.staging_path(epoch, "late", file_idx))
+    return len(out)
+
+
+def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig,
+                     out_dir: str, wm_prev_us: int, file_idx_base: int):
+    """One routing task: read → scrub → late-split → stage turn/late output →
+    ingest narrow fold columns into the state actors.
+
+    Raw-task fast path of the micro-batch loop — a per-epoch
+    ray.data.Dataset pays ~0.5 s planning/launch, which dominates micro-batch
+    cadence; the file is the natural work unit of the arrival log (Dataset
+    stays the API for every batch/oracle pipeline).  The late decision only
+    needs ``wm_prev = watermark_after(e-1)``, which the driver knows before
+    epoch e routes, so the bulky text column is written to the staged sink
+    right here and never ships to the actors."""
     scrub_fn = make_scrub_batch_fn(cfg.scrub)
-    rows, mx = 0, -INF_US
+    sink = EpochSink(out_dir)
+    rows, late_n, mx = 0, 0, -INF_US
     failed: list[str] = []
-    for f in files:
+    for i, f in enumerate(files):
         # Per-file failure isolation: a corrupt/unreadable file is recorded
         # and the stream continues — the reference's continue-on-failure batch
         # semantics with its end-of-run failed_files summary
@@ -399,10 +373,18 @@ def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig):
         except Exception:
             failed.append(f)
             continue
-        r, m = _route_table(t, actors, epoch, source_key=f)
-        rows += r
-        mx = max(mx, m)
-    return rows, mx, failed
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        if len(ts):
+            mx = max(mx, int(ts.max()))
+        late_mask = pa.array(ts < wm_prev_us)
+        late_tbl = t.filter(late_mask)
+        live = t.filter(pc.invert(late_mask))
+        _emit_turns_file(sink, live, epoch, file_idx_base + i)
+        _emit_late_file(sink, late_tbl, epoch, file_idx_base + i)
+        _route_table(live, actors, epoch, source_key=f)
+        rows += len(t)
+        late_n += len(late_tbl)
+    return rows, late_n, mx, failed
 
 
 class StreamingEngine:
@@ -415,13 +397,12 @@ class StreamingEngine:
 
     def __init__(self, input_paths: list[str], out_dir: str,
                  cfg: StreamConfig | None = None, epoch_files: int = 1,
-                 actor_cpus: float = 0.25, dataset_route: bool = False):
+                 actor_cpus: float = 0.25):
         self.cfg = cfg or StreamConfig()
         self.paths = sorted(input_paths)
         self.out_dir = out_dir
         self.epoch_files = epoch_files
         self.actor_cpus = actor_cpus
-        self.dataset_route = dataset_route
         self.sink = EpochSink(out_dir)
         self.epochs = [self.paths[i:i + epoch_files]
                        for i in range(0, len(self.paths), epoch_files)]
@@ -444,29 +425,6 @@ class StreamingEngine:
                   for p in range(self.cfg.total_partitions)]
         ray.get([a.ping.remote() for a in actors])  # warm before any routing
         return actors
-
-    def _epoch_dataset(self, files: list[str]):
-        cfg = self.cfg
-        scrub_fn = make_scrub_batch_fn(cfg.scrub)
-        num_partitions = cfg.num_partitions
-        ds = ray.data.read_parquet(
-            files, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-        )
-        return ds.map_batches(lambda t: _prepare_table(t, scrub_fn, num_partitions,
-                                               hot_keys=self.cfg.hot_keys),
-                              batch_format="pyarrow", zero_copy_batch=True)
-
-    def _route(self, ds, actors, epoch: int) -> pd.DataFrame:
-        """Dataset-based routing (alternate path; ``dataset_route=True``).
-        Push each batch's sub-tables to their partition actors; returns the
-        per-task summaries (rows, max ts) the watermark folds over."""
-
-        def route(t: pa.Table) -> pa.Table:
-            rows, mx = _route_table(t, actors, epoch)
-            return pa.table({"rows": pa.array([rows], pa.int64()),
-                             "max_ts_us": pa.array([mx], pa.int64())})
-
-        return ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
 
     def metrics_df(self) -> pd.DataFrame:
         """Per-(epoch, partition) observability from the committed markers:
@@ -523,37 +481,28 @@ class StreamingEngine:
             summaries.append(marker)
             pending = None
 
-        # Double-buffered routing: epoch e+1's route tasks are submitted while
-        # e's are still in flight (buffers are epoch-keyed, and e's watermark
-        # depends only on e's own routing barrier), so route coordination
-        # overheads of consecutive epochs overlap.
-        route_refs: dict[int, list] = {}
-
-        def submit_route(e: int) -> None:
-            if e <= final_epoch - 1 and e >= last + 1 and e not in route_refs \
-                    and not self.dataset_route:
-                route_refs[e] = [self._route_task.remote([f], actors, e, self.cfg)
-                                 for f in self.epochs[e]]
 
         try:
             for e in range(last + 1, final_epoch + 1):
                 t0 = time.monotonic()
+                # wm_prev = watermark_after(e-1): known BEFORE epoch e routes,
+                # so the route tasks make the late decision and emit turns
+                # themselves.  (Routing of e overlaps the still-running closes
+                # of e-1 — the close-route pipeline.)
                 wm_prev = max_ts - self.cfg.lateness_us
                 rows = 0
+                late_rows = 0
                 if e < final_epoch:
-                    if self.dataset_route:
-                        summary = self._route(self._epoch_dataset(self.epochs[e]),
-                                              actors, e)
-                        if len(summary):
-                            rows = int(summary["rows"].sum())
-                            max_ts = max(max_ts, int(summary["max_ts_us"].max()))
-                    else:
-                        submit_route(e)
-                        submit_route(e + 1)
-                        for r, m, failed in ray.get(route_refs.pop(e)):
-                            rows += r
-                            max_ts = max(max_ts, m)
-                            failed_files.extend(failed)
+                    refs = [
+                        self._route_task.remote([f], actors, e, self.cfg,
+                                                self.out_dir, wm_prev, i)
+                        for i, f in enumerate(self.epochs[e])
+                    ]
+                    for r, ln, m, failed in ray.get(refs):
+                        rows += r
+                        late_rows += ln
+                        max_ts = max(max_ts, m)
+                        failed_files.extend(failed)
                     if kill_mid_epoch == e:
                         drain()  # crash point: previous epoch committed, e not
                         return {"killed_mid": e}
@@ -566,6 +515,7 @@ class StreamingEngine:
                 pending = (e, close_refs, {
                     "epoch": e,
                     "rows": rows,
+                    "late_rows": late_rows,
                     "max_ts_us": max_ts,
                     "watermark_us": wm_after,
                     "failed_files": list(failed_files),
