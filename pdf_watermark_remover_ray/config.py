@@ -76,6 +76,8 @@ class StreamConfig:
     session_gap_us: int = 30_000_000
     join_gap_us: int = 30_000_000
     tumbling_us: int = 60_000_000
+    sliding_size_us: int = 60_000_000
+    sliding_slide_us: int = 20_000_000
     epoch_rows: int = 50_000
     scrub: ScrubConfig = field(default_factory=ScrubConfig)
     # Skew handling: hot conversations get RESERVED partitions (ids P..P+H-1,

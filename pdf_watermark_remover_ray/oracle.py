@@ -82,10 +82,27 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
         .size()
         .rename(columns={"size": "n_turns"})
     )
+    # sliding windows: each turn in every window k*slide with t-size < k*slide <= t
+    size, slide = cfg.sliding_size_us, cfg.sliding_slide_us
+    lts = live["ts_us"].to_numpy()
+    k_max = lts // slide
+    k_min = (lts - size) // slide + 1
+    counts = (k_max - k_min + 1).astype(np.int64)
+    s_keys = np.repeat(live["conv_id"].to_numpy(), counts)
+    offs = np.concatenate([np.arange(c) for c in counts]) if len(counts) else \
+        np.array([], np.int64)
+    s_ws = (np.repeat(k_min, counts) + offs) * slide
+    sliding = (
+        pd.DataFrame({"conv_id": s_keys, "window_start_us": s_ws})
+        .groupby(["conv_id", "window_start_us"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_turns"})
+    )
     return {
         "turns": live[["conv_id", "turn_idx", "role", "text", "tool", "ts", "modified"]],
         "late": late[["conv_id", "turn_idx", "ts_us", "epoch"]],
         "sessions": sessions,
         "windows": windows,
+        "sliding": sliding,
         "matches": matches,
     }

@@ -123,12 +123,14 @@ class StatePartition:
         live = tbl.select(_INGEST_COLS).to_pandas()
         self._fold_sessions(live)
         self._fold_windows(live)
+        self._fold_sliding(live)
         self._fold_join(live)
         t_fold = time.monotonic()
 
         emitted = {
             "sessions": self._emit_sessions(wm_after_us, epoch),
             "windows": self._emit_windows(wm_after_us, epoch),
+            "sliding": self._emit_sliding(wm_after_us, epoch),
             "matches": self._emit_matches(wm_after_us, epoch),
         }
         t_emit = time.monotonic()
@@ -174,6 +176,45 @@ class StatePartition:
         agg = allw.groupby(["conv_id", "window_start_us"], sort=False, as_index=False)["n"].sum()
         self.store.put("windows", agg)
         return len(agg)
+
+    def _fold_sliding(self, live: pd.DataFrame) -> int:
+        """Sliding-window counts: each turn contributes to every window
+        ``k*slide`` with ``t-size < k*slide <= t`` (numpy repeat expansion,
+        same assignment as stages/windows.sliding_counts)."""
+        if len(live) == 0:
+            return 0
+        size, slide = self.cfg.sliding_size_us, self.cfg.sliding_slide_us
+        ts = live["ts_us"].to_numpy(np.int64)
+        k_max = ts // slide
+        k_min = (ts - size) // slide + 1
+        counts = (k_max - k_min + 1).astype(np.int64)
+        keys = np.repeat(live["conv_id"].to_numpy(), counts)
+        offs = np.concatenate([np.arange(c) for c in counts]) if len(counts) else \
+            np.array([], np.int64)
+        ws = (np.repeat(k_min, counts) + offs) * slide
+        new = pd.DataFrame({"conv_id": keys, "window_start_us": ws,
+                            "n": np.ones(len(keys), dtype=np.int64)})
+        alls = pd.concat([self.store.get("sliding"), new], ignore_index=True)
+        agg = alls.groupby(["conv_id", "window_start_us"], sort=False,
+                           as_index=False)["n"].sum()
+        self.store.put("sliding", agg)
+        return len(agg)
+
+    def _emit_sliding(self, wm_us: int, epoch: int) -> int:
+        w = self.store.get("sliding")
+        size = self.cfg.sliding_size_us
+        done_mask = (w["window_start_us"].to_numpy(np.int64, copy=False) + size <= wm_us) \
+            if len(w) else np.zeros(0, dtype=bool)
+        done = w[done_mask]
+        self.store.put("sliding", w[~done_mask])
+        out = pd.DataFrame(
+            {"conv_id": done["conv_id"].to_numpy(),
+             "window_start_us": done["window_start_us"].to_numpy(np.int64),
+             "n_turns": done["n"].to_numpy(np.int64)}
+        ).sort_values(["conv_id", "window_start_us"], kind="mergesort")
+        schema = pa.schema([("conv_id", pa.string()), ("window_start_us", pa.int64()),
+                            ("n_turns", pa.int64())])
+        return self._write("sliding", epoch, out, schema)
 
     def _fold_join(self, live: pd.DataFrame) -> None:
         if len(live) == 0:

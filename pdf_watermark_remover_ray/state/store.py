@@ -33,6 +33,7 @@ _EMPTY = {
     "users": {"conv_id": str, "ts_us": np.int64, "turn_idx": np.int32},
     "tools": {"conv_id": str, "ts_us": np.int64, "turn_idx": np.int32, "tool": str},
     "windows": {"conv_id": str, "window_start_us": np.int64, "n": np.int64},
+    "sliding": {"conv_id": str, "window_start_us": np.int64, "n": np.int64},
 }
 
 _SORT_KEYS = {
@@ -40,6 +41,7 @@ _SORT_KEYS = {
     "users": ["conv_id", "ts_us", "turn_idx"],
     "tools": ["conv_id", "ts_us", "turn_idx"],
     "windows": ["conv_id", "window_start_us"],
+    "sliding": ["conv_id", "window_start_us"],
 }
 
 # Superset schema used by the single-file snapshot.

@@ -75,6 +75,10 @@ def _check_outputs(out_dir: str, golden: dict):
         ["conv_id", "window_start_us", "n_turns"],
     )
     assert_stream_equal(
+        read_stream(out_dir, "sliding"), golden["sliding"],
+        ["conv_id", "window_start_us", "n_turns"],
+    )
+    assert_stream_equal(
         read_stream(out_dir, "matches"), golden["matches"],
         ["conv_id", "user_turn_idx", "tool_turn_idx", "tool", "dt_us"],
     )
