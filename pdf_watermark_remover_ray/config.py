@@ -79,6 +79,10 @@ class StreamConfig:
     sliding_size_us: int = 60_000_000
     sliding_slide_us: int = 20_000_000
     epoch_rows: int = 50_000
+    # Routing tasks stream input files in row-group batches of at most this
+    # many rows, so task memory is bounded by the batch — not the file — size
+    # (a 100 TB run has multi-GB files).  ~1M transcript rows ≈ 100-200 MB.
+    route_batch_rows: int = 1_048_576
     scrub: ScrubConfig = field(default_factory=ScrubConfig)
     # Skew handling: hot conversations get RESERVED partitions (ids P..P+H-1,
     # one dedicated state actor each) instead of salting — salting a stateful

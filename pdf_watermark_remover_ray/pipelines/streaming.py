@@ -177,23 +177,21 @@ class StatePartition:
         self.store.put("windows", agg)
         return len(agg)
 
+    _SLIDING_BOUND_KEY = "sliding_emit_bound"
+
     def _fold_sliding(self, live: pd.DataFrame) -> int:
-        """Sliding-window counts: each turn contributes to every window
-        ``k*slide`` with ``t-size < k*slide <= t`` (numpy repeat expansion,
-        same assignment as stages/windows.sliding_counts)."""
+        """Sliding windows via slide-bucket pre-aggregation: the fold only
+        counts per (conv, ts//slide) bucket (same cost as tumbling — NO
+        per-turn window expansion); buckets roll up into overlapping windows
+        once, at emission.  Same final (conv, window, count) multiset as
+        stages/windows.sliding_counts."""
         if len(live) == 0:
             return 0
-        size, slide = self.cfg.sliding_size_us, self.cfg.sliding_slide_us
-        ts = live["ts_us"].to_numpy(np.int64)
-        k_max = ts // slide
-        k_min = (ts - size) // slide + 1
-        counts = (k_max - k_min + 1).astype(np.int64)
-        keys = np.repeat(live["conv_id"].to_numpy(), counts)
-        offs = np.concatenate([np.arange(c) for c in counts]) if len(counts) else \
-            np.array([], np.int64)
-        ws = (np.repeat(k_min, counts) + offs) * slide
-        new = pd.DataFrame({"conv_id": keys, "window_start_us": ws,
-                            "n": np.ones(len(keys), dtype=np.int64)})
+        slide = self.cfg.sliding_slide_us
+        b = (live["ts_us"].to_numpy(np.int64) // slide) * slide
+        new = pd.DataFrame({"conv_id": live["conv_id"].to_numpy(),
+                            "window_start_us": b,
+                            "n": np.ones(len(live), dtype=np.int64)})
         alls = pd.concat([self.store.get("sliding"), new], ignore_index=True)
         agg = alls.groupby(["conv_id", "window_start_us"], sort=False,
                            as_index=False)["n"].sum()
@@ -201,19 +199,51 @@ class StatePartition:
         return len(agg)
 
     def _emit_sliding(self, wm_us: int, epoch: int) -> int:
-        w = self.store.get("sliding")
-        size = self.cfg.sliding_size_us
-        done_mask = (w["window_start_us"].to_numpy(np.int64, copy=False) + size <= wm_us) \
-            if len(w) else np.zeros(0, dtype=bool)
-        done = w[done_mask]
-        self.store.put("sliding", w[~done_mask])
-        out = pd.DataFrame(
-            {"conv_id": done["conv_id"].to_numpy(),
-             "window_start_us": done["window_start_us"].to_numpy(np.int64),
-             "n_turns": done["n"].to_numpy(np.int64)}
-        ).sort_values(["conv_id", "window_start_us"], kind="mergesort")
+        """Emit every window ws with ``prev_bound < ws <= wm - size`` by
+        expanding only the buckets that feed that range (each bucket feeds at
+        most size/slide windows over its whole lifetime).  The emission bound
+        is persisted in the "meta" state so replays emit identical rows."""
+        size, slide = self.cfg.sliding_size_us, self.cfg.sliding_slide_us
+        meta = self.store.get("meta")
+        prev = meta[meta["conv_id"] == self._SLIDING_BOUND_KEY]
+        prev_bound = int(prev["n"].iloc[0]) if len(prev) else -(1 << 62)
+        bound = min(wm_us - size, (1 << 61))  # clamp the flush-epoch ∞
         schema = pa.schema([("conv_id", pa.string()), ("window_start_us", pa.int64()),
                             ("n_turns", pa.int64())])
+        if bound <= prev_bound:
+            return self._write("sliding", epoch, pd.DataFrame(
+                {"conv_id": pd.Series([], dtype=str),
+                 "window_start_us": pd.Series([], dtype=np.int64),
+                 "n_turns": pd.Series([], dtype=np.int64)}), schema)
+        w = self.store.get("sliding")
+        bk = w["window_start_us"].to_numpy(np.int64, copy=False) if len(w) else \
+            np.zeros(0, dtype=np.int64)
+        # buckets feeding any window in (prev_bound, bound]: b ∈ (prev_bound, bound+size-slide]
+        feed_mask = (bk > prev_bound) & (bk <= bound + size - slide)
+        feed = w[feed_mask]
+        n_off = (size + slide - 1) // slide
+        if len(feed):
+            fb = feed["window_start_us"].to_numpy(np.int64)
+            ws = (fb[:, None] - np.arange(n_off, dtype=np.int64)[None, :] * slide).ravel()
+            conv = np.repeat(feed["conv_id"].to_numpy(), n_off)
+            n = np.repeat(feed["n"].to_numpy(np.int64), n_off)
+            keep = (ws > prev_bound) & (ws <= bound)
+            out = (
+                pd.DataFrame({"conv_id": conv[keep], "window_start_us": ws[keep],
+                              "n": n[keep]})
+                .groupby(["conv_id", "window_start_us"], sort=False, as_index=False)["n"]
+                .sum()
+                .rename(columns={"n": "n_turns"})
+                .sort_values(["conv_id", "window_start_us"], kind="mergesort")
+            )
+        else:
+            out = pd.DataFrame({"conv_id": pd.Series([], dtype=str),
+                                "window_start_us": pd.Series([], dtype=np.int64),
+                                "n_turns": pd.Series([], dtype=np.int64)})
+        # evict buckets whose last window (ws = b) is now emitted
+        self.store.put("sliding", w[bk > bound] if len(w) else w)
+        self.store.put("meta", pd.DataFrame(
+            {"conv_id": [self._SLIDING_BOUND_KEY], "n": np.array([bound], np.int64)}))
         return self._write("sliding", epoch, out, schema)
 
     def _fold_join(self, live: pd.DataFrame) -> None:
@@ -401,30 +431,37 @@ def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig,
     sink = EpochSink(out_dir)
     rows, late_n, mx = 0, 0, -INF_US
     failed: list[str] = []
+    columns = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     for i, f in enumerate(files):
         # Per-file failure isolation: a corrupt/unreadable file is recorded
         # and the stream continues — the reference's continue-on-failure batch
         # semantics with its end-of-run failed_files summary
         # (watermark_processor.py:243-262).
         try:
-            t = pq.read_table(
-                f, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-            )
-            t = _prepare_table(t, scrub_fn, cfg.num_partitions, cfg.hot_keys)
+            pf = pq.ParquetFile(f)
+            batches = pf.iter_batches(batch_size=cfg.route_batch_rows,
+                                      columns=columns)
+            # Stream the file in bounded row-group batches: task memory is
+            # O(route_batch_rows), not O(file size).  Each (file, batch) is a
+            # deterministic unit: its own staged output file + ingest key.
+            for b, rb in enumerate(batches):
+                t = _prepare_table(pa.Table.from_batches([rb]), scrub_fn,
+                                   cfg.num_partitions, cfg.hot_keys)
+                ts = t["ts_us"].to_numpy(zero_copy_only=False)
+                if len(ts):
+                    mx = max(mx, int(ts.max()))
+                late_mask = pa.array(ts < wm_prev_us)
+                late_tbl = t.filter(late_mask)
+                live = t.filter(pc.invert(late_mask))
+                file_idx = (file_idx_base + i) * 1000 + b
+                _emit_turns_file(sink, live, epoch, file_idx)
+                _emit_late_file(sink, late_tbl, epoch, file_idx)
+                _route_table(live, actors, epoch, source_key=f"{f}#{b}")
+                rows += len(t)
+                late_n += len(late_tbl)
         except Exception:
             failed.append(f)
             continue
-        ts = t["ts_us"].to_numpy(zero_copy_only=False)
-        if len(ts):
-            mx = max(mx, int(ts.max()))
-        late_mask = pa.array(ts < wm_prev_us)
-        late_tbl = t.filter(late_mask)
-        live = t.filter(pc.invert(late_mask))
-        _emit_turns_file(sink, live, epoch, file_idx_base + i)
-        _emit_late_file(sink, late_tbl, epoch, file_idx_base + i)
-        _route_table(live, actors, epoch, source_key=f)
-        rows += len(t)
-        late_n += len(late_tbl)
     return rows, late_n, mx, failed
 
 

@@ -33,7 +33,11 @@ _EMPTY = {
     "users": {"conv_id": str, "ts_us": np.int64, "turn_idx": np.int32},
     "tools": {"conv_id": str, "ts_us": np.int64, "turn_idx": np.int32, "tool": str},
     "windows": {"conv_id": str, "window_start_us": np.int64, "n": np.int64},
+    # "sliding" holds per-(conv, slide-bucket) counts; window_start_us is the
+    # BUCKET start (windows are rolled up from buckets at emission time).
     "sliding": {"conv_id": str, "window_start_us": np.int64, "n": np.int64},
+    # "meta" holds scalar state (e.g. the sliding emission bound) as rows.
+    "meta": {"conv_id": str, "n": np.int64},
 }
 
 _SORT_KEYS = {
@@ -42,6 +46,7 @@ _SORT_KEYS = {
     "tools": ["conv_id", "ts_us", "turn_idx"],
     "windows": ["conv_id", "window_start_us"],
     "sliding": ["conv_id", "window_start_us"],
+    "meta": ["conv_id"],
 }
 
 # Superset schema used by the single-file snapshot.
