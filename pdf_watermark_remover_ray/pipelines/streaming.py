@@ -12,14 +12,14 @@ marker-file idiom (``ui/dialog_windows.py:31-35``).
 
 Dataflow per epoch e (bounded replayable prefix of the stream):
 
-    read_parquet(files[e])                       # stateless Ray tasks
-      → map_batches(scrub ∘ partition ∘ stamp)   # vectorized, Arrow
-      → map_batches(route)                       # push sub-tables to the
-                                                 #   partition state actors
-    actors.close_epoch(e, wm_prev, wm_after)     # late-drop, merge state,
-                                                 #   emit, stage outputs+snapshot
-    sink.commit_epoch(e, marker)                 # atomic publish; marker IS
-                                                 #   the commit point
+    route tasks (one per input file, row-group-batched):
+        read → scrub → late-split vs wm_after(e−1) → stage sorted turn/late
+        parquet → ingest NARROW fold columns into the partition state actors
+    actors.close_epoch(e, wm_prev, wm_after):
+        fold sessions/windows/sliding/join state, emit watermark-closed
+        results, stage state snapshot          # overlaps route of epoch e+1
+    sink.commit_epoch(e, marker)               # atomic publish; marker IS
+                                               #   the commit point
 
 Determinism: the watermark after epoch e is ``max(ts over epochs ≤ e) −
 lateness`` — a pure function of input + epoch slicing — and every emission
@@ -29,10 +29,13 @@ re-emits byte-identical rows (tests/test_streaming.py).
 Emission rules (all STRICT so no non-late future row can contradict them;
 a future non-late arrival in epoch f has ts ≥ wm_after(f−1) ≥ wm_after(e)):
 
-- turn rows:     emitted at the close of their arrival epoch (late ones go to
-                 the ``late`` dead-letter stream instead);
+- turn rows:     emitted at route time for their arrival epoch (late ones go
+                 to the ``late`` dead-letter stream instead — the late
+                 decision needs only wm_after(e−1), known before e routes);
 - sessions:      closed when ``end_us < wm_after − gap`` (no joinable future);
 - tumbling win:  emitted when ``window_start + size ≤ wm_after``;
+- sliding win:   bucket counts folded per epoch; windows with
+                 ``ws ≤ wm_after − size`` rolled up and emitted once;
 - join matches:  a tool turn fires when ``ts < wm_after``, matched to the
                  latest buffered user turn within the gap (ties → larger
                  turn_idx, same as the batch oracle in stages/join.py).
@@ -69,8 +72,8 @@ class StatePartition:
     Constructed once per partition and reused across every epoch of the run —
     the actor-pool analog of the reference's single ``WatermarkProcessor``
     instance reused for every file (``main/remove_watermark.py:53``).
-    Ingestion is idempotent (rows are keyed by unique ``(conv_id, turn_idx)``
-    and deduped at close), so Ray task retries cannot double-count.
+    Ingestion is idempotent (tables keyed by their deterministic source unit),
+    so Ray task retries cannot double-count.
     """
 
     def __init__(self, partition_id: int, cfg: StreamConfig, out_dir: str,

@@ -1,0 +1,153 @@
+"""Property tests (SURVEY.md §5.3): invariants under re-slicing / re-partitioning,
+hypothesis-driven scrub conformance, state snapshot roundtrip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_watermark_remover_ray.config import ScrubConfig, StreamConfig
+from pdf_watermark_remover_ray.functions.scrub import scrub_text
+from pdf_watermark_remover_ray.pipelines.streaming import StreamingEngine
+from pdf_watermark_remover_ray.sources.transcripts import (
+    generate_transcripts,
+    write_transcripts,
+)
+from pdf_watermark_remover_ray.state.store import SortedStateStore, merge_session_intervals
+
+from test_streaming import read_stream
+
+# -- scrub: pure-function properties vs adversarial inputs ------------------
+
+FRAGMENTS = [
+    "CONFIDENTIEL J.DUPONT", "DOCUMENT NON APPLICABLE", "Document non tenu",
+    "44 6f 63 75 6d", "6e 6f 6e 20 74 65 6e 75", "1 0 0 rg", "0.8 0 0 rg",
+    "1 0 0 RG", "BT", "ET", "Tj", "TD", "(", ")", " ", "x", "à jour",
+]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.sampled_from(FRAGMENTS), max_size=12))
+def test_scrub_idempotent_on_clean_output_prefixfree(parts):
+    """Determinism + termination on adversarial pattern soup: the kernel never
+    raises, always terminates, and running twice gives a fixed point for the
+    T1/T2 substring deletes (span surgery can legitimately cascade)."""
+    text = "".join(parts)
+    out1, mod1 = scrub_text(text, "CONFIDENTIEL J.DUPONT", "DOCUMENT NON APPLICABLE")
+    assert "CONFIDENTIEL J.DUPONT" not in out1
+    assert "DOCUMENT NON APPLICABLE" not in out1
+    out2, _ = scrub_text(out1, "CONFIDENTIEL J.DUPONT", "DOCUMENT NON APPLICABLE")
+    # T1/T2 deletes are gone for good
+    assert "CONFIDENTIEL J.DUPONT" not in out2
+    if not mod1:
+        assert out1 == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_scrub_passthrough_without_anchors(text):
+    """Any text containing none of the anchors passes through byte-identical."""
+    anchors = ["CONFIDENTIEL J.DUPONT", "DOCUMENT NON APPLICABLE",
+               "Document non tenu", "44 6f 63 75 6d 65 6e 74 20 6e 6f 6e 20 74 65 6e 75",
+               "6f 63 75 6d 65 6e 74 20 6e 6f 6e 20 74 65 6e 75", "44 6f 63 75 6d",
+               "6e 6f 6e 20 74 65 6e 75", "1 0 0 rg", "0.8 0 0 rg", "1 0 0 RG"]
+    if any(a in text for a in anchors):
+        return
+    out, mod = scrub_text(text, "CONFIDENTIEL J.DUPONT", "DOCUMENT NON APPLICABLE")
+    assert out == text and not mod
+
+
+# -- session interval merge: algebraic properties ----------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1,
+                max_size=40))
+def test_session_merge_matches_naive(items):
+    gap = 50
+    df = pd.DataFrame({
+        "conv_id": [f"c{c}" for c, _ in items],
+        "start_us": [t for _, t in items],
+        "end_us": [t for _, t in items],
+        "n": np.ones(len(items), dtype=np.int64),
+    })
+    got = merge_session_intervals(df, gap)
+    # naive per-conv sweep
+    want_rows = []
+    for conv, g in df.groupby("conv_id"):
+        ts = sorted(g["start_us"])
+        cur = [ts[0], ts[0], 1]
+        for t in ts[1:]:
+            if t - cur[1] > gap:
+                want_rows.append((conv, cur[0], cur[1], cur[2]))
+                cur = [t, t, 1]
+            else:
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+        want_rows.append((conv, cur[0], cur[1], cur[2]))
+    want = pd.DataFrame(want_rows, columns=["conv_id", "start_us", "end_us", "n"])
+    g = got.sort_values(["conv_id", "start_us"]).reset_index(drop=True)
+    w = want.sort_values(["conv_id", "start_us"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w.astype(g.dtypes.to_dict()))
+
+
+# -- snapshot roundtrip ------------------------------------------------------
+
+def test_state_snapshot_roundtrip(tmp_path):
+    store = SortedStateStore()
+    store.put("sessions", pd.DataFrame(
+        {"conv_id": ["a", "b"], "start_us": [1, 2], "end_us": [3, 4],
+         "n": [2, 5]}))
+    store.put("users", pd.DataFrame(
+        {"conv_id": ["a"], "ts_us": [7], "turn_idx": np.array([3], np.int32)}))
+    store.put("meta", pd.DataFrame({"conv_id": ["sliding_emit_bound"], "n": [123]}))
+    path = str(tmp_path / "snap" / "part-0.parquet")
+    store.snapshot(path)
+    back = SortedStateStore.restore(path)
+    for kind in store.frames:
+        pd.testing.assert_frame_equal(store.get(kind), back.get(kind))
+
+
+# -- streaming: conservation + slicing invariance ----------------------------
+
+def _union_rows(out_dir):
+    turns = read_stream(out_dir, "turns")[["conv_id", "turn_idx"]]
+    late = read_stream(out_dir, "late")[["conv_id", "turn_idx"]]
+    return pd.concat([turns, late], ignore_index=True) \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def test_epoch_slicing_conservation_and_invariance(tmp_path):
+    """(a) Conservation: every input row lands in exactly one of turns/late,
+    under ANY epoch slicing.  (b) With unbounded lateness the full output is
+    invariant under the slicing (watermark granularity only moves the
+    late/live boundary)."""
+    table = generate_transcripts(n_convs=40, mean_turns=10, seed=33, late_frac=0.1)
+    paths = write_transcripts(table, str(tmp_path / "in"), num_files=8)
+    all_keys = table.to_pandas()[["conv_id", "turn_idx"]] \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    for ef in (1, 4):
+        out = str(tmp_path / f"out_ef{ef}")
+        StreamingEngine(paths, out, StreamConfig(num_partitions=4),
+                        epoch_files=ef).run()
+        got = _union_rows(out)
+        pd.testing.assert_frame_equal(got.astype(str), all_keys.astype(str))
+
+    big = 1 << 60
+    outs = []
+    for ef in (1, 4):
+        out = str(tmp_path / f"out_inf_ef{ef}")
+        cfg = StreamConfig(num_partitions=4, lateness_us=big)
+        StreamingEngine(paths, out, cfg, epoch_files=ef).run()
+        t = read_stream(out, "turns").sort_values(["conv_id", "turn_idx"]) \
+            .reset_index(drop=True)
+        outs.append(t[["conv_id", "turn_idx", "text", "modified"]])
+        assert len(read_stream(out, "late")) == 0
+        s = read_stream(out, "sessions").sort_values(
+            ["conv_id", "session_start_us"]).reset_index(drop=True)
+        outs.append(s)
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+    pd.testing.assert_frame_equal(outs[1], outs[3])
