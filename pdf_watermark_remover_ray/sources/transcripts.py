@@ -243,6 +243,7 @@ def generate_transcripts_fast(
     text_pool: int = 20_000,
     base_ts_us: int = 1_700_000_000_000_000,
     session_gap_us: int = 30_000_000,
+    conv_offset: int = 0,
 ) -> pa.Table:
     """Fully vectorized bench-scale fixture (FIXTURES.md F1 'bench').
 
@@ -265,7 +266,9 @@ def generate_transcripts_fast(
     total = int(sizes.sum())
     # build one id string per conversation, then repeat — the string ufuncs
     # run on n_convs elements, not n_rows
-    per_conv_ids = np.char.add("c", np.char.zfill(np.arange(n_convs).astype(str), 8))
+    per_conv_ids = np.char.add(
+        "c", np.char.zfill(np.arange(conv_offset, conv_offset + n_convs).astype(str), 8)
+    )
     conv_ids = np.repeat(per_conv_ids, sizes)
     # turn_idx = position within conversation (vectorized cumcount)
     starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
