@@ -1,0 +1,93 @@
+"""The reference's 2-method processor seam, re-expressed for Parquet tables.
+
+The reference exposes exactly two entry points behind its swappable processor
+interface (``main/remove_watermark.py:53-55``):
+``remove_watermark_by_structure(pdf_path, output_path, name_pattern,
+footer_pattern)`` and ``process_folder(input_folder, output_folder, ...)``
+(``mechanisms/watermark_processor.py:23-30,204-212``).  These are their
+engine equivalents over transcript/document Parquet: same signature shape,
+same boolean success contract, same continue-on-failure folder semantics with
+an end-of-run summary.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+import ray.data
+
+from .config import ScrubConfig
+from .functions.scrub import scrub_dataset
+
+
+def scrub_file(
+    input_path: str,
+    output_path: str,
+    name_pattern: str,
+    footer_pattern: str = "DOCUMENT NON APPLICABLE",
+    text_col: str = "text",
+) -> bool:
+    """Scrub one Parquet file (reference: ``remove_watermark_by_structure``,
+    watermark_processor.py:23-202).
+
+    Reads, applies T1-T5 to the text column, writes to a staging temp path
+    and atomically publishes (the reference's temp-file + copy2 discipline,
+    :46-47,166-175 — here an ``os.replace`` so a crash never leaves a partial
+    output).  Returns True on success, False on failure (never raises —
+    failure isolation is the caller's contract, :197-202).
+    """
+    try:
+        ds = ray.data.read_parquet(input_path)
+        cfg = ScrubConfig(name_pattern=name_pattern, footer_pattern=footer_pattern,
+                          use_footer=bool(footer_pattern))
+        out = scrub_dataset(ds, cfg, text_col=text_col)
+        table = out.to_arrow_refs()
+        import pyarrow as pa
+
+        import ray as _ray
+
+        tbl = pa.concat_tables([t for t in _ray.get(table)])
+        staging = output_path + ".staging"
+        os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+        pq.write_table(tbl, staging)
+        os.replace(staging, output_path)
+        return True
+    except Exception:
+        return False
+
+
+def process_folder(
+    input_folder: str,
+    output_folder: str,
+    name_pattern: str,
+    footer_pattern: str = "DOCUMENT NON APPLICABLE",
+) -> tuple[bool, list[str]]:
+    """Scrub every ``.parquet`` file in a folder (reference:
+    ``process_folder``, watermark_processor.py:204-288).
+
+    Mirrors the reference exactly: create the output folder (:222-232),
+    enumerate by suffix predicate (:235 — non-recursive), empty-source guard
+    (:238-241), per-file processing that CONTINUES on failure and accumulates
+    ``failed_files`` (:243-262), and a final all-succeeded boolean (:264-281).
+    Returns ``(all_succeeded, failed_files)``.
+    """
+    try:
+        os.makedirs(output_folder, exist_ok=True)
+    except OSError:
+        return False, []
+    files = [f for f in os.listdir(input_folder) if f.lower().endswith(".parquet")]
+    if not files:
+        return False, []
+    failed: list[str] = []
+    for fname in files:
+        ok = scrub_file(
+            os.path.join(input_folder, fname),
+            os.path.join(output_folder, fname),
+            name_pattern,
+            footer_pattern,
+        )
+        if not ok:
+            failed.append(fname)
+    return (not failed), failed

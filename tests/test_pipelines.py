@@ -157,3 +157,34 @@ def test_winnow_fingerprint_properties(planted_dir):
     assert f40["winnow64"] == f41["winnow64"]  # identical docs, identical sketch
     assert f40["fingerprint"] == f41["fingerprint"]
     assert f40["fingerprint"] != f0["fingerprint"]
+
+
+def test_reference_api_seam(tmp_path, planted_dir):
+    """The reference's 2-method processor interface: file->file and
+    folder->folder with continue-on-failure (watermark_processor.py:23,204)."""
+    from pdf_watermark_remover_ray.api import process_folder, scrub_file
+
+    src = str(tmp_path / "in")
+    import os
+    import shutil
+
+    os.makedirs(src)
+    shutil.copy(f"{planted_dir}/documents.parquet", f"{src}/docs.parquet")
+    (tmp_path / "in" / "broken.parquet").write_bytes(b"junk")
+    (tmp_path / "in" / "ignored.txt").write_text("not parquet")
+
+    out = str(tmp_path / "out")
+    ok, failed = process_folder(src, out, name_pattern="quick brown",
+                                footer_pattern="")
+    assert ok is False and failed == ["broken.parquet"]
+    got = pq.read_table(f"{out}/docs.parquet").to_pandas()
+    assert (~got["text"].str.contains("quick brown", regex=False)).all()
+    assert got["modified"].sum() >= 3  # the planted BASE copies
+
+    # single-file success + empty-folder guard
+    assert scrub_file(f"{src}/docs.parquet", str(tmp_path / "one.parquet"),
+                      "quick brown") is True
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    ok2, failed2 = process_folder(empty, out, "x")
+    assert ok2 is False and failed2 == []
