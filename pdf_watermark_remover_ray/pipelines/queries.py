@@ -176,6 +176,7 @@ def queries() -> dict:
         # similarity search
         "ann_topk": similarity.ann_topk,
         "ann_topk_lsh": similarity.ann_topk_lsh,
+        "ann_topk_ivf": similarity.ann_topk_ivf,
         # text analysis
         "text_stats": text.text_stats,
         "fingerprints": lambda sf: text.fingerprints(sf).select_columns(

@@ -72,6 +72,92 @@ def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
     return out[["query_id", "vec_id", "cos_sim"]]
 
 
+class IVFIndex:
+    """Tiny IVF (inverted-file) index: k-means centroids trained on a sample,
+    corpus bucketed by nearest centroid, queries probe the nearest
+    ``nprobe`` buckets.  Deterministic (fixed seed, fixed iterations)."""
+
+    def __init__(self, sample: np.ndarray, n_lists: int = 16, iters: int = 10,
+                 seed: int = 42) -> None:
+        rng = np.random.default_rng(seed)
+        n = len(sample)
+        self.centroids = sample[rng.choice(n, size=min(n_lists, n), replace=False)].copy()
+        for _ in range(iters):
+            assign = np.argmax(sample @ self.centroids.T, axis=1)
+            for c in range(len(self.centroids)):
+                members = sample[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    norm = np.linalg.norm(v)
+                    if norm > 0:
+                        self.centroids[c] = v / norm
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        return np.argmax(m @ self.centroids.T, axis=1)
+
+    def probe(self, q: np.ndarray, nprobe: int) -> np.ndarray:
+        sims = q @ self.centroids.T
+        return np.argsort(-sims)[:nprobe]
+
+
+def ann_topk_ivf(sf_dir: str, n_queries: int = 10, k: int = 5, n_lists: int = 16,
+                 nprobe: int = 4):
+    """IVF approximate top-k: centroids trained once on a driver-side sample,
+    broadcast; each batch scores only vectors whose cluster is probed by a
+    query.  At 100 TB the cluster id becomes a partition column so probes
+    touch only the matching partitions' files (partition pruning at the
+    read); here the index rides the batch pass."""
+    import duckdb
+
+    qids, qm = _load_queries(sf_dir, n_queries)
+    con = duckdb.connect()
+    sample = con.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"USING SAMPLE reservoir(512 ROWS) REPEATABLE (42)"
+    ).df()
+    con.close()
+    sm = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(sm, axis=1)
+    norms[norms == 0] = 1.0
+    index = IVFIndex(sm / norms[:, None], n_lists=n_lists)
+    probes = {int(qids[i]): index.probe(qm[i], nprobe) for i in range(len(qids))}
+    ref = ray.put((qids, qm, probes, index))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, qm_, probes_, index_ = ray.get(ref)
+        ids = df["vec_id"].to_numpy(np.int64)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        clusters = index_.assign(mn)
+        out = []
+        for qi in range(len(qids_)):
+            probe_set = probes_[int(qids_[qi])]
+            cand = np.flatnonzero(np.isin(clusters, probe_set) & (ids != qids_[qi]))
+            if len(cand) == 0:
+                continue
+            s = mn[cand] @ qm_[qi]
+            take = min(k, len(cand))
+            idx = np.argpartition(-s, take - 1)[:take]
+            out.append(pd.DataFrame({"query_id": qids_[qi], "vec_id": ids[cand[idx]],
+                                     "cos_sim": s[idx]}))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"query_id": pd.Series([], dtype=np.int64),
+             "vec_id": pd.Series([], dtype=np.int64),
+             "cos_sim": pd.Series([], dtype=float)})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    partials = ds.map_batches(local_topk, batch_format="pandas", batch_size=4096) \
+        .to_pandas()
+    partials = partials.sort_values(["query_id", "cos_sim", "vec_id"],
+                                    ascending=[True, False, True], kind="mergesort")
+    out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["cos_sim"] = round_half_away(out["cos_sim"], 4)
+    return out[["query_id", "vec_id", "cos_sim"]]
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures: sign bits of (v · H) as a bucket key."""
 

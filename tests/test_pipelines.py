@@ -188,3 +188,16 @@ def test_reference_api_seam(tmp_path, planted_dir):
     os.makedirs(empty)
     ok2, failed2 = process_folder(empty, out, "x")
     assert ok2 is False and failed2 == []
+
+
+def test_ann_ivf_recall(planted_dir):
+    from pdf_watermark_remover_ray.pipelines.similarity import ann_topk, ann_topk_ivf
+
+    exact = ann_topk(planted_dir, n_queries=5, k=3)
+    ivf = ann_topk_ivf(planted_dir, n_queries=5, k=3, n_lists=4, nprobe=2)
+    # subset property + the planted near-dup must survive probing
+    best = exact.groupby("query_id")["cos_sim"].max()
+    for _, r in ivf.iterrows():
+        assert r["cos_sim"] <= best[r["query_id"]] + 1e-9
+    top0 = ivf[ivf["query_id"] == 0]
+    assert len(top0) and top0.iloc[0]["vec_id"] == 20  # nearest cluster probed
