@@ -25,7 +25,10 @@ from . import dedup, multimodal, relational, similarity, text
 SIZE_US = 3_600_000_000
 SLIDE_US = 900_000_000
 GAP_US = 1_800_000_000
-LATENESS_US = 12 * 3_600_000_000
+# 30 min: below the scramble-block event-time span at every sf (the span
+# shrinks as event density grows), so the late path is exercised at sf 0.001,
+# 0.01 AND 0.1.
+LATENESS_US = 1_800_000_000
 EPOCH_SIZE = 100
 SCRAMBLE = 256
 
@@ -113,7 +116,12 @@ def q_join(sf_dir: str):
 
 def q_late(sf_dir: str):
     ds = derive_transcripts(sf_dir, num_partitions=16, keep_event_id=True)
-    return late_rows(ds, LATENESS_US, EPOCH_SIZE, scramble_block=SCRAMBLE)
+    df = late_rows(ds, LATENESS_US, EPOCH_SIZE, scramble_block=SCRAMBLE).to_pandas()
+    if not len(df.columns):  # an all-empty Dataset drops its schema
+        df = pd.DataFrame({"conv_id": pd.Series([], dtype=str),
+                           "turn_idx": pd.Series([], dtype=np.int32),
+                           "epoch": pd.Series([], dtype=np.int32)})
+    return df
 
 
 def q_streaming_e2e(sf_dir: str):
