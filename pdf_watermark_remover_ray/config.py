@@ -84,6 +84,11 @@ class StreamConfig:
     # (a 100 TB run has multi-GB files).  ~1M transcript rows ≈ 100-200 MB.
     route_batch_rows: int = 1_048_576
     scrub: ScrubConfig = field(default_factory=ScrubConfig)
+    # Fault injection (tests only): when set, each routing unit fails once
+    # with a RuntimeError before succeeding on retry — proves the
+    # at-least-once ingest + keyed-table dedup = exactly-once claim under
+    # REAL Ray task retries.
+    fault_inject_dir: str | None = None
     # Skew handling: hot conversations get RESERVED partitions (ids P..P+H-1,
     # one dedicated state actor each) instead of salting — salting a stateful
     # key would split its sessions/join state across actors (SURVEY.md §7.4

@@ -43,6 +43,7 @@ a future non-late arrival in epoch f has ts ≥ wm_after(f−1) ≥ wm_after(e))
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -435,6 +436,26 @@ def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig,
     rows, late_n, mx = 0, 0, -INF_US
     failed: list[str] = []
     columns = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    if cfg.fault_inject_dir:
+        # fail-once per (epoch, first file): simulates a transient task crash
+        # AFTER some ingests may already have landed; Ray retries the task
+        # (retry_exceptions) and the keyed ingest overwrites idempotently.
+        marker = os.path.join(
+            cfg.fault_inject_dir,
+            f"e{epoch}-{os.path.basename(files[0])}.failed")
+        if not os.path.exists(marker):
+            # route half the first file BEFORE failing, to make the retry
+            # genuinely re-send previously-ingested tables
+            pf0 = pq.ParquetFile(files[0])
+            rb0 = next(pf0.iter_batches(batch_size=max(1, pf0.metadata.num_rows // 2),
+                                        columns=columns))
+            t0_ = _prepare_table(pa.Table.from_batches([rb0]), scrub_fn,
+                                 cfg.num_partitions, cfg.hot_keys)
+            _route_table(t0_, actors, epoch, source_key=f"{files[0]}#0")
+            os.makedirs(cfg.fault_inject_dir, exist_ok=True)
+            with open(marker, "w") as fh:
+                fh.write("x")
+            raise RuntimeError("injected transient route failure")
     for i, f in enumerate(files):
         # Per-file failure isolation: a corrupt/unreadable file is recorded
         # and the stream continues — the reference's continue-on-failure batch
@@ -487,7 +508,10 @@ class StreamingEngine:
         self.sink = EpochSink(out_dir)
         self.epochs = [self.paths[i:i + epoch_files]
                        for i in range(0, len(self.paths), epoch_files)]
-        self._route_task = ray.remote(num_cpus=1)(_route_file_task)
+        # retry transient exceptions: combined with keyed idempotent ingest +
+        # deterministic staged file names, a retried route task is exactly-once
+        self._route_task = ray.remote(num_cpus=1, max_retries=3,
+                                      retry_exceptions=True)(_route_file_task)
 
     @property
     def n_input_epochs(self) -> int:

@@ -105,3 +105,41 @@ class EpochSink:
         while (e + 1) in done:
             e += 1
         return e
+
+    # -- small-file compaction (reference S6: output compaction,
+    # watermark_processor.py:166 save(garbage=4, deflate=True)) -------------
+
+    def compact_epoch(self, stream: str, epoch: int) -> int:
+        """Merge a committed epoch's many small per-task files into one
+        Parquet file via a directory swap (write to ``epoch={e}.compact``,
+        two renames, remove the old dir).  Only run on COMMITTED epochs and
+        with no concurrent readers; rerunning after a crash between the two
+        renames: if ``epoch={e}`` is missing but ``epoch={e}.compact``
+        exists, finish by renaming it in.  Returns rows compacted."""
+        import shutil
+
+        import pyarrow.parquet as _pq
+
+        src = self.data_dir(stream, epoch)
+        compact = src + ".compact"
+        old = src + ".old"
+        if not os.path.isdir(src) and os.path.isdir(compact):
+            os.rename(compact, src)  # crash recovery: finish the swap
+            return -1
+        files = sorted(os.path.join(src, f) for f in os.listdir(src)
+                       if f.endswith(".parquet"))
+        if len(files) <= 1:
+            return 0
+        import pyarrow as _pa
+
+        # read per file (ParquetDataset would hive-infer a conflicting
+        # `epoch` partition column from the epoch={e} directory name)
+        tbl = _pa.concat_tables([_pq.read_table(f) for f in files])
+        shutil.rmtree(compact, ignore_errors=True)
+        os.makedirs(compact)
+        _pq.write_table(tbl, os.path.join(compact, "part-00000.parquet"))
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(src, old)
+        os.rename(compact, src)
+        shutil.rmtree(old)
+        return len(tbl)

@@ -186,3 +186,43 @@ def test_empty_input_run(tmp_path):
     assert res["all_succeeded"] is True
     assert len(res["epochs"]) == 1  # just the flush epoch
     assert res["epochs"][0]["rows"] == 0
+
+
+def test_exactly_once_under_real_task_retries(fixture, tmp_path):
+    """Fault injection: every epoch's first route task ingests half a file,
+    then crashes; Ray retries it (retry_exceptions). The keyed idempotent
+    ingest + deterministic staged names must still produce the golden
+    outputs exactly once."""
+    from dataclasses import replace
+
+    table, paths, golden = fixture
+    out = str(tmp_path / "out_retry")
+    cfg = replace(CFG, fault_inject_dir=str(tmp_path / "faults"))
+    res = StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES).run()
+    assert res["all_succeeded"] is True
+    import glob as _g
+
+    # one injected failure per route task (= per input file)
+    assert len(_g.glob(str(tmp_path / "faults" / "*.failed"))) == NUM_FILES
+    _check_outputs(out, golden)
+
+
+def test_epoch_compaction(fixture, tmp_path):
+    """S6 output compaction: many per-task files -> one, same rows."""
+    table, paths, golden = fixture
+    out = str(tmp_path / "out_compact")
+    StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES).run()
+    from pdf_watermark_remover_ray.sinks.parquet import EpochSink
+
+    sink = EpochSink(out)
+    before = read_stream(out, "turns")
+    for e in range(4):
+        sink.compact_epoch("turns", e)
+    files = glob.glob(f"{out}/data/turns/epoch=*/part-*.parquet")
+    assert len(files) == 4  # one file per compacted input epoch (flush epoch
+    # emits no turns — they are route-time emissions)
+    after = read_stream(out, "turns")
+    pd.testing.assert_frame_equal(
+        before.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        after.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+    )
