@@ -15,6 +15,7 @@ import pandas as pd
 
 from ..config import ScrubConfig, StreamConfig
 from ..functions.scrub import scrub_dataset
+from ..functions.sketches import approx_distinct_users
 from ..sources.transcripts import TRANSCRIPTS_CTE, derive_transcripts
 from ..stages.join import stream_join
 from ..stages.watermark import late_rows
@@ -175,6 +176,7 @@ def queries() -> dict:
         "topk_orders_per_customer": relational.topk_orders_per_customer,
         "order_priority_counts": relational.order_priority_counts,
         "events_windowed_stats": relational.events_windowed_stats,
+        "approx_distinct_users": approx_distinct_users,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,

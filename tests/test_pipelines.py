@@ -201,3 +201,33 @@ def test_ann_ivf_recall(planted_dir):
         assert r["cos_sim"] <= best[r["query_id"]] + 1e-9
     top0 = ivf[ivf["query_id"] == 0]
     assert len(top0) and top0.iloc[0]["vec_id"] == 20  # nearest cluster probed
+
+
+def test_kmv_approx_distinct(sf_dir):
+    """KMV sketch: exact below k, bounded error above k."""
+    import duckdb
+    import ray.data
+
+    from pdf_watermark_remover_ray.functions.sketches import approx_distinct
+
+    got = approx_distinct(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_type", "user_id"]),
+        "event_type", "user_id")
+    con = duckdb.connect()
+    want = con.sql(
+        f"SELECT event_type, count(DISTINCT user_id) AS n FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1 ORDER BY 1").df()
+    merged = got.merge(want, on="event_type")
+    # sf0.001 has ~15 users per type (< k) → the sketch must be EXACT
+    assert (merged["approx_distinct"] == merged["n"]).all(), merged
+
+    # above k: synthetic high-cardinality input, 15% relative error bound
+    import pandas as pd
+    import pyarrow as pa
+
+    n = 20_000
+    t = pa.table({"g": pa.array(["x"] * n), "v": pa.array(range(n), pa.int64())})
+    est = approx_distinct(ray.data.from_arrow(t), "g", "v")
+    rel = abs(est["approx_distinct"].iloc[0] - n) / n
+    assert rel < 0.15, rel

@@ -149,3 +149,25 @@ def test_late_rows_matches_sql(sf_dir):
     )
     assert len(ray_df) > 0, "fixture should contain late rows at this lateness"
     _cmp(ray_df, duck_df)
+
+
+def test_join_tiebreak_same_ts():
+    """Two user turns at the SAME ts: the join must pick the larger turn_idx
+    (merge_asof keeps the last in (ts, turn_idx) order — the documented
+    tiebreak mirrored by the oracle's ORDER BY u.ts DESC, u.turn_idx DESC)."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_watermark_remover_ray.stages.join import join_pdf
+
+    df = pd.DataFrame({
+        "conv_id": ["c"] * 3,
+        "turn_idx": np.array([0, 1, 2], dtype=np.int32),
+        "role": ["user", "user", "tool"],
+        "tool": ["", "", "search"],
+        "ts": pd.to_datetime([1_000_000, 1_000_000, 1_500_000], unit="us"),
+    })
+    out = join_pdf(df, gap_us=10_000_000)
+    assert len(out) == 1
+    assert out.iloc[0]["user_turn_idx"] == 1  # larger turn_idx wins the tie
+    assert out.iloc[0]["dt_us"] == 500_000
