@@ -176,6 +176,8 @@ def queries() -> dict:
         "topk_orders_per_customer": relational.topk_orders_per_customer,
         "order_priority_counts": relational.order_priority_counts,
         "events_windowed_stats": relational.events_windowed_stats,
+        "prev_order_gap": relational.prev_order_gap,
+        "running_revenue": relational.running_revenue,
         "approx_distinct_users": approx_distinct_users,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
@@ -309,6 +311,20 @@ def oracle_sql() -> dict:
         "order_priority_counts": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
             FROM orders GROUP BY 1, 2""",
+        "prev_order_gap": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(epoch_us(o_orderdate)
+                        - lag(epoch_us(o_orderdate)) OVER (
+                              PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS gap_us
+            FROM orders""",
+        "running_revenue": """
+            SELECT o_orderkey, o_custkey,
+                   round(sum(o_totalprice) OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS UNBOUNDED PRECEDING), 2) AS running_total
+            FROM orders""",
         "events_windowed_stats": """
             SELECT event_type, (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us,
                    count(*) AS n, round(sum(value), 2) AS sum_value,

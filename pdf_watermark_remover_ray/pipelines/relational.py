@@ -168,6 +168,50 @@ def order_priority_counts(sf_dir: str):
         .aggregate(Sum("partial_n", alias_name="n_orders"))
 
 
+def prev_order_gap(sf_dir: str, num_partitions: int = 16):
+    """Analytic LAG: per order, microseconds since the same customer's
+    previous order (ties broken by orderkey).  One customer-hash shuffle,
+    vectorized shift per partition — the grouped-window-function pattern."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    ds = add_partition_column(ds, key="o_custkey", num_partitions=num_partitions)
+
+    def lag_gap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort")
+        ts = df["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        prev = np.empty(len(df), dtype=np.float64)
+        prev[0] = np.nan
+        prev[1:] = ts[:-1]
+        same = np.empty(len(df), dtype=bool)
+        same[0] = False
+        key = df["o_custkey"].to_numpy()
+        same[1:] = key[1:] == key[:-1]
+        gap = np.where(same, ts - prev, np.nan)
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"].to_numpy(),
+                             "o_custkey": key,
+                             "gap_us": gap})
+
+    return ds.groupby("part").map_groups(lag_gap, batch_format="pandas")
+
+
+def running_revenue(sf_dir: str, num_partitions: int = 16):
+    """Analytic cumulative SUM: running total of order value per customer in
+    (orderdate, orderkey) order — grouped cumsum per hash partition."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+    ds = add_partition_column(ds, key="o_custkey", num_partitions=num_partitions)
+
+    def cum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort")
+        run = df.groupby("o_custkey", sort=False)["o_totalprice"].cumsum()
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"].to_numpy(),
+                             "o_custkey": df["o_custkey"].to_numpy(),
+                             "running_total": round_half_away(run.to_numpy(), 2)})
+
+    return ds.groupby("part").map_groups(cum, batch_format="pandas")
+
+
 def events_windowed_stats(sf_dir: str, size_us: int = 86_400_000_000):
     """Daily tumbling per event_type: count / sum / min / max of value."""
     from ..stages.windows import windowed_stats
