@@ -15,7 +15,7 @@ import pandas as pd
 
 from ..config import ScrubConfig, StreamConfig
 from ..functions.scrub import scrub_dataset
-from ..functions.sketches import approx_distinct_users
+from ..functions.sketches import approx_distinct_users, kmv_oracle_sql
 from ..sources.transcripts import TRANSCRIPTS_CTE, derive_transcripts
 from ..stages.join import stream_join
 from ..stages.watermark import late_rows
@@ -79,24 +79,30 @@ def q_scrub_docs_footer_off(sf_dir: str):
 
 def q_transcript_summary(sf_dir: str):
     """Global counts incl. a distinct aggregation: per-batch partial distinct
-    sets merged in one small reduce (no row-level shuffle)."""
+    sets merged in one small reduce (no row-level shuffle).  The second-stage
+    totals are a Dataset aggregate — the per-conv grouped table NEVER reaches
+    the driver (at 10^9 conversations it would be a 10^9-row to_pandas)."""
     import pyarrow as pa
 
     ds = _transcripts(sf_dir)
 
     def partial(t: pa.Table) -> pa.Table:
         convs = pd.unique(t["conv_id"].to_pandas())
+        if len(convs) == 0:  # empty batch: [len]+[0]*(n-1) would be length 1
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "partial_n": pa.array([], pa.int64())})
         return pa.table({"conv_id": pa.array(convs, pa.string()),
                          "partial_n": pa.array(
                              [len(t)] + [0] * (len(convs) - 1), pa.int64())})
 
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Count, Sum
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    per_conv = parts.groupby("conv_id").aggregate(Sum("partial_n", alias_name="n")) \
-        .to_pandas()
-    return pd.DataFrame({"n_turns": [int(per_conv["n"].sum())],
-                         "n_convs": [int(len(per_conv))]})
+    per_conv = parts.groupby("conv_id").aggregate(Sum("partial_n", alias_name="n"))
+    totals = per_conv.aggregate(Sum("n", alias_name="n_turns"),
+                                Count(alias_name="n_convs"))
+    return pd.DataFrame({"n_turns": [int(totals["n_turns"])],
+                         "n_convs": [int(totals["n_convs"])]})
 
 
 def q_tumbling(sf_dir: str):
@@ -401,6 +407,7 @@ def oracle_sql() -> dict:
                                              THEN CAST(n_stop AS DOUBLE) / n_tokens
                                              ELSE 0.0 END), 6) AS quality_score
             FROM base""",
+        "approx_distinct_users": kmv_oracle_sql(k=64),
         "fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "multimodal_features": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS checksum,

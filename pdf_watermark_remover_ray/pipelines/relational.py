@@ -105,9 +105,21 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
 
     joined = li.join(orders, join_type="inner", num_partitions=16,
                      on=("l_orderkey",), right_on=("o_orderkey",))
-    out = joined.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k).to_pandas()
+
+    # Top-k WITHOUT a global sort: each block emits its local top-k (on the
+    # ROUNDED revenue — the oracle orders by the rounded alias), the driver
+    # merges ≤ k×blocks rows.  A distributed sort of the whole join output
+    # for a top-10 would be an all-to-all exchange for nothing.
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=round_half_away(df["revenue"].to_numpy(), 2))
+        df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True],
+                            kind="mergesort")
+        return df.head(k)
+
+    partials = joined.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out = partials.sort_values(["revenue", "l_orderkey"], ascending=[False, True],
+                               kind="mergesort").head(k).reset_index(drop=True)
     out = out.rename(columns={"l_orderkey": "o_orderkey"})
-    out["revenue"] = round_half_away(out["revenue"], 2)
     return out[["o_orderkey", "o_orderdate", "revenue"]]
 
 
