@@ -10,6 +10,7 @@ interface (``main/remove_watermark.py:53-55``).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 
@@ -44,7 +45,13 @@ class Tumbling:
 
 @dataclass(frozen=True)
 class Sliding:
-    """Sliding window of ``size_us`` advancing every ``slide_us``."""
+    """Sliding window of ``size_us`` advancing every ``slide_us``.
+
+    Pre-aggregation granularity is ``gcd(size, slide)``: gcd-bucket
+    boundaries align with EVERY window boundary, so per-bucket counts roll up
+    into overlapping windows exactly for any size/slide combination — with a
+    non-divisible pair, slide-sized buckets would straddle window edges and
+    over-count (the round-1 sliding rollup bug)."""
 
     size_us: int
     slide_us: int
@@ -52,6 +59,19 @@ class Sliding:
     def n_windows(self) -> int:
         # Number of windows each event belongs to.
         return (self.size_us + self.slide_us - 1) // self.slide_us
+
+    @property
+    def bucket_us(self) -> int:
+        return math.gcd(self.size_us, self.slide_us)
+
+    def assign_bucket(self, ts_us):
+        """gcd-bucket start for a ts (scalar or numpy array)."""
+        return (ts_us // self.bucket_us) * self.bucket_us
+
+    def n_windows_per_bucket(self) -> int:
+        """Max windows any single gcd-bucket can feed: window ``ws`` covers
+        bucket ``b`` iff ``ws <= b <= ws + size - bucket``."""
+        return (self.size_us - self.bucket_us) // self.slide_us + 1
 
 
 @dataclass(frozen=True)
@@ -94,6 +114,38 @@ class StreamConfig:
     # key would split its sessions/join state across actors (SURVEY.md §7.4
     # "Skew vs sessions").  Fixed for the run → deterministic replays.
     hot_keys: tuple[str, ...] = ()
+
+    def __post_init__(self) -> None:
+        """Pre-flight validation (reference P2/P3 analog: the UI rejects bad
+        input/patterns BEFORE any work starts, ``ui/app_ui.py:284-307``).  A
+        bad config raises here — never at route time where the per-file
+        failure isolation would silently dead-letter it."""
+        checks = {
+            "num_partitions must be >= 1": self.num_partitions >= 1,
+            "lateness_us must be >= 0": self.lateness_us >= 0,
+            "session_gap_us must be > 0": self.session_gap_us > 0,
+            "join_gap_us must be > 0": self.join_gap_us > 0,
+            "tumbling_us must be > 0": self.tumbling_us > 0,
+            "sliding_size_us must be > 0": self.sliding_size_us > 0,
+            "sliding_slide_us must be > 0": self.sliding_slide_us > 0,
+            "epoch_rows must be > 0": self.epoch_rows > 0,
+            "route_batch_rows must be > 0": self.route_batch_rows > 0,
+        }
+        bad = [msg for msg, ok in checks.items() if not ok]
+        if bad:
+            raise ValueError("invalid StreamConfig: " + "; ".join(bad))
+
+    @property
+    def tumbling_spec(self) -> Tumbling:
+        return Tumbling(self.tumbling_us)
+
+    @property
+    def sliding_spec(self) -> Sliding:
+        return Sliding(self.sliding_size_us, self.sliding_slide_us)
+
+    @property
+    def session_spec(self) -> Session:
+        return Session(self.session_gap_us)
 
     @property
     def total_partitions(self) -> int:

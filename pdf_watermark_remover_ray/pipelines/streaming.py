@@ -165,7 +165,7 @@ class StatePartition:
         )
         merged = merge_session_intervals(
             pd.concat([self.store.get("sessions"), new], ignore_index=True),
-            self.cfg.session_gap_us,
+            self.cfg.session_spec.gap_us,
         )
         self.store.put("sessions", merged)
         return len(merged)
@@ -173,7 +173,7 @@ class StatePartition:
     def _fold_windows(self, live: pd.DataFrame) -> int:
         if len(live) == 0:
             return 0
-        ws = (live["ts_us"].to_numpy(np.int64) // self.cfg.tumbling_us) * self.cfg.tumbling_us
+        ws = self.cfg.tumbling_spec.assign(live["ts_us"].to_numpy(np.int64))
         new = pd.DataFrame({"conv_id": live["conv_id"].to_numpy(), "window_start_us": ws,
                             "n": np.ones(len(live), dtype=np.int64)})
         allw = pd.concat([self.store.get("windows"), new], ignore_index=True)
@@ -184,15 +184,17 @@ class StatePartition:
     _SLIDING_BOUND_KEY = "sliding_emit_bound"
 
     def _fold_sliding(self, live: pd.DataFrame) -> int:
-        """Sliding windows via slide-bucket pre-aggregation: the fold only
-        counts per (conv, ts//slide) bucket (same cost as tumbling — NO
-        per-turn window expansion); buckets roll up into overlapping windows
-        once, at emission.  Same final (conv, window, count) multiset as
-        stages/windows.sliding_counts."""
+        """Sliding windows via gcd-bucket pre-aggregation: the fold only
+        counts per (conv, gcd(size, slide) bucket) — NO per-turn window
+        expansion; buckets roll up into overlapping windows once, at
+        emission.  gcd buckets (not slide buckets) make the rollup exact for
+        NON-divisible size/slide too: every window boundary is a bucket
+        boundary, so a bucket is entirely inside or outside each window.
+        Same final (conv, window, count) multiset as
+        stages/windows.sliding_counts for any config."""
         if len(live) == 0:
             return 0
-        slide = self.cfg.sliding_slide_us
-        b = (live["ts_us"].to_numpy(np.int64) // slide) * slide
+        b = self.cfg.sliding_spec.assign_bucket(live["ts_us"].to_numpy(np.int64))
         new = pd.DataFrame({"conv_id": live["conv_id"].to_numpy(),
                             "window_start_us": b,
                             "n": np.ones(len(live), dtype=np.int64)})
@@ -204,10 +206,12 @@ class StatePartition:
 
     def _emit_sliding(self, wm_us: int, epoch: int) -> int:
         """Emit every window ws with ``prev_bound < ws <= wm - size`` by
-        expanding only the buckets that feed that range (each bucket feeds at
-        most size/slide windows over its whole lifetime).  The emission bound
-        is persisted in the "meta" state so replays emit identical rows."""
-        size, slide = self.cfg.sliding_size_us, self.cfg.sliding_slide_us
+        expanding only the buckets that feed that range (each gcd-bucket
+        feeds at most ``n_windows_per_bucket()`` windows over its whole
+        lifetime).  The emission bound is persisted in the "meta" state so
+        replays emit identical rows."""
+        spec = self.cfg.sliding_spec
+        size, slide, g = spec.size_us, spec.slide_us, spec.bucket_us
         meta = self.store.get("meta")
         prev = meta[meta["conv_id"] == self._SLIDING_BOUND_KEY]
         prev_bound = int(prev["n"].iloc[0]) if len(prev) else -(1 << 62)
@@ -222,16 +226,21 @@ class StatePartition:
         w = self.store.get("sliding")
         bk = w["window_start_us"].to_numpy(np.int64, copy=False) if len(w) else \
             np.zeros(0, dtype=np.int64)
-        # buckets feeding any window in (prev_bound, bound]: b ∈ (prev_bound, bound+size-slide]
-        feed_mask = (bk > prev_bound) & (bk <= bound + size - slide)
+        # window ws covers bucket b iff ws <= b <= ws + size - g, so buckets
+        # feeding any window in (prev_bound, bound]: b ∈ (prev_bound, bound+size-g]
+        feed_mask = (bk > prev_bound) & (bk <= bound + size - g)
         feed = w[feed_mask]
-        n_off = (size + slide - 1) // slide
+        n_off = spec.n_windows_per_bucket()
         if len(feed):
             fb = feed["window_start_us"].to_numpy(np.int64)
-            ws = (fb[:, None] - np.arange(n_off, dtype=np.int64)[None, :] * slide).ravel()
+            # candidate windows of bucket b: slide multiples descending from
+            # floor(b/slide)*slide, clipped to ws >= b + g - size
+            top = (fb // slide) * slide
+            ws = (top[:, None] - np.arange(n_off, dtype=np.int64)[None, :] * slide).ravel()
             conv = np.repeat(feed["conv_id"].to_numpy(), n_off)
             n = np.repeat(feed["n"].to_numpy(np.int64), n_off)
-            keep = (ws > prev_bound) & (ws <= bound)
+            fbr = np.repeat(fb, n_off)
+            keep = (ws > prev_bound) & (ws <= bound) & (ws >= fbr + g - size)
             out = (
                 pd.DataFrame({"conv_id": conv[keep], "window_start_us": ws[keep],
                               "n": n[keep]})
@@ -244,8 +253,10 @@ class StatePartition:
             out = pd.DataFrame({"conv_id": pd.Series([], dtype=str),
                                 "window_start_us": pd.Series([], dtype=np.int64),
                                 "n_turns": pd.Series([], dtype=np.int64)})
-        # evict buckets whose last window (ws = b) is now emitted
-        self.store.put("sliding", w[bk > bound] if len(w) else w)
+        # evict buckets whose LAST window (ws = floor(b/slide)*slide) is
+        # now emitted; retained buckets have top(b) > bound >= prev_bound,
+        # so no retained bucket ever falls below a future feed range
+        self.store.put("sliding", w[(bk // slide) * slide > bound] if len(w) else w)
         self.store.put("meta", pd.DataFrame(
             {"conv_id": [self._SLIDING_BOUND_KEY], "n": np.array([bound], np.int64)}))
         return self._write("sliding", epoch, out, schema)
@@ -502,6 +513,19 @@ class StreamingEngine:
                  actor_cpus: float = 0.25):
         self.cfg = cfg or StreamConfig()
         self.paths = sorted(input_paths)
+        # Pre-flight (reference P2/P3: reject bad input/destination BEFORE any
+        # work, ui/app_ui.py:284-321) — a bad path must fail the run here, not
+        # get silently dead-lettered by the per-file failure isolation.
+        if not out_dir:
+            raise ValueError("StreamingEngine: output directory is required")
+        bad = [p for p in self.paths
+               if not p.lower().endswith(".parquet") or not os.path.isfile(p)]
+        if bad:
+            raise ValueError(
+                f"StreamingEngine: {len(bad)} input path(s) missing or not "
+                f".parquet: {bad[:3]}")
+        if epoch_files < 1:
+            raise ValueError("StreamingEngine: epoch_files must be >= 1")
         self.out_dir = out_dir
         self.epoch_files = epoch_files
         self.actor_cpus = actor_cpus

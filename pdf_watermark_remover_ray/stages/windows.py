@@ -48,7 +48,9 @@ def tumbling_counts(ds, size_us: int, key: str = "conv_id"):
     """
 
     def partial(t: pa.Table) -> pa.Table:
-        ws = (_ts_us(t["ts"]) // size_us) * size_us
+        from ..config import Tumbling
+
+        ws = Tumbling(size_us).assign(_ts_us(t["ts"]))
         df = pd.DataFrame({key: t[key].to_pandas(), "window_start_us": ws})
         g = df.groupby([key, "window_start_us"], sort=False).size().reset_index(name="partial_n")
         return pa.Table.from_pandas(g, preserve_index=False)

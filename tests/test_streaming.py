@@ -226,3 +226,57 @@ def test_epoch_compaction(fixture, tmp_path):
         before.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
         after.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
     )
+
+
+def test_sliding_non_divisible_size_slide(fixture, tmp_path):
+    """gcd-bucket rollup: sliding output must match the per-event oracle when
+    size is NOT a multiple of slide (round-1 bug: slide-bucket rollup
+    over-counted any non-divisible config)."""
+    table, paths, golden_unused = fixture
+    cfg = StreamConfig(
+        num_partitions=4,
+        lateness_us=CFG.lateness_us,
+        session_gap_us=CFG.session_gap_us,
+        join_gap_us=CFG.join_gap_us,
+        tumbling_us=CFG.tumbling_us,
+        sliding_size_us=90_000_000,   # 90 s
+        sliding_slide_us=60_000_000,  # 60 s -> gcd bucket 30 s
+        scrub=CFG.scrub,
+    )
+    assert cfg.sliding_spec.bucket_us == 30_000_000
+    assert cfg.sliding_spec.n_windows_per_bucket() == 2
+    golden = streaming_oracle(table, NUM_FILES, EPOCH_FILES, cfg)
+    out = str(tmp_path / "out_nondiv")
+    StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES).run()
+    assert_stream_equal(
+        read_stream(out, "sliding"), golden["sliding"],
+        ["conv_id", "window_start_us", "n_turns"],
+    )
+
+
+def test_config_preflight_validation():
+    """P2 analog: a bad StreamConfig raises at construction, before any work."""
+    with pytest.raises(ValueError, match="num_partitions"):
+        StreamConfig(num_partitions=0)
+    with pytest.raises(ValueError, match="lateness_us"):
+        StreamConfig(lateness_us=-1)
+    with pytest.raises(ValueError, match="sliding_slide_us"):
+        StreamConfig(sliding_slide_us=0)
+    with pytest.raises(ValueError, match="route_batch_rows"):
+        StreamConfig(route_batch_rows=0)
+
+
+def test_engine_preflight_validation(fixture, tmp_path):
+    """P2/P3 analog: missing files, wrong suffix, or a missing destination are
+    rejected by StreamingEngine.__init__ — not dead-lettered at route time."""
+    table, paths, golden = fixture
+    with pytest.raises(ValueError, match="missing or not"):
+        StreamingEngine([str(tmp_path / "nope.parquet")], str(tmp_path / "o"), CFG)
+    bad = tmp_path / "data.csv"
+    bad.write_text("a,b\n1,2\n")
+    with pytest.raises(ValueError, match="missing or not"):
+        StreamingEngine([str(bad)], str(tmp_path / "o"), CFG)
+    with pytest.raises(ValueError, match="output directory"):
+        StreamingEngine(paths, "", CFG)
+    with pytest.raises(ValueError, match="epoch_files"):
+        StreamingEngine(paths, str(tmp_path / "o"), CFG, epoch_files=0)
