@@ -30,8 +30,6 @@ from ..stages.partition import add_partition_column
 
 from ..functions.rounding import round_half_away
 
-MERSENNE = np.uint64((1 << 61) - 1)
-
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
@@ -94,40 +92,141 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / u if u else 0.0
 
 
-def _verify_pairs(pairs: pd.DataFrame, texts: dict[int, str], threshold: float) -> pd.DataFrame:
-    """Exact word-bigram Jaccard verification of candidate id pairs."""
-    if len(pairs) == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                             "doc_b": pd.Series([], dtype=np.int64),
-                             "jaccard": pd.Series([], dtype=float)})
-    shingle_cache: dict[int, set] = {}
-
-    def sh(i: int) -> set:
-        if i not in shingle_cache:
-            shingle_cache[i] = word_bigram_set(texts.get(i, ""))
-        return shingle_cache[i]
-
-    sims = np.array([jaccard(sh(a), sh(b)) for a, b in
-                     zip(pairs["doc_a"], pairs["doc_b"])])
-    out = pairs.assign(jaccard=round_half_away(sims, 6))
-    return out[out["jaccard"] >= threshold].reset_index(drop=True)
+_EMPTY_PAIRS = {"doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "jaccard": pd.Series([], dtype=float)}
 
 
-def _texts_lookup(sf_dir: str) -> dict[int, str]:
-    df = _read_docs(sf_dir).to_pandas()
-    return dict(zip(df["doc_id"].to_numpy(), df["text"].fillna("").to_numpy()))
+def _distributed_verify_pairs(sf_dir: str, cand: pd.DataFrame, threshold: float,
+                              num_partitions: int = 16) -> pd.DataFrame:
+    """Exact word-bigram-Jaccard verification of candidate id pairs WITHOUT
+    materializing the documents table on the driver (the round-1
+    scale-killer was a full-table ``to_pandas`` dict here).
+
+    The candidate pair list (small — bounded by LSH bucket collisions) is
+    hash-assigned to verify partitions and broadcast ONCE (``ray.put``);
+    each document row is filtered cluster-side (inner merge against the
+    needed-id multimap) and ships only to the partitions whose pairs
+    reference it; Jaccard runs in hash-partitioned ``map_groups``.  Texts
+    never leave the cluster; the driver sees only id pairs and scores."""
+    if len(cand) == 0:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    cand = cand.reset_index(drop=True).copy()
+    pk = pd.util.hash_pandas_object(
+        cand["doc_a"].astype(np.int64) * np.int64(1_000_003)
+        ^ cand["doc_b"].astype(np.int64), index=False).to_numpy()
+    cand["vp"] = (pk % num_partitions).astype(np.int32)
+    need = pd.concat([
+        cand[["doc_a", "vp"]].rename(columns={"doc_a": "doc_id"}),
+        cand[["doc_b", "vp"]].rename(columns={"doc_b": "doc_id"}),
+    ]).drop_duplicates()
+    ref = ray.put((cand, need))
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        _, need_ = ray.get(ref)
+        out = df.merge(need_, on="doc_id", how="inner")
+        return out[["vp", "doc_id", "text"]]
+
+    def verify_block(g: pd.DataFrame) -> pd.DataFrame:
+        cand_, _ = ray.get(ref)
+        pairs = cand_[cand_["vp"] == int(g["vp"].iloc[0])]
+        sh = {int(d): word_bigram_set(t)
+              for d, t in zip(g["doc_id"], g["text"].fillna(""))}
+        sims = np.array([jaccard(sh[int(a)], sh[int(b)])
+                         for a, b in zip(pairs["doc_a"], pairs["doc_b"])]) \
+            if len(pairs) else np.zeros(0)
+        out = pd.DataFrame({"doc_a": pairs["doc_a"].to_numpy(np.int64),
+                            "doc_b": pairs["doc_b"].to_numpy(np.int64),
+                            "jaccard": round_half_away(sims, 6)})
+        return out[out["jaccard"] >= threshold]
+
+    verified = _read_docs(sf_dir) \
+        .map_batches(replicate, batch_format="pandas") \
+        .groupby("vp").map_groups(verify_block, batch_format="pandas") \
+        .to_pandas()
+    if not len(verified.columns):
+        return pd.DataFrame(_EMPTY_PAIRS)
+    return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
 # blocked n-gram Jaccard (SQL-oracle-able: deterministic blocking)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.2, num_partitions: int = 16):
+def _block_pair_sims(ids: np.ndarray, texts: list[str]) -> pd.DataFrame:
+    """All-pairs word-bigram Jaccard within one block — vectorized via an
+    inverted shingle index, NO per-pair Python loop:
+
+    - shingle vocabulary via one ``pd.factorize`` over the block;
+    - intersection sizes from per-shingle doc-pair co-occurrence: segments of
+      the (shingle → docs) index grouped BY SEGMENT SIZE so pair expansion is
+      one ``triu_indices`` broadcast per distinct size, then one ``np.unique``
+      over encoded pair keys;
+    - unions from the per-doc set sizes; empty-shingle docs pair at 1.0
+      (matching the oracle's empty-union convention).
+
+    ``ids`` must be ascending so emitted pairs are canonical (doc_a < doc_b).
+    Cost is O(sum over shingles of df²) — the co-occurrence mass itself —
+    instead of O(n² · |shingles|) row-at-a-time Python."""
+    n = len(ids)
+    shingle_lists = [sorted(word_bigram_set(t)) for t in texts]
+    sizes = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+    nonempty = [s for s in shingle_lists if s]
+    a_parts: list[np.ndarray] = []
+    if nonempty:
+        flat = np.concatenate([np.asarray(s, dtype=object) for s in nonempty])
+        codes, _ = pd.factorize(flat)
+        doc_idx = np.repeat(np.arange(n), sizes)
+        order = np.argsort(codes, kind="stable")
+        sc, dc = codes[order], doc_idx[order]
+        starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+        ends = np.concatenate([starts[1:], [len(sc)]])
+        seg_sizes = ends - starts
+        for s in np.unique(seg_sizes):
+            if s < 2:
+                continue
+            rows = np.flatnonzero(seg_sizes == s)
+            mat = np.sort(dc[starts[rows][:, None] + np.arange(s)[None, :]], axis=1)
+            ia, ib = np.triu_indices(int(s), k=1)
+            a_parts.append(mat[:, ia].ravel() * n + mat[:, ib].ravel())
+    inter_keys = np.concatenate(a_parts) if a_parts else np.zeros(0, dtype=np.int64)
+    uk, counts = np.unique(inter_keys, return_counts=True)
+    ai, bi = uk // n, uk % n
+    union = sizes[ai] + sizes[bi] - counts
+    sim = counts / union  # counts >= 1 ⇒ union >= 1
+    emp = np.flatnonzero(sizes == 0)
+    if len(emp) >= 2:
+        ia, ib = np.triu_indices(len(emp), k=1)
+        ai = np.concatenate([ai, emp[ia]])
+        bi = np.concatenate([bi, emp[ib]])
+        sim = np.concatenate([sim, np.ones(len(ia))])
+    return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi], "sim": sim})
+
+
+def _cap_block(g: pd.DataFrame, block, max_block_docs: int) -> pd.DataFrame:
+    """Bound an oversized block to the lowest doc_ids with a LOGGED drop —
+    never a silent truncation (runs inside the map_groups worker; the
+    warning lands in the worker log and Ray's driver log mirror)."""
+    if len(g) <= max_block_docs:
+        return g
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "ngram_jaccard_pairs: block %r has %d docs > cap %d; scoring only the "
+        "%d lowest doc_ids — pairs involving the dropped docs are NOT scored",
+        block, len(g), max_block_docs, max_block_docs)
+    return g.nsmallest(max_block_docs, "doc_id")
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.2, num_partitions: int = 16,
+                        max_block_docs: int = 50_000):
     """All pairs within a (lang, source) block with word-bigram Jaccard ≥ θ.
 
     The blocking key bounds the quadratic term: pairs are enumerated only
-    inside hash-partition-local blocks (at 100 TB the block is the unit of
-    skew control — a hot block would be salted or sampled)."""
+    inside hash-partition-local blocks.  A block larger than
+    ``max_block_docs`` is capped to the lowest doc_ids with a LOGGED drop
+    (never silent) — at 100 TB a dominant (en, web) block must be bounded
+    here, with MinHash-LSH as the declared scale path for full coverage."""
     ds = _read_docs(sf_dir, columns=("doc_id", "text", "lang", "source"))
 
     def block_key(df: pd.DataFrame) -> pd.DataFrame:
@@ -138,22 +237,19 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.2, num_partitions: int
     ds = add_partition_column(ds, key="block", num_partitions=num_partitions)
 
     def pairs_in_block(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, g in df.groupby("block", sort=False):
-            ids = g["doc_id"].to_numpy()
-            shingles = [word_bigram_set(t) for t in g["text"].fillna("")]
-            order = np.argsort(ids)
-            for ii in range(len(order)):
-                for jj in range(ii + 1, len(order)):
-                    a, b = order[ii], order[jj]
-                    sim = jaccard(shingles[a], shingles[b])
-                    if sim >= threshold:
-                        rows.append((int(ids[a]), int(ids[b]),
-                                     float(round_half_away(sim, 6))))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]) if rows else \
-            pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                          "doc_b": pd.Series([], dtype=np.int64),
-                          "jaccard": pd.Series([], dtype=float)})
+        frames = []
+        for block, g in df.groupby("block", sort=False):
+            g = _cap_block(g, block, max_block_docs)
+            g = g.sort_values("doc_id")
+            sims = _block_pair_sims(g["doc_id"].to_numpy(np.int64),
+                                    g["text"].fillna("").tolist())
+            keep = sims[sims["sim"] >= threshold]
+            frames.append(pd.DataFrame(
+                {"doc_a": keep["doc_a"].to_numpy(np.int64),
+                 "doc_b": keep["doc_b"].to_numpy(np.int64),
+                 "jaccard": round_half_away(keep["sim"].to_numpy(), 6)}))
+        return pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame(_EMPTY_PAIRS)
 
     return ds.groupby("part").map_groups(pairs_in_block, batch_format="pandas")
 
@@ -164,23 +260,38 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.2, num_partitions: int
 
 N_HASHES = 64
 N_BANDS = 16  # 4 rows per band
+MINHASH_P = 2147483647  # 2^31 - 1: products with 32-bit inputs fit int64,
+MINHASH_M = 1_000_003   # so the SAME math runs overflow-free in DuckDB SQL
+_MINHASH_FILLER = MINHASH_P  # empty-doc sentinel: > any real min (mins < P)
 
 
 def _minhash_params(seed: int = 42):
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, (1 << 61) - 1, size=N_HASHES, dtype=np.uint64)
-    b = rng.integers(0, (1 << 61) - 1, size=N_HASHES, dtype=np.uint64)
+    a = rng.integers(1, MINHASH_P, size=N_HASHES, dtype=np.int64)
+    b = rng.integers(0, MINHASH_P, size=N_HASHES, dtype=np.int64)
     return a, b
+
+
+def _md5_u32(strings: np.ndarray) -> np.ndarray:
+    """First 4 bytes of md5 as int64 (< 2^32) — reproducible in SQL as
+    ``('0x' || substring(md5(s), 1, 8))::BIGINT``."""
+    return np.fromiter(
+        (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in strings),
+        dtype=np.int64, count=len(strings))
 
 
 class MinHasher:
     """Actor-pool stage: text → 16 LSH band rows (band_id, band_hash, doc_id).
 
     Hash params generated once per actor from a fixed seed (deterministic
-    across the pool).  Fully vectorized across the batch: ALL shingles of the
-    batch are hashed in one cython call (``pd.util.hash_array``), the 64×M
-    permutation-min runs as one matrix op with a per-document segmented min
-    (``np.minimum.reduceat``) — no per-document Python beyond shingling."""
+    across the pool).  Vectorized across the batch: shingles are factorized
+    once so md5 runs only per UNIQUE shingle, the 64×M permutation-min runs
+    as one matrix op with a per-document segmented min
+    (``np.minimum.reduceat``) — no per-document Python beyond shingling.
+
+    All arithmetic is mod 2^31-1 on 32-bit md5-prefix hashes: every
+    intermediate fits int64 WITHOUT wraparound, so the DuckDB oracle can
+    replay the identical signature/banding math (queries.oracle_sql)."""
 
     def __init__(self, seed: int = 42) -> None:
         self.a, self.b = _minhash_params(seed)
@@ -190,23 +301,26 @@ class MinHasher:
         shingle_lists = [sorted(word_bigram_set(t)) for t in texts]
         counts = np.array([len(s) for s in shingle_lists], dtype=np.int64)
         n_docs = len(texts)
-        sigs = np.full((n_docs, N_HASHES), np.uint64((1 << 61) - 2), dtype=np.uint64)
+        sigs = np.full((n_docs, N_HASHES), _MINHASH_FILLER, dtype=np.int64)
         nonempty = np.flatnonzero(counts)
         if len(nonempty):
             flat = np.concatenate([np.asarray(shingle_lists[i], dtype=object)
                                    for i in nonempty])
-            x = pd.util.hash_array(flat).astype(np.uint64) % MERSENNE
-            v = (self.a[:, None] * x[None, :] + self.b[:, None]) % MERSENNE  # (64, M)
+            codes, uniq = pd.factorize(flat)
+            x = _md5_u32(np.asarray(uniq, dtype=object))[codes] % MINHASH_P
+            v = (self.a[:, None] * x[None, :] + self.b[:, None]) % MINHASH_P  # (64, M)
             seg = np.concatenate([[0], np.cumsum(counts[nonempty])[:-1]])
             mins = np.minimum.reduceat(v, seg, axis=1)  # (64, n_nonempty)
             sigs[nonempty] = mins.T
         rows_per_band = N_HASHES // N_BANDS
         band = sigs.reshape(n_docs, N_BANDS, rows_per_band)
-        bh = (band * np.uint64(1099511628211)).sum(axis=2, dtype=np.uint64)  # (n, 16)
+        bh = np.zeros((n_docs, N_BANDS), dtype=np.int64)
+        for r in range(rows_per_band):  # Horner fold, mod P each step
+            bh = (bh * MINHASH_M + band[:, :, r]) % MINHASH_P
         return pd.DataFrame({
             "doc_id": np.repeat(batch["doc_id"].to_numpy(np.int64), N_BANDS),
             "band_id": np.tile(np.arange(N_BANDS, dtype=np.int32), n_docs),
-            "band_hash": bh.reshape(-1).astype(np.int64),
+            "band_hash": bh.reshape(-1),
         })
 
 
@@ -238,7 +352,9 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, concurrency: int = 2)
     candidates = bands.groupby("part") \
         .map_groups(bucket_pairs, batch_format="pandas").to_pandas() \
         .drop_duplicates(["doc_a", "doc_b"])
-    return _verify_pairs(candidates, _texts_lookup(sf_dir), threshold)
+    # candidates is id pairs only (small, bounded by bucket collisions);
+    # verification is fully distributed — texts never reach the driver.
+    return _distributed_verify_pairs(sf_dir, candidates, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -215,6 +215,58 @@ BIGRAMS_SQL = (
 )
 
 
+def _minhash_sql(threshold: float = 0.5) -> str:
+    """DuckDB replay of the FULL MinHash-LSH pipeline: identical md5-prefix
+    shingle hashes, identical (a·x+b) mod 2^31-1 signatures (the constants
+    are embedded literally — they are data-independent functions of the
+    seed), identical Horner band hashes, the same bucket-candidate set and
+    the same exact-Jaccard verification.  Everything stays below 2^62 so
+    DuckDB's overflow-checked BIGINT arithmetic never trips."""
+    from .dedup import MINHASH_M, MINHASH_P, N_BANDS, N_HASHES, _minhash_params
+
+    a, b = _minhash_params()
+    rows_per_band = N_HASHES // N_BANDS
+    assert rows_per_band == 4  # the Horner fold below is written for 4 rows
+    params = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(N_HASHES))
+    p, m = MINHASH_P, MINHASH_M
+    return f"""
+        WITH toksed AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+        sh AS (SELECT doc_id, {BIGRAMS_SQL} AS grams FROM toksed),
+        gx AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+        hx AS (SELECT doc_id,
+                      ('0x' || substring(md5(gram), 1, 8))::BIGINT % {p} AS x
+               FROM gx),
+        par AS (SELECT * FROM (VALUES {params}) AS t(i, a, b)),
+        mins AS (SELECT doc_id, i, min((a * x + b) % {p}) AS mh
+                 FROM hx CROSS JOIN par GROUP BY doc_id, i),
+        bandrows AS (SELECT doc_id, i // {rows_per_band} AS band_id,
+                            list(mh ORDER BY i) AS l
+                     FROM mins GROUP BY doc_id, i // {rows_per_band}),
+        bh AS (SELECT doc_id, band_id,
+                      ((((l[1] * {m} + l[2]) % {p}) * {m} + l[3]) % {p}
+                       * {m} + l[4]) % {p} AS band_hash
+               FROM bandrows),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bh x JOIN bh y
+                   ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+                      AND x.doc_id < y.doc_id),
+        verified AS (
+            SELECT c.doc_a, c.doc_b,
+                   round(CASE WHEN len(list_distinct(list_concat(x.grams, y.grams))) = 0
+                              THEN 1.0
+                              ELSE CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+                                   / len(list_distinct(list_concat(x.grams, y.grams))) END,
+                         6) AS jaccard
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b),
+        empties AS (SELECT doc_id FROM sh WHERE len(grams) = 0)
+        SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
+        UNION
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, 1.0 AS jaccard
+        FROM empties x JOIN empties y ON x.doc_id < y.doc_id"""
+
+
 def oracle_sql() -> dict:
     t = f"WITH {TRANSCRIPTS_CTE}"
     return {
@@ -408,6 +460,7 @@ def oracle_sql() -> dict:
                                              ELSE 0.0 END), 6) AS quality_score
             FROM base""",
         "approx_distinct_users": kmv_oracle_sql(k=64),
+        "minhash_lsh_pairs": _minhash_sql(threshold=0.5),
         "fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "multimodal_features": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS checksum,

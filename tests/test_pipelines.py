@@ -231,3 +231,87 @@ def test_kmv_approx_distinct(sf_dir):
     est = approx_distinct(ray.data.from_arrow(t), "g", "v")
     rel = abs(est["approx_distinct"].iloc[0] - n) / n
     assert rel < 0.15, rel
+
+
+def test_block_pair_sims_matches_bruteforce():
+    """Vectorized inverted-index Jaccard == nested-loop reference on random
+    texts (incl. empty and duplicate docs)."""
+    from pdf_watermark_remover_ray.pipelines.dedup import (
+        _block_pair_sims,
+        jaccard,
+        word_bigram_set,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(30)]
+    texts = ["", ""]  # two empty docs -> jaccard 1.0 pair
+    for _ in range(38):
+        n = int(rng.integers(0, 25))
+        texts.append(" ".join(rng.choice(vocab, size=n)))
+    texts.append(texts[5])  # exact dup
+    ids = np.arange(len(texts), dtype=np.int64)
+    got = _block_pair_sims(ids, texts)
+    got_map = {(a, b): s for a, b, s in
+               zip(got["doc_a"], got["doc_b"], got["sim"])}
+    sh = [word_bigram_set(t) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            want = jaccard(sh[i], sh[j])
+            have = got_map.get((i, j), 0.0)
+            assert abs(want - have) < 1e-12, (i, j, want, have)
+
+
+def test_ngram_hot_block_bounded(tmp_path):
+    """One dominant block (1200 docs, shared shingles) completes fast via the
+    vectorized path; an over-cap block logs the drop and still emits pairs
+    for the kept ids."""
+    import logging
+    import time
+
+    from pdf_watermark_remover_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(1198)]
+    texts += [texts[0], texts[1]]  # planted exact dups at ids 1198/1199
+    d = tmp_path / "hot"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en"] * len(texts)),
+                  "source": pa.array(["web"] * len(texts))}),
+        str(d / "documents.parquet"))
+    t0 = time.monotonic()
+    out = ngram_jaccard_pairs(str(d), threshold=0.9, num_partitions=2).to_pandas()
+    assert time.monotonic() - t0 < 60
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1198) in pairs and (1, 1199) in pairs
+
+    # capped run: kept ids still scored end-to-end
+    out2 = ngram_jaccard_pairs(str(d), threshold=0.9, num_partitions=2,
+                               max_block_docs=100).to_pandas()
+    if len(out2.columns):  # all planted dups are above the cap -> empty result
+        assert set(out2["doc_a"]) <= set(range(100))
+        assert set(out2["doc_b"]) <= set(range(100))
+    else:
+        assert len(out2) == 0
+
+
+def test_cap_block_logs_drop(caplog):
+    """The over-cap drop is logged, never silent."""
+    import logging
+
+    from pdf_watermark_remover_ray.pipelines.dedup import _cap_block
+
+    g = pd.DataFrame({"doc_id": np.arange(50), "text": ["x"] * 50})
+    with caplog.at_level(logging.WARNING,
+                         logger="pdf_watermark_remover_ray.pipelines.dedup"):
+        capped = _cap_block(g, "en|web", 10)
+    assert len(capped) == 10 and list(capped["doc_id"]) == list(range(10))
+    assert any("NOT scored" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="pdf_watermark_remover_ray.pipelines.dedup"):
+        same = _cap_block(g, "en|web", 100)
+    assert len(same) == 50 and not caplog.records
