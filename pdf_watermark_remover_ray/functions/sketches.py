@@ -15,14 +15,13 @@ is bounded by batch cardinality, not row count.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data
 
+from .hashing import md5_u64
 from .rounding import round_half_away
 
 _K = 256
@@ -31,10 +30,7 @@ _U64_MAX = float(1 << 64)
 
 def _md5_u64(values: pd.Series) -> np.ndarray:
     """First 8 bytes of md5(str(v)) as uint64 (big-endian hex prefix)."""
-    return np.fromiter(
-        (int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:16], 16)
-         for v in values),
-        dtype=np.uint64, count=len(values))
+    return md5_u64([str(v) for v in values])
 
 
 def _kmv_estimate(hashes: np.ndarray, k: int = _K) -> float:

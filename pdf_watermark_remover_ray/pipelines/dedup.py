@@ -17,8 +17,6 @@ All pair outputs are canonical (id_a < id_b) and deduplicated.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -28,6 +26,7 @@ import ray.data
 
 from ..stages.partition import add_partition_column
 
+from ..functions.hashing import md5_u32, md5_u64
 from ..functions.rounding import round_half_away
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
@@ -272,12 +271,8 @@ def _minhash_params(seed: int = 42):
     return a, b
 
 
-def _md5_u32(strings: np.ndarray) -> np.ndarray:
-    """First 4 bytes of md5 as int64 (< 2^32) — reproducible in SQL as
-    ``('0x' || substring(md5(s), 1, 8))::BIGINT``."""
-    return np.fromiter(
-        (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in strings),
-        dtype=np.int64, count=len(strings))
+_md5_u32 = md5_u32  # SQL-reproducible hashes (functions/hashing.py)
+_md5_u64 = md5_u64
 
 
 class MinHasher:
@@ -362,9 +357,11 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, concurrency: int = 2)
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit simhash over word tokens — vectorized across the batch: one
-    ``pd.util.hash_array`` over all tokens, per-document bit votes via
-    ``np.add.reduceat`` on the token segments."""
+    """64-bit simhash over word tokens — vectorized across the batch: tokens
+    are factorized once so md5 runs only per UNIQUE token, per-document bit
+    votes via ``np.add.reduceat`` on the token segments.  The md5-prefix
+    token hash is SQL-reproducible, so the DuckDB oracle replays the exact
+    signature/banding/Hamming pipeline (queries.oracle_sql)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch["text"].fillna("")
@@ -376,7 +373,8 @@ class SimHasher:
         if len(nonempty):
             flat = np.concatenate([np.asarray(tok_lists[i], dtype=object)
                                    for i in nonempty])
-            hs = pd.util.hash_array(flat).astype(np.uint64)
+            codes, uniq = pd.factorize(flat)
+            hs = _md5_u64(np.asarray(uniq, dtype=object))[codes]
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1) \
                 .astype(np.int64)
             pm = 2 * bits - 1  # (M, 64) ±1 votes

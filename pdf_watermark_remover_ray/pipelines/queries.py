@@ -267,6 +267,74 @@ def _minhash_sql(threshold: float = 0.5) -> str:
         FROM empties x JOIN empties y ON x.doc_id < y.doc_id"""
 
 
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB replay of the SimHash pipeline: md5-prefix 64-bit token hashes,
+    ±1 bit votes over ALL token occurrences, 4×16-bit band blocking, Hamming
+    via ``bit_count(xor(...))`` — bit-identical to pipelines.dedup.SimHasher
+    (UBIGINT arithmetic end to end; the signature never reaches the output,
+    so no signed overflow at the boundary)."""
+    return f"""
+        WITH tok AS (SELECT doc_id, unnest({TOKENS_SQL}) AS t FROM documents),
+        th AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 16))::UBIGINT AS h
+               FROM tok),
+        bits AS (SELECT doc_id, j,
+                        CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS v
+                 FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)),
+        votes AS (SELECT doc_id, j, sum(v) AS s FROM bits GROUP BY doc_id, j),
+        sig0 AS (SELECT doc_id,
+                        CAST(bit_or(CASE WHEN s > 0 THEN 1::UBIGINT << j
+                                         ELSE 0::UBIGINT END) AS UBIGINT) AS sh
+                 FROM votes GROUP BY doc_id),
+        sig AS (SELECT d.doc_id, coalesce(s.sh, 0::UBIGINT) AS sh
+                FROM documents d LEFT JOIN sig0 s ON s.doc_id = d.doc_id),
+        bands AS (SELECT doc_id, sh, band_id,
+                         (sh >> (band_id * 16)) & 65535 AS band_key
+                  FROM sig CROSS JOIN
+                       (SELECT unnest(generate_series(0, 3)) AS band_id)),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                        x.sh AS sa, y.sh AS sb
+                 FROM bands x JOIN bands y
+                   ON x.band_id = y.band_id AND x.band_key = y.band_key
+                      AND x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
+
+
+def _ann_lsh_sql(n_queries: int = 10, k: int = 5, n_planes: int = 6,
+                 dim: int = 64) -> str:
+    """DuckDB replay of hyperplane-LSH ANN: the random hyperplanes are
+    data-independent functions of the seed, embedded as DOUBLE[] literals
+    (full-precision repr round-trips to identical doubles); bucket keys are
+    sign bits of the embedding·plane dot products, exactly as
+    similarity.HyperplaneLSH computes them.  dim=64 matches the testdata
+    embeddings schema the driver runs this oracle against."""
+    from .similarity import HyperplaneLSH
+
+    h = HyperplaneLSH(dim=dim, n_planes=n_planes).h
+    rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(v)) for v in h[:, j])}]::DOUBLE[])"
+        for j in range(n_planes))
+    return f"""
+        WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings),
+        planes AS (SELECT * FROM (VALUES {rows}) AS t(j, hp)),
+        keys AS (SELECT vec_id,
+                        sum(CASE WHEN list_dot_product(emb, hp) > 0
+                                 THEN (1 << j) ELSE 0 END) AS bucket
+                 FROM ed CROSS JOIN planes GROUP BY vec_id),
+        q AS (SELECT e.vec_id AS query_id, e.emb AS qe, kk.bucket AS qb
+              FROM ed e JOIN keys kk ON kk.vec_id = e.vec_id
+              ORDER BY e.vec_id LIMIT {n_queries})
+        SELECT q.query_id, e.vec_id,
+               round(list_cosine_similarity(q.qe, e.emb), 4) AS cos_sim
+        FROM q JOIN keys kk ON kk.bucket = q.qb
+               JOIN ed e ON e.vec_id = kk.vec_id
+        WHERE e.vec_id <> q.query_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY list_cosine_similarity(q.qe, e.emb) DESC, e.vec_id ASC) <= {k}"""
+
+
 def oracle_sql() -> dict:
     t = f"WITH {TRANSCRIPTS_CTE}"
     return {
@@ -461,7 +529,26 @@ def oracle_sql() -> dict:
             FROM base""",
         "approx_distinct_users": kmv_oracle_sql(k=64),
         "minhash_lsh_pairs": _minhash_sql(threshold=0.5),
+        "simhash_pairs": _simhash_sql(max_hamming=3),
+        "ann_topk_lsh": _ann_lsh_sql(),
         "fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        # winnow64: min over char-8-gram md5-prefix hashes, signed-int64 view
+        # of the uint64 min (HUGEINT bridges the UBIGINT->BIGINT reinterpret)
+        "winnow_fingerprints": """
+            WITH w AS (SELECT doc_id,
+                              unnest(generate_series(1, greatest(length(coalesce(text, '')) - 7, 0))) AS i,
+                              coalesce(text, '') AS t
+                       FROM documents),
+            h AS (SELECT doc_id,
+                         ('0x' || substring(md5(substring(t, i, 8)), 1, 16))::UBIGINT AS hw
+                  FROM w),
+            m AS (SELECT doc_id, min(hw) AS mn FROM h GROUP BY doc_id)
+            SELECT d.doc_id, md5(coalesce(d.text, '')) AS fingerprint,
+                   CAST(coalesce(
+                       CASE WHEN m.mn >= 9223372036854775808::UBIGINT
+                            THEN m.mn::HUGEINT - 18446744073709551616::HUGEINT
+                            ELSE m.mn::HUGEINT END, 0) AS BIGINT) AS winnow64
+            FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id""",
         "multimodal_features": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS checksum,
                    octet_length(encode(text)) % 64 + 1 AS width,

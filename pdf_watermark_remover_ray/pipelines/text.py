@@ -99,33 +99,39 @@ def text_stats(sf_dir: str, concurrency: int = 2):
 
 
 class Fingerprinter:
-    """md5 content fingerprint + 64-bit winnowing (rolling-hash) sketch."""
+    """md5 content fingerprint + 64-bit k-gram min-hash (winnowing-style)
+    sketch: min over all character-``window``-gram md5-prefix hashes.
+
+    The k-gram hash is md5-based so the DuckDB oracle replays the sketch
+    exactly (``('0x' || substring(md5(substring(text, i, 8)), 1, 16))``);
+    k-grams are factorized per batch so md5 runs once per UNIQUE gram, and
+    the per-document min is one segmented ``np.minimum.reduceat``."""
 
     def __init__(self, window: int = 8) -> None:
         self.window = window
 
-    def _winnow(self, text: str) -> int:
-        """Min over character-8-gram polynomial rolling hashes (winnowing-style
-        document sketch).  Fully vectorized: uint64 wraparound arithmetic on a
-        sliding window view — no per-character Python loop."""
-        if not text or len(text) < self.window:
-            return 0
-        arr = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        k = self.window
-        if len(arr) < k:
-            return 0
-        powers = np.power(np.uint64(1099511628211), np.arange(k - 1, -1, -1, dtype=np.uint64))
-        windows = np.lib.stride_tricks.sliding_window_view(arr, k)
-        h = (windows * powers).sum(axis=1, dtype=np.uint64)
-        return int(h.min().astype(np.int64))
-
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import md5_u64
+
         text = batch["text"].fillna("")
         md5 = text.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
-        win = text.map(self._winnow)
+        w = self.window
+        grams: list[str] = []
+        counts = np.zeros(len(text), dtype=np.int64)
+        for pos, s in enumerate(text):
+            n = max(len(s) - w + 1, 0)
+            counts[pos] = n
+            grams.extend(s[i:i + w] for i in range(n))
+        out = np.zeros(len(text), dtype=np.uint64)
+        nz = np.flatnonzero(counts)
+        if len(nz):
+            codes, uniq = pd.factorize(np.asarray(grams, dtype=object))
+            hv = md5_u64(np.asarray(uniq, dtype=object))[codes]
+            seg = np.concatenate([[0], np.cumsum(counts[nz])[:-1]])
+            out[nz] = np.minimum.reduceat(hv, seg)
         return pd.DataFrame(
             {"doc_id": batch["doc_id"].to_numpy(), "fingerprint": md5.to_numpy(),
-             "winnow64": win.to_numpy(np.int64)}
+             "winnow64": out.view(np.int64)}
         )
 
 
