@@ -109,6 +109,10 @@ class StreamConfig:
     # at-least-once ingest + keyed-table dedup = exactly-once claim under
     # REAL Ray task retries.
     fault_inject_dir: str | None = None
+    # Tests only: basename of one input file whose routing fails AFTER its
+    # first batch was staged+ingested (every attempt) — exercises the
+    # mid-file retract path that keeps per-file failures all-or-nothing.
+    fault_midfile_file: str | None = None
     # Skew handling: hot conversations get RESERVED partitions (ids P..P+H-1,
     # one dedicated state actor each) instead of salting — salting a stateful
     # key would split its sessions/join state across actors (SURVEY.md §7.4

@@ -108,6 +108,21 @@ class StatePartition:
         self.buffer.setdefault(epoch, {})[source_key] = table
         return table.num_rows
 
+    def retract(self, epoch: int, source_keys: list[str]) -> int:
+        """Withdraw previously-ingested units of a file that failed MID-read:
+        the route task buffers nothing locally (bounded memory), so
+        all-or-nothing per-file semantics are restored by deleting the failed
+        file's keyed tables from the epoch buffer before close folds them
+        (reference: a failed file contributes nothing,
+        watermark_processor.py:197-202)."""
+        bucket = self.buffer.get(epoch)
+        n = 0
+        if bucket:
+            for k in source_keys:
+                if bucket.pop(k, None) is not None:
+                    n += 1
+        return n
+
     # -- epoch close -------------------------------------------------------
 
     _EMPTY_BUF = pa.schema(
@@ -468,11 +483,20 @@ def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig,
                 fh.write("x")
             raise RuntimeError("injected transient route failure")
     for i, f in enumerate(files):
-        # Per-file failure isolation: a corrupt/unreadable file is recorded
-        # and the stream continues — the reference's continue-on-failure batch
-        # semantics with its end-of-run failed_files summary
-        # (watermark_processor.py:243-262).
+        # Per-file failure isolation with ALL-OR-NOTHING semantics: a file
+        # that fails at ANY point — even mid-read after some batches were
+        # staged and ingested — contributes nothing to the epoch.  The task
+        # buffers nothing (memory stays O(route_batch_rows)); instead it
+        # tracks the file's staged paths / ingest keys / watermark
+        # contribution and rolls all three back on failure before recording
+        # the file in failed_files (reference continue-on-failure batch
+        # semantics, watermark_processor.py:197-202,243-262).
+        staged: list[str] = []
+        ingested: list[str] = []
+        fmx, frows, flate = -INF_US, 0, 0
         try:
+            inject = (cfg.fault_midfile_file is not None
+                      and os.path.basename(f) == cfg.fault_midfile_file)
             pf = pq.ParquetFile(f)
             batches = pf.iter_batches(batch_size=cfg.route_batch_rows,
                                       columns=columns)
@@ -484,19 +508,33 @@ def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig,
                                    cfg.num_partitions, cfg.hot_keys)
                 ts = t["ts_us"].to_numpy(zero_copy_only=False)
                 if len(ts):
-                    mx = max(mx, int(ts.max()))
+                    fmx = max(fmx, int(ts.max()))
                 late_mask = pa.array(ts < wm_prev_us)
                 late_tbl = t.filter(late_mask)
                 live = t.filter(pc.invert(late_mask))
                 file_idx = (file_idx_base + i) * 1000 + b
+                staged.append(sink.staging_path(epoch, "turns", file_idx))
+                staged.append(sink.staging_path(epoch, "late", file_idx))
                 _emit_turns_file(sink, live, epoch, file_idx)
                 _emit_late_file(sink, late_tbl, epoch, file_idx)
                 _route_table(live, actors, epoch, source_key=f"{f}#{b}")
-                rows += len(t)
-                late_n += len(late_tbl)
+                ingested.append(f"{f}#{b}")
+                frows += len(t)
+                flate += len(late_tbl)
+                if inject:
+                    raise RuntimeError("injected mid-file route failure")
         except Exception:
+            for p in staged:
+                if os.path.exists(p):
+                    os.remove(p)
+            if ingested:
+                ray.get([a.retract.options(concurrency_group="ingest")
+                         .remote(epoch, ingested) for a in actors])
             failed.append(f)
             continue
+        rows += frows
+        late_n += flate
+        mx = max(mx, fmx)
     return rows, late_n, mx, failed
 
 

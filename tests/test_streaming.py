@@ -280,3 +280,43 @@ def test_engine_preflight_validation(fixture, tmp_path):
         StreamingEngine(paths, "", CFG)
     with pytest.raises(ValueError, match="epoch_files"):
         StreamingEngine(paths, str(tmp_path / "o"), CFG, epoch_files=0)
+
+
+def test_midfile_failure_all_or_nothing(tmp_path, fixture):
+    """A file failing MID-read (after batches were staged and ingested) must
+    contribute NOTHING — outputs equal a run where that file is empty."""
+    import shutil
+    from dataclasses import replace
+
+    table, paths, golden = fixture
+    victim = paths[3]
+    cfg = replace(CFG, fault_midfile_file=victim.split("/")[-1],
+                  route_batch_rows=20)
+    outA = str(tmp_path / "outA")
+    resA = StreamingEngine(paths, outA, cfg, epoch_files=EPOCH_FILES).run()
+    assert resA["failed_files"] == [victim]
+    assert resA["all_succeeded"] is False
+
+    d = tmp_path / "in_empty"
+    d.mkdir()
+    pathsB = []
+    for p in paths:
+        q = d / p.split("/")[-1]
+        if p == victim:
+            pq.write_table(pq.read_table(p).schema.empty_table(), str(q))
+        else:
+            shutil.copy(p, q)
+        pathsB.append(str(q))
+    outB = str(tmp_path / "outB")
+    StreamingEngine(pathsB, outB, CFG, epoch_files=EPOCH_FILES).run()
+
+    checks = [
+        ("turns", ["conv_id", "turn_idx", "role", "text", "tool", "ts", "modified"]),
+        ("late", ["conv_id", "turn_idx", "ts_us", "epoch"]),
+        ("sessions", ["conv_id", "session_start_us", "session_end_us", "n_turns"]),
+        ("windows", ["conv_id", "window_start_us", "n_turns"]),
+        ("sliding", ["conv_id", "window_start_us", "n_turns"]),
+        ("matches", ["conv_id", "user_turn_idx", "tool_turn_idx", "tool", "dt_us"]),
+    ]
+    for stream, cols in checks:
+        assert_stream_equal(read_stream(outA, stream), read_stream(outB, stream), cols)
