@@ -103,6 +103,11 @@ class StreamConfig:
     # many rows, so task memory is bounded by the batch — not the file — size
     # (a 100 TB run has multi-GB files).  ~1M transcript rows ≈ 100-200 MB.
     route_batch_rows: int = 1_048_576
+    # Full state snapshot every N epochs; in between, per-epoch DELTA
+    # snapshots hold only the epoch's appended join-buffer rows (restore =
+    # last full + deltas + watermark eviction thresholds), so checkpoint
+    # I/O scales with the epoch's ingest, not total open state.
+    snapshot_full_every: int = 8
     scrub: ScrubConfig = field(default_factory=ScrubConfig)
     # Fault injection (tests only): when set, each routing unit fails once
     # with a RuntimeError before succeeding on retry — proves the
@@ -134,6 +139,7 @@ class StreamConfig:
             "sliding_slide_us must be > 0": self.sliding_slide_us > 0,
             "epoch_rows must be > 0": self.epoch_rows > 0,
             "route_batch_rows must be > 0": self.route_batch_rows > 0,
+            "snapshot_full_every must be >= 1": self.snapshot_full_every >= 1,
         }
         bad = [msg for msg, ok in checks.items() if not ok]
         if bad:

@@ -87,11 +87,13 @@ class StatePartition:
         # dict keyed by deterministic source key for retry idempotence.
         self.buffer: dict[int, dict[str, pa.Table]] = {}
         if restore_epoch >= 0:
-            self.store = SortedStateStore.restore(
-                self.sink.state_path(restore_epoch, partition_id)
+            self.store = SortedStateStore.restore_chain(
+                lambda e: self.sink.state_path(e, partition_id),
+                restore_epoch, cfg.join_gap_us,
             )
         else:
             self.store = SortedStateStore()
+        self._delta: dict[str, pd.DataFrame] = {}
 
     def ping(self) -> int:
         """Cheap readiness probe — the engine warms the pool right after
@@ -140,6 +142,7 @@ class StatePartition:
         tables = [t for _, t in sorted(bucket.items())]
         tbl = pa.concat_tables(tables) if tables else self._EMPTY_BUF.empty_table()
         live = tbl.select(_INGEST_COLS).to_pandas()
+        self._delta = {}  # per-epoch join-buffer appends (delta snapshot)
         self._fold_sessions(live)
         self._fold_windows(live)
         self._fold_sliding(live)
@@ -153,7 +156,10 @@ class StatePartition:
             "matches": self._emit_matches(wm_after_us, epoch),
         }
         t_emit = time.monotonic()
-        self.store.snapshot(self.sink.staging_state_path(epoch, self.pid))
+        mode = "full" if epoch % self.cfg.snapshot_full_every == 0 else "delta"
+        self.store.snapshot(self.sink.staging_state_path(epoch, self.pid),
+                            mode=mode, delta=self._delta,
+                            wm_after_us=wm_after_us)
         return {
             "partition": self.pid,
             "rows": int(len(tbl)),
@@ -285,6 +291,7 @@ class StatePartition:
             nu = pd.DataFrame({"conv_id": u["conv_id"].to_numpy(),
                                "ts_us": u["ts_us"].to_numpy(np.int64),
                                "turn_idx": u["turn_idx"].to_numpy(np.int32)})
+            self._delta["users"] = nu
             self.store.put("users", pd.concat([self.store.get("users"), nu],
                                               ignore_index=True))
         if len(t):
@@ -292,6 +299,7 @@ class StatePartition:
                                "ts_us": t["ts_us"].to_numpy(np.int64),
                                "turn_idx": t["turn_idx"].to_numpy(np.int32),
                                "tool": t["tool"].to_numpy()})
+            self._delta["tools"] = nt
             self.store.put("tools", pd.concat([self.store.get("tools"), nt],
                                               ignore_index=True))
 

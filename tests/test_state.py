@@ -1,0 +1,85 @@
+"""Incremental (delta) state snapshots: exact chain restore + size scaling."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from pdf_watermark_remover_ray.state.store import SortedStateStore
+
+GAP = 100
+
+
+def _users(conv, ts):
+    return pd.DataFrame({"conv_id": conv, "ts_us": np.array(ts, np.int64),
+                         "turn_idx": np.arange(len(ts), dtype=np.int32)})
+
+
+def _tools(conv, ts):
+    return pd.DataFrame({"conv_id": conv, "ts_us": np.array(ts, np.int64),
+                         "turn_idx": np.arange(len(ts), dtype=np.int32),
+                         "tool": ["t"] * len(ts)})
+
+
+def test_state_delta_chain_roundtrip(tmp_path):
+    """A store evolved over 6 epochs (appends + watermark evictions),
+    checkpointed as full@0 then deltas, restores to EXACTLY the live state
+    at every epoch — and delta files stay O(epoch appends), not O(state)."""
+    store = SortedStateStore()
+    wm = 0
+    full_every = 100  # only epoch 0 is full -> longest possible chain
+
+    def path(e: int) -> str:
+        return str(tmp_path / f"epoch={e}" / "part-00000.parquet")
+
+    live_snapshots = {}
+    for e in range(6):
+        # fold: append this epoch's join-buffer rows (a growing conversation)
+        n = 50 * (e + 1)
+        ts = np.arange(n) + e * 10_000
+        du = _users([f"c{e % 2}"] * n, ts)
+        dt = _tools([f"c{e % 2}"] * n, ts + 1)
+        store.put("users", pd.concat([store.get("users"), du], ignore_index=True))
+        store.put("tools", pd.concat([store.get("tools"), dt], ignore_index=True))
+        store.put("windows", pd.DataFrame(
+            {"conv_id": [f"c{e}"], "window_start_us": np.array([e], np.int64),
+             "n": np.array([e + 1], np.int64)}))
+        # emit: watermark-threshold evictions (the only eviction rule)
+        wm = 5_000 * e
+        u = store.get("users")
+        store.put("users", u[u["ts_us"] >= wm - GAP])
+        t = store.get("tools")
+        store.put("tools", t[t["ts_us"] >= wm])
+        mode = "full" if e % full_every == 0 else "delta"
+        store.snapshot(path(e), mode=mode,
+                       delta={"users": du, "tools": dt}, wm_after_us=wm)
+        live_snapshots[e] = {k: store.get(k).copy()
+                             for k in ("users", "tools", "windows", "sessions",
+                                       "sliding", "meta")}
+
+    for e in range(6):
+        wm_e = 5_000 * e
+        got = SortedStateStore.restore_chain(path, e, GAP)
+        for kind, want in live_snapshots[e].items():
+            g = got.get(kind).reset_index(drop=True)
+            w = want.reset_index(drop=True)
+            pd.testing.assert_frame_equal(g, w, check_dtype=False), (e, kind)
+        del wm_e
+
+    # size claim: a late delta file carries only its epoch's appends, far
+    # below the accumulated state a full snapshot would rewrite
+    frames5, mode5, _ = SortedStateStore._parse_snapshot(path(5))
+    assert mode5 == "delta"
+    assert len(frames5["users"]) == 300  # epoch 5 appends only
+    assert len(live_snapshots[5]["users"]) > 600  # accumulated live state
+    full_path = str(tmp_path / "full5.parquet")
+    store.snapshot(full_path, mode="full")
+    assert os.path.getsize(path(5)) < os.path.getsize(full_path)
+
+
+def test_restore_chain_missing_head_is_empty(tmp_path):
+    got = SortedStateStore.restore_chain(
+        lambda e: str(tmp_path / f"missing-{e}.parquet"), 3, GAP)
+    assert got.total_rows() == 0

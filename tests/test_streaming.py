@@ -320,3 +320,21 @@ def test_midfile_failure_all_or_nothing(tmp_path, fixture):
     ]
     for stream, cols in checks:
         assert_stream_equal(read_stream(outA, stream), read_stream(outB, stream), cols)
+
+
+def test_resume_across_delta_chain(fixture, tmp_path):
+    """Kill/resume with delta snapshots crossing a full boundary
+    (snapshot_full_every=3 over 5 epochs: full@0, delta@1-2, full@3,
+    delta@4) still reproduces the golden outputs exactly."""
+    from dataclasses import replace
+
+    table, paths, golden = fixture
+    cfg = replace(CFG, snapshot_full_every=3)
+    out = str(tmp_path / "out_chain")
+    res = StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES).run(
+        kill_after_epoch=2)
+    assert res["killed_after"] == 2
+    StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES).run(
+        kill_after_epoch=3)
+    StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES).run()
+    _check_outputs(out, golden)
