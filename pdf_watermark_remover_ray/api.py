@@ -22,9 +22,27 @@ from .config import ScrubConfig
 from .functions.scrub import scrub_dataset
 
 
+def resolve_output_path(input_path: str, output_path: str | None) -> str:
+    """Destination-defaulting rules (reference S8 tail,
+    ``ui/app_ui.py:309-321``: derive the output when the field is empty or a
+    directory):
+
+    - empty/None → alongside the input as ``<stem>_scrubbed.parquet``;
+    - an existing directory (or trailing separator) → input's basename
+      inside that directory;
+    - anything else → taken verbatim as the output file path.
+    """
+    if not output_path:
+        stem, ext = os.path.splitext(input_path)
+        return f"{stem}_scrubbed{ext or '.parquet'}"
+    if output_path.endswith(os.sep) or os.path.isdir(output_path):
+        return os.path.join(output_path, os.path.basename(input_path))
+    return output_path
+
+
 def scrub_file(
     input_path: str,
-    output_path: str,
+    output_path: str | None,
     name_pattern: str,
     footer_pattern: str = "DOCUMENT NON APPLICABLE",
     text_col: str = "text",
@@ -39,6 +57,7 @@ def scrub_file(
     failure isolation is the caller's contract, :197-202).
     """
     try:
+        output_path = resolve_output_path(input_path, output_path)
         ds = ray.data.read_parquet(input_path)
         cfg = ScrubConfig(name_pattern=name_pattern, footer_pattern=footer_pattern,
                           use_footer=bool(footer_pattern))

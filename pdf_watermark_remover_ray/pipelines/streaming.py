@@ -386,6 +386,31 @@ class StatePartition:
         return n
 
 
+@ray.remote(num_cpus=0)
+class ProgressTracker:
+    """Advisory LIVE progress for the running epoch — the engine's answer to
+    the reference's intra-file progress counter updated per page
+    (``watermark_processor.py:162-163``), complementing the post-hoc
+    ``metrics_df`` built from committed markers.
+
+    Route tasks send fire-and-forget per-batch updates, so counts are
+    at-least-once under task retries and may briefly trail the actual work:
+    purely observational — the committed epoch markers stay the single
+    source of truth for exactly-once accounting."""
+
+    def __init__(self) -> None:
+        self.epochs: dict[int, dict[str, int]] = {}
+
+    def add(self, epoch: int, rows: int, batches: int = 1, files: int = 0) -> None:
+        c = self.epochs.setdefault(epoch, {"rows": 0, "batches": 0, "files": 0})
+        c["rows"] += rows
+        c["batches"] += batches
+        c["files"] += files
+
+    def snapshot(self) -> dict:
+        return {e: dict(c) for e, c in self.epochs.items()}
+
+
 def _prepare_table(t: pa.Table, scrub_fn, num_partitions: int,
                    hot_keys: tuple[str, ...] = ()) -> pa.Table:
     """scrub + ts_us + partition columns (shared by both routing paths)."""
@@ -454,7 +479,8 @@ def _emit_late_file(sink: EpochSink, late: pa.Table, epoch: int, file_idx: int) 
 
 
 def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig,
-                     out_dir: str, wm_prev_us: int, file_idx_base: int):
+                     out_dir: str, wm_prev_us: int, file_idx_base: int,
+                     tracker=None):
     """One routing task: read → scrub → late-split → stage turn/late output →
     ingest narrow fold columns into the state actors.
 
@@ -529,8 +555,12 @@ def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig,
                 ingested.append(f"{f}#{b}")
                 frows += len(t)
                 flate += len(late_tbl)
+                if tracker is not None:  # fire-and-forget live progress
+                    tracker.add.remote(epoch, len(t))
                 if inject:
                     raise RuntimeError("injected mid-file route failure")
+            if tracker is not None:
+                tracker.add.remote(epoch, 0, 0, 1)  # whole file done
         except Exception:
             for p in staged:
                 if os.path.exists(p):
@@ -578,6 +608,8 @@ class StreamingEngine:
         self.sink = EpochSink(out_dir)
         self.epochs = [self.paths[i:i + epoch_files]
                        for i in range(0, len(self.paths), epoch_files)]
+        self._tracker = None
+        self._last_progress: dict = {}
         # retry transient exceptions: combined with keyed idempotent ingest +
         # deterministic staged file names, a retried route task is exactly-once
         self._route_task = ray.remote(num_cpus=1, max_retries=3,
@@ -600,6 +632,18 @@ class StreamingEngine:
                   for p in range(self.cfg.total_partitions)]
         ray.get([a.ping.remote() for a in actors])  # warm before any routing
         return actors
+
+    def progress(self) -> dict:
+        """LIVE per-epoch progress {epoch: {rows, batches, files}} while a
+        run is in flight (advisory, at-least-once under retries); after the
+        run, the final snapshot.  Committed markers (``metrics_df``) remain
+        the exact source of truth."""
+        if self._tracker is not None:
+            try:
+                return ray.get(self._tracker.snapshot.remote(), timeout=10)
+            except Exception:
+                return dict(self._last_progress)
+        return dict(self._last_progress)
 
     def metrics_df(self) -> pd.DataFrame:
         """Per-(epoch, partition) observability from the committed markers:
@@ -638,6 +682,7 @@ class StreamingEngine:
         if last >= 0:
             max_ts = int(self.sink.read_marker(last)["max_ts_us"])
         actors = self._make_actors(restore_epoch=last)
+        self._tracker = ProgressTracker.remote()
         summaries = []
         # Pipelined epoch loop: the close+commit of epoch e overlaps with the
         # routing of epoch e+1 (per-epoch ingest buffers keep them disjoint;
@@ -670,7 +715,8 @@ class StreamingEngine:
                 if e < final_epoch:
                     refs = [
                         self._route_task.remote([f], actors, e, self.cfg,
-                                                self.out_dir, wm_prev, i)
+                                                self.out_dir, wm_prev, i,
+                                                self._tracker)
                         for i, f in enumerate(self.epochs[e])
                     ]
                     for r, ln, m, failed in ray.get(refs):
@@ -702,6 +748,21 @@ class StreamingEngine:
                     return {"killed_after": e, "epochs": summaries}
             drain()
         finally:
+            try:
+                # fire-and-forget adds may still be in flight after the route
+                # tasks returned: poll until the snapshot stabilizes (advisory)
+                prev: dict | None = None
+                for _ in range(100):
+                    snap = ray.get(self._tracker.snapshot.remote(), timeout=10)
+                    if snap == prev:
+                        break
+                    prev = snap
+                    time.sleep(0.05)
+                self._last_progress = prev or {}
+            except Exception:
+                pass
+            ray.kill(self._tracker)
+            self._tracker = None
             for a in actors:
                 ray.kill(a)
         all_failed = [f for m in summaries for f in m.get("failed_files", [])]

@@ -338,3 +338,41 @@ def test_resume_across_delta_chain(fixture, tmp_path):
         kill_after_epoch=3)
     StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES).run()
     _check_outputs(out, golden)
+
+
+def test_live_progress_and_destination_defaulting(fixture, tmp_path):
+    """ST3 tail: the live progress snapshot survives the run and accounts
+    every routed row; S8 tail: scrub_file derives its destination."""
+    import os
+    import time
+
+    from pdf_watermark_remover_ray.api import resolve_output_path, scrub_file
+
+    table, paths, golden = fixture
+    out = str(tmp_path / "out_prog")
+    eng = StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES)
+    eng.run()
+    deadline = time.monotonic() + 10
+    total = -1
+    while time.monotonic() < deadline:
+        prog = eng.progress()
+        total = sum(c["rows"] for c in prog.values())
+        if total == len(table):
+            break
+        time.sleep(0.2)
+    assert total == len(table)
+    assert sum(c["files"] for c in prog.values()) == NUM_FILES
+
+    # destination defaulting (reference ui/app_ui.py:309-321 semantics)
+    assert resolve_output_path("/a/b/in.parquet", None) == "/a/b/in_scrubbed.parquet"
+    assert resolve_output_path("/a/b/in.parquet", "") == "/a/b/in_scrubbed.parquet"
+    d = tmp_path / "dest"
+    d.mkdir()
+    assert resolve_output_path("/a/b/in.parquet", str(d)) == str(d / "in.parquet")
+    assert resolve_output_path("/a/b/in.parquet", "/x/y.parquet") == "/x/y.parquet"
+    assert scrub_file(paths[0], str(d), "hello") is True
+    assert os.path.exists(d / os.path.basename(paths[0]))
+    assert scrub_file(paths[0], None, "hello") is True
+    derived = paths[0].replace(".parquet", "_scrubbed.parquet")
+    assert os.path.exists(derived)
+    os.remove(derived)
