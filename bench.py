@@ -95,8 +95,12 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
 
     import ray
 
+    # log_to_driver=False: keeps the bench JSON line clean of Ray's worker
+    # log mirror (notably the cosmetic "Failed to hash the schemas ...
+    # unhashable type: 'dict'" warning from ray.data's PandasBlockSchema
+    # dedup); task/actor errors still propagate as exceptions.
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", log_to_driver=False)
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -158,6 +162,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
 
     # batch-mode operators over the driver testdata at sf0.1
     timed("q1_pricing_summary", lambda: relational.q1_pricing_summary(sf_dir))
+    timed("q3_top_orders", lambda: relational.q3_top_orders(sf_dir))
     timed("session_windows", lambda: session_windows(
         derive_transcripts(sf_dir, num_partitions=32), 1_800_000_000,
         num_partitions=32).materialize())

@@ -302,8 +302,12 @@ class MinHasher:
             flat = np.concatenate([np.asarray(shingle_lists[i], dtype=object)
                                    for i in nonempty])
             codes, uniq = pd.factorize(flat)
-            x = _md5_u32(np.asarray(uniq, dtype=object))[codes] % MINHASH_P
-            v = (self.a[:, None] * x[None, :] + self.b[:, None]) % MINHASH_P  # (64, M)
+            xu = _md5_u32(np.asarray(uniq, dtype=object)) % MINHASH_P
+            # permutations computed per UNIQUE shingle (64 × |vocab|), then
+            # one gather over occurrences — the mul/add/mod never touches
+            # the occurrence-expanded matrix
+            vu = (self.a[:, None] * xu[None, :] + self.b[:, None]) % MINHASH_P
+            v = vu[:, codes]  # (64, M) gather
             seg = np.concatenate([[0], np.cumsum(counts[nonempty])[:-1]])
             mins = np.minimum.reduceat(v, seg, axis=1)  # (64, n_nonempty)
             sigs[nonempty] = mins.T

@@ -76,14 +76,12 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     customer is the small side → broadcast key set; orders⋈lineitem is
     large⋈large → ``Dataset.join`` hash shuffle.
     """
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    cust_keys = set(
-        cust.map_batches(
-            lambda t: t.filter(pc.equal(t["c_mktsegment"], segment)).select(["c_custkey"]),
-            batch_format="pyarrow", zero_copy_batch=True,
-        ).to_pandas()["c_custkey"]
-    )
-    keys_ref = ray.put(np.fromiter(cust_keys, dtype=np.int64))
+    # segment predicate pushed INTO the customer scan (row-group pruning at
+    # the read); the tiny key set broadcasts once
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pc.equal(pc.field("c_mktsegment"), segment))
+    keys_ref = ray.put(cust.to_pandas()["c_custkey"].to_numpy(np.int64))
 
     def filter_orders(t: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
@@ -100,23 +98,29 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]) \
-        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
+        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
 
+    # ONE hash shuffle: the per-batch revenue partials join the filtered
+    # orders directly (the inner join also prunes to the segment's orders);
+    # per-order sums complete in a small keyed aggregate over the ~|orders
+    # in segment| joined partials — no second full-lineitem shuffle.
     joined = li.join(orders, join_type="inner", num_partitions=16,
                      on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = add_partition_column(joined, key="l_orderkey", num_partitions=16)
 
-    # Top-k WITHOUT a global sort: each block emits its local top-k (on the
-    # ROUNDED revenue — the oracle orders by the rounded alias), the driver
-    # merges ≤ k×blocks rows.  A distributed sort of the whole join output
-    # for a top-10 would be an all-to-all exchange for nothing.
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(revenue=round_half_away(df["revenue"].to_numpy(), 2))
-        df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True],
-                            kind="mergesort")
-        return df.head(k)
+    # Top-k WITHOUT a global sort: each partition completes its orders' sums
+    # and emits its local top-k (on the ROUNDED revenue — the oracle orders
+    # by the rounded alias); the driver merges ≤ k×partitions rows.
+    def agg_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_orderkey", "o_orderdate"], sort=False, as_index=False) \
+            ["revenue"].sum()
+        g["revenue"] = round_half_away(g["revenue"].to_numpy(), 2)
+        g = g.sort_values(["revenue", "l_orderkey"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(k)
 
-    partials = joined.map_batches(local_topk, batch_format="pandas").to_pandas()
+    partials = joined.groupby("part").map_groups(agg_topk, batch_format="pandas") \
+        .to_pandas()
     out = partials.sort_values(["revenue", "l_orderkey"], ascending=[False, True],
                                kind="mergesort").head(k).reset_index(drop=True)
     out = out.rename(columns={"l_orderkey": "o_orderkey"})
