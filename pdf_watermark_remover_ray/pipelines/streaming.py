@@ -766,6 +766,9 @@ class StreamingEngine:
             for a in actors:
                 ray.kill(a)
         all_failed = [f for m in summaries for f in m.get("failed_files", [])]
-        # A3 analog: True iff zero failures (watermark_processor.py:277,281).
+        # A3 analog: True iff zero failures (watermark_processor.py:277,281);
+        # failed_files_sample mirrors the reference's top-10 display limit
+        # (O2, watermark_processor.py:275 failed_files[:10]).
         return {"epochs": summaries, "failed_files": all_failed,
+                "failed_files_sample": all_failed[:10],
                 "all_succeeded": not all_failed}

@@ -315,3 +315,37 @@ def test_cap_block_logs_drop(caplog):
                          logger="pdf_watermark_remover_ray.pipelines.dedup"):
         same = _cap_block(g, "en|web", 100)
     assert len(same) == 50 and not caplog.records
+
+
+def test_pipeline_builder(planted_dir):
+    """§2.11 extension surface: stateless + stateful transforms compose onto
+    a Dataset as chained map_batches stages."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_watermark_remover_ray.pipelines.builder import PipelineBuilder
+
+    def add_len(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("n_chars2", pc.utf8_length(t["text"]))
+
+    class Upper:
+        def __init__(self) -> None:
+            import pyarrow.compute as pc
+
+            self.fn = pc.utf8_upper  # state built once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.set_column(t.schema.get_field_index("text"), "text",
+                                self.fn(t["text"]))
+
+    ds = ray.data.read_parquet(f"{planted_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = (PipelineBuilder()
+           .add(add_len)
+           .add(Upper, concurrency=2, batch_size=16)
+           .run(ds)).to_pandas().sort_values("doc_id")
+    assert "n_chars2" in out.columns
+    assert out["text"].str.isupper().any()
+    assert (out["n_chars2"] == out["text"].str.len()).all()
