@@ -441,11 +441,14 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, concurrency: int = 2):
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.30):
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.30,
+                        tile_rows: int = 4096):
     """Pairs of embeddings with cosine similarity ≥ θ.
 
     Blocked by ``label`` (the natural cluster key): vectors shuffle once into
-    label blocks; within a block the pair scores are one numpy matmul."""
+    label blocks; within a block the pair scores run as TILED matmuls
+    (``tile_rows`` × block), so a huge label never materializes its full
+    n×n similarity matrix — peak memory is O(tile_rows × block)."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding", "label"])
 
@@ -456,11 +459,21 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.30):
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         m = m / norms[:, None]
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        s = sims[ia, ib]
-        keep = s >= threshold
-        return pd.DataFrame({"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
-                             "cos_sim": round_half_away(s[keep], 4)})
+        n = len(ids)
+        frames = []
+        for lo in range(0, n, tile_rows):
+            hi = min(lo + tile_rows, n)
+            sims = m[lo:hi] @ m[lo:].T  # rows lo..hi vs the upper remainder
+            ra, ca = np.nonzero(sims >= threshold)
+            keep = (ra + lo) < (ca + lo)  # strict upper triangle (a < b)
+            ra, ca = ra[keep], ca[keep]
+            frames.append(pd.DataFrame(
+                {"vec_a": ids[ra + lo], "vec_b": ids[ca + lo],
+                 "cos_sim": round_half_away(sims[ra, ca], 4)}))
+        out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"vec_a": pd.Series([], dtype=np.int64),
+             "vec_b": pd.Series([], dtype=np.int64),
+             "cos_sim": pd.Series([], dtype=float)})
+        return out
 
     return ds.groupby("label").map_groups(pairs_in_label, batch_format="pandas")

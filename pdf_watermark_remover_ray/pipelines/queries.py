@@ -197,6 +197,7 @@ def queries() -> dict:
         "ann_topk_ivf": similarity.ann_topk_ivf,
         # text analysis
         "text_stats": text.text_stats,
+        "token_counts": text.token_counts,
         "fingerprints": lambda sf: text.fingerprints(sf).select_columns(
             ["doc_id", "fingerprint"]),
         "winnow_fingerprints": text.fingerprints,
@@ -531,6 +532,12 @@ def oracle_sql() -> dict:
         "minhash_lsh_pairs": _minhash_sql(threshold=0.5),
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "ann_topk_lsh": _ann_lsh_sql(),
+        "token_counts": f"""
+            SELECT doc_id,
+                   len({TOKENS_SQL}) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+                       AS bpe_tokens
+            FROM documents""",
         "fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         # winnow64: min over char-8-gram md5-prefix hashes, signed-int64 view
         # of the uint64 min (HUGEINT bridges the UBIGINT->BIGINT reinterpret)

@@ -139,3 +139,26 @@ def fingerprints(sf_dir: str, concurrency: int = 2):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(Fingerprinter, batch_format="pandas", batch_size=4096,
                           concurrency=concurrency)
+
+
+# ASCII-explicit so Python re and DuckDB RE2 agree exactly (\w is unicode in
+# Python but ASCII in RE2 — never use it in an oracle-facing regex).
+BPE_ISH_TOKEN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def token_counts(sf_dir: str):
+    """Token counting two ways (training-data-pipeline staple): whitespace
+    tokens and BPE-ish regex tokens (word pieces + individual punctuation).
+    Vectorized pandas str ops; exact DuckDB oracle in queries.oracle_sql."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        ws = text.str.split().str.len().astype(np.int64)
+        bpe = text.str.count(BPE_ISH_TOKEN).astype(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "ws_tokens": ws.to_numpy(),
+                             "bpe_tokens": bpe.to_numpy()})
+
+    return ds.map_batches(counts, batch_format="pandas")

@@ -349,3 +349,15 @@ def test_pipeline_builder(planted_dir):
     assert "n_chars2" in out.columns
     assert out["text"].str.isupper().any()
     assert (out["n_chars2"] == out["text"].str.len()).all()
+
+
+def test_embedding_dup_tiling_invariant(planted_dir):
+    """Tiled pair scoring emits the same pairs regardless of tile size."""
+    from pdf_watermark_remover_ray.pipelines.dedup import embedding_dup_pairs
+
+    big = embedding_dup_pairs(planted_dir, threshold=0.5).to_pandas() \
+        .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    tiny = embedding_dup_pairs(planted_dir, threshold=0.5, tile_rows=3).to_pandas() \
+        .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(big, tiny)
+    assert len(big) > 0
