@@ -361,3 +361,44 @@ def test_embedding_dup_tiling_invariant(planted_dir):
         .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(big, tiny)
     assert len(big) > 0
+
+
+def test_resumable_batch_sink(planted_dir, tmp_path):
+    """Batch sink: partitioned write-once output; a rerun skips finished
+    partitions; a partially-crashed run completes the missing ones with
+    identical final content."""
+    import glob
+    import os
+    import shutil
+
+    import ray.data
+
+    from pdf_watermark_remover_ray.sinks.batch import (
+        finished_partitions,
+        write_partitioned,
+    )
+
+    ds = ray.data.read_parquet(f"{planted_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = str(tmp_path / "sink")
+    res1 = write_partitioned(ds, out, key="doc_id", num_partitions=8)
+    assert res1["skipped"] == []
+    assert sum(res1["written"].values()) == 44
+    files = sorted(glob.glob(f"{out}/part=*/data.parquet"))
+    assert len(files) == len(res1["written"])
+
+    # full rerun is a no-op
+    res2 = write_partitioned(ds, out, key="doc_id", num_partitions=8)
+    assert res2["written"] == {} and set(res2["skipped"]) == set(res1["written"])
+
+    # simulate a crash: delete two partitions, resume fills exactly those
+    victims = [int(f.split("part=")[1].split("/")[0]) for f in files[:2]]
+    for v in victims:
+        shutil.rmtree(f"{out}/part={v}")
+    res3 = write_partitioned(ds, out, key="doc_id", num_partitions=8)
+    assert set(res3["written"]) == set(victims)
+    assert sum(res3["written"][v] for v in victims) == sum(
+        res1["written"][v] for v in victims)
+    assert finished_partitions(out) == set(res1["written"])
+    # no stray staging files
+    assert not glob.glob(f"{out}/part=*/*.staging")
