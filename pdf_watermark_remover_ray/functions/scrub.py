@@ -139,6 +139,12 @@ def make_scrub_batch_fn(cfg: ScrubConfig, text_col: str = "text"):
     patterns = _anchor_patterns(cfg)
     # ONE vectorized pass: alternation regex instead of N substring scans.
     anchor_re = "|".join(re.escape(p) for p in patterns)
+    # T3/T4/T5 anchors only: rows matching the premask but NOT these need just
+    # the T1/T2 exact-substring replaces, which vectorize (same result as
+    # scrub_text on such rows — T3-T5 can't fire without their literal
+    # anchors, and T1/T2 are plain replace-all-occurrences).
+    t345_re = "|".join(re.escape(p)
+                       for p in (DATE_ANCHOR, *HEX_PATTERNS, *COLOR_MARKERS))
     name, footer = cfg.name_pattern, cfg.effective_footer
 
     def scrub_batch(batch: pa.Table) -> pa.Table:
@@ -146,24 +152,39 @@ def make_scrub_batch_fn(cfg: ScrubConfig, text_col: str = "text"):
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         col = col.cast(pa.string())
-        mask = pc.fill_null(pc.match_substring_regex(col, anchor_re), False)
-        hits = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+        mask_np = pc.fill_null(pc.match_substring_regex(col, anchor_re), False) \
+            .to_numpy(zero_copy_only=False)
         modified = np.zeros(len(batch), dtype=bool)
-        if len(hits) == 0:
+        if not mask_np.any():
             return batch.append_column("modified", pa.array(modified))
-        # Materialize ONLY the matched rows' strings; splice the scrubbed
-        # values back with a vectorized masked replace (non-matching rows are
-        # never converted to Python objects).
-        hit_values = col.take(pa.array(hits)).to_pylist()
-        for j, v in enumerate(hit_values):
-            new_text, mod = scrub_text(v, name, footer)
-            if mod:
-                hit_values[j] = new_text
-                modified[hits[j]] = True
-        new_col = pc.replace_with_mask(col, pa.array(mask.to_numpy(zero_copy_only=False)),
+        m345 = pc.fill_null(pc.match_substring_regex(col, t345_re), False) \
+            .to_numpy(zero_copy_only=False)
+        # fast path: T1/T2-only rows — fully vectorized replace chain
+        fast = mask_np & ~m345
+        if fast.any():
+            fast_arr = pa.array(fast)
+            repl = col.filter(fast_arr)  # replace only the fast rows
+            if name:
+                repl = pc.replace_substring(repl, pattern=name, replacement="")
+            if footer:
+                repl = pc.replace_substring(repl, pattern=footer, replacement="")
+            col = pc.replace_with_mask(col, fast_arr, repl)
+            modified |= fast
+        # slow path: rows with T3/T4/T5 anchors run the exact per-row kernel.
+        # Materialize ONLY those rows' strings; splice results back with a
+        # vectorized masked replace.
+        hits = np.flatnonzero(m345 & mask_np)
+        if len(hits):
+            hit_values = col.take(pa.array(hits)).to_pylist()
+            for j, v in enumerate(hit_values):
+                new_text, mod = scrub_text(v, name, footer)
+                if mod:
+                    hit_values[j] = new_text
+                    modified[hits[j]] = True
+            col = pc.replace_with_mask(col, pa.array(m345 & mask_np),
                                        pa.array(hit_values, pa.string()))
         out = batch.set_column(
-            batch.schema.get_field_index(text_col), text_col, new_col
+            batch.schema.get_field_index(text_col), text_col, col
         )
         return out.append_column("modified", pa.array(modified))
 
