@@ -83,3 +83,79 @@ def multimodal_features(sf_dir: str, concurrency: int = 2, batch_size: int = 256
     ds = payloads_from_documents(sf_dir)
     return ds.map_batches(PayloadFeaturizer, batch_format="pandas",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+class PayloadResizer:
+    """Actor-pool resize stage (image-resize analog).
+
+    ``real=True`` needs PIL → NotImplementedError here; the deterministic
+    fake tiles the source bytes to exactly ``width × height`` bytes, so
+    output sizes, schema and batch behavior match a real resizer's shape."""
+
+    def __init__(self, width: int = 32, height: int = 32, real: bool = False) -> None:
+        if real and not _HAVE_PIL:
+            raise NotImplementedError(
+                "real image resize requires PIL, which is not available in "
+                "this container — run with real=False for the deterministic fake")
+        self.width, self.height = width, height
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        target = self.width * self.height
+
+        def tile(b: bytes) -> bytes:
+            if not b:
+                return b"\x00" * target
+            reps = target // len(b) + 1
+            return (b * reps)[:target]
+
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(np.int64),
+            "payload": batch["payload"].map(tile),
+            "width": np.full(len(batch), self.width, dtype=np.int32),
+            "height": np.full(len(batch), self.height, dtype=np.int32),
+        })
+
+
+FRAME_BYTES = 4096
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage (video analog): the payload is framed
+    into ``frame_bytes`` chunks and every ``every_n``-th frame is emitted as
+    its OWN ROW — the 1→N binary row expansion a video pipeline needs."""
+
+    def __init__(self, every_n: int = 2, frame_bytes: int = FRAME_BYTES) -> None:
+        if every_n < 1 or frame_bytes < 1:
+            raise ValueError("every_n and frame_bytes must be >= 1")
+        self.every_n = every_n
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        fb = self.frame_bytes
+        docs, idxs, lens, crcs = [], [], [], []
+        for doc, b in zip(batch["doc_id"].to_numpy(np.int64), batch["payload"]):
+            n_frames = (len(b) + fb - 1) // fb
+            for i in range(0, n_frames, self.every_n):
+                fr = b[i * fb:(i + 1) * fb]
+                docs.append(doc)
+                idxs.append(i)
+                lens.append(len(fr))
+                crcs.append(zlib.crc32(fr))
+        return pd.DataFrame({
+            "doc_id": np.array(docs, dtype=np.int64),
+            "frame_idx": np.array(idxs, dtype=np.int64),
+            "frame_len": np.array(lens, dtype=np.int64),
+            "frame_crc32": np.array(crcs, dtype=np.int64),
+        })
+
+
+def multimodal_frames(sf_dir: str, every_n: int = 2, concurrency: int = 2,
+                      batch_size: int = 256):
+    """payloads → actor-pool frame sampling.  Frame geometry (doc_id,
+    frame_idx, frame_len) is SQL-expressible and oracle-checked; the
+    per-frame crc32 rides along for downstream dedup."""
+    ds = payloads_from_documents(sf_dir)
+    return ds.map_batches(FrameSampler,
+                          fn_constructor_kwargs={"every_n": every_n},
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=concurrency)

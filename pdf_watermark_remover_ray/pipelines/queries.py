@@ -204,6 +204,8 @@ def queries() -> dict:
         # multimodal plumbing
         "multimodal_features": lambda sf: multimodal.multimodal_features(sf)
         .select_columns(["doc_id", "n_bytes", "checksum", "width", "height"]),
+        "multimodal_frames": lambda sf: multimodal.multimodal_frames(sf)
+        .select_columns(["doc_id", "frame_idx", "frame_len"]),
     }
 
 
@@ -556,6 +558,16 @@ def oracle_sql() -> dict:
                             THEN m.mn::HUGEINT - 18446744073709551616::HUGEINT
                             ELSE m.mn::HUGEINT END, 0) AS BIGINT) AS winnow64
             FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id""",
+        "multimodal_frames": """
+            WITH b AS (SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS nb
+                       FROM documents),
+            f AS (SELECT doc_id, nb,
+                         unnest(generate_series(0, CAST(ceil(nb / 4096.0) AS INT) - 1, 2))
+                             AS frame_idx
+                  FROM b WHERE nb > 0)
+            SELECT doc_id, frame_idx,
+                   least(4096, nb - frame_idx * 4096) AS frame_len
+            FROM f""",
         "multimodal_features": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS checksum,
                    octet_length(encode(text)) % 64 + 1 AS width,

@@ -402,3 +402,32 @@ def test_resumable_batch_sink(planted_dir, tmp_path):
     assert finished_partitions(out) == set(res1["written"])
     # no stray staging files
     assert not glob.glob(f"{out}/part=*/*.staging")
+
+
+def test_multimodal_resize_and_frames(planted_dir):
+    """Resize fake tiles to exact target size; frame sampler emits every-n-th
+    frame as its own row with correct geometry; real=True honestly gated."""
+    from pdf_watermark_remover_ray.pipelines.multimodal import (
+        FrameSampler,
+        PayloadResizer,
+        multimodal_frames,
+    )
+
+    with pytest.raises(NotImplementedError):
+        PayloadResizer(real=True)
+    rs = PayloadResizer(width=8, height=4)
+    out = rs(pd.DataFrame({"doc_id": [1, 2], "payload": [b"abc", b""]}))
+    assert all(len(p) == 32 for p in out["payload"])
+    assert out["payload"].iloc[0].startswith(b"abcabc")
+
+    fs = FrameSampler(every_n=2, frame_bytes=10)
+    fr = fs(pd.DataFrame({"doc_id": [7], "payload": [b"x" * 35]}))
+    # frames 0..3 (10,10,10,5 bytes), sampled 0 and 2
+    assert list(fr["frame_idx"]) == [0, 2]
+    assert list(fr["frame_len"]) == [10, 10]
+    with pytest.raises(ValueError):
+        FrameSampler(every_n=0)
+
+    full = multimodal_frames(planted_dir).to_pandas()
+    assert (full["frame_idx"] % 2 == 0).all()
+    assert full["frame_len"].between(1, 4096).all()
