@@ -131,16 +131,24 @@ def session_windows(ds, gap_us: int, key: str = "conv_id", num_partitions: int =
 
 def windowed_stats(ds, size_us: int, key: str, value_col: str):
     """Tumbling-window numeric aggregate (count / sum / min / max of a value
-    column) — generic windowed reduction used by the events pipeline."""
+    column) — generic windowed reduction used by the events pipeline.
 
-    def assign(t: pa.Table) -> pa.Table:
+    Count/sum/min/max all decompose, so each batch pre-aggregates to one row
+    per (key, window) and the shuffle moves partials, not events."""
+
+    def partial(t: pa.Table) -> pa.Table:
         ws = (_ts_us(t["ts"]) // size_us) * size_us
-        return t.append_column("window_start_us", pa.array(ws))
+        df = pd.DataFrame({key: t[key].to_pandas(), "window_start_us": ws,
+                           "v": t[value_col].to_pandas()})
+        g = df.groupby([key, "window_start_us"], sort=False).agg(
+            partial_n=("v", "size"), partial_sum=("v", "sum"),
+            partial_min=("v", "min"), partial_max=("v", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    with_ws = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-    return with_ws.groupby([key, "window_start_us"]).aggregate(
-        Count(alias_name="n"),
-        Sum(value_col, alias_name="sum_value"),
-        Min(value_col, alias_name="min_value"),
-        Max(value_col, alias_name="max_value"),
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby([key, "window_start_us"]).aggregate(
+        Sum("partial_n", alias_name="n"),
+        Sum("partial_sum", alias_name="sum_value"),
+        Min("partial_min", alias_name="min_value"),
+        Max("partial_max", alias_name="max_value"),
     )
