@@ -160,10 +160,15 @@ class StatePartition:
         self.store.snapshot(self.sink.staging_state_path(epoch, self.pid),
                             mode=mode, delta=self._delta,
                             wm_after_us=wm_after_us)
+        # per-partition event-time high mark → wm lag in metrics_df (the
+        # north rule's per-partition lag signal; a partition whose max ts
+        # trails the global watermark is skew-starved or behind)
+        pmax = int(live["ts_us"].max()) if len(live) else None
         return {
             "partition": self.pid,
             "rows": int(len(tbl)),
             "state_rows": int(self.store.total_rows()),
+            "max_ts_us": pmax,
             "emitted": {k: int(v) for k, v in emitted.items()},
             "close_s": round(time.monotonic() - t0, 4),
             "fold_s": round(t_fold - t0, 4),
@@ -664,6 +669,9 @@ class StreamingEngine:
         df = pd.DataFrame(rows)
         if len(df):
             df["rows_per_s"] = (df["rows"] / df["epoch_s"].replace(0, float("nan"))).round(1)
+            if "max_ts_us" in df.columns:
+                # event-time lag of each partition behind the epoch watermark
+                df["wm_lag_us"] = df["watermark_us"] - df["max_ts_us"]
         return df
 
     def run(self, kill_after_epoch: int | None = None,

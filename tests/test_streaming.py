@@ -376,3 +376,21 @@ def test_live_progress_and_destination_defaulting(fixture, tmp_path):
     derived = paths[0].replace(".parquet", "_scrubbed.parquet")
     assert os.path.exists(derived)
     os.remove(derived)
+
+
+def test_metrics_include_per_partition_lag(fixture, tmp_path):
+    """metrics_df carries per-(epoch, partition) throughput and watermark-lag
+    columns (the north rule's per-partition metrics)."""
+    table, paths, golden = fixture
+    out = str(tmp_path / "out_metrics")
+    eng = StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES)
+    eng.run()
+    df = eng.metrics_df()
+    assert {"epoch", "partition", "rows", "rows_per_s", "wm_lag_us",
+            "close_s", "fold_s", "emit_s", "snap_s"} <= set(df.columns)
+    # lag = watermark - partition max ts; bounded below by -lateness (a
+    # partition at the event-time head leads the watermark by exactly that)
+    lags = df[df["rows"] > 0]["wm_lag_us"].dropna()
+    assert len(lags) > 0
+    assert (lags >= -CFG.lateness_us).all()
+    assert len(df) == (eng.n_input_epochs + 1) * CFG.total_partitions
