@@ -591,7 +591,8 @@ class StreamingEngine:
 
     def __init__(self, input_paths: list[str], out_dir: str,
                  cfg: StreamConfig | None = None, epoch_files: int = 1,
-                 actor_cpus: float = 0.25):
+                 actor_cpus: float = 0.25, auto_hot_keys: bool = False,
+                 hot_key_frac: float = 0.05, hot_key_sample_files: int = 4):
         self.cfg = cfg or StreamConfig()
         self.paths = sorted(input_paths)
         # Pre-flight (reference P2/P3: reject bad input/destination BEFORE any
@@ -611,6 +612,12 @@ class StreamingEngine:
         self.epoch_files = epoch_files
         self.actor_cpus = actor_cpus
         self.sink = EpochSink(out_dir)
+        if auto_hot_keys and self.paths:
+            from dataclasses import replace as _replace
+
+            hk = self._detect_or_load_hot_keys(hot_key_frac, hot_key_sample_files)
+            if hk:
+                self.cfg = _replace(self.cfg, hot_keys=hk)
         self.epochs = [self.paths[i:i + epoch_files]
                        for i in range(0, len(self.paths), epoch_files)]
         self._tracker = None
@@ -619,6 +626,36 @@ class StreamingEngine:
         # deterministic staged file names, a retried route task is exactly-once
         self._route_task = ray.remote(num_cpus=1, max_retries=3,
                                       retry_exceptions=True)(_route_file_task)
+
+    def _detect_or_load_hot_keys(self, frac: float, sample_files: int) -> tuple:
+        """Plan-time hot-conversation detection, PERSISTED write-once so a
+        resumed run reuses the identical partitioning (hot keys change the
+        key→partition routing; changing them mid-run would split state).
+
+        Samples the conv_id column of the first arrival files (column-pruned
+        footer reads, bounded by the sample) — the streaming analog of
+        ``stages/partition.detect_hot_keys``.  Detected keys get reserved
+        partitions; they are never salted (SURVEY §7.4 "Skew vs sessions")."""
+        import collections
+        import json
+
+        path = os.path.join(self.out_dir, "_hot_keys.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return tuple(json.load(f)["hot_keys"])
+        counts: collections.Counter = collections.Counter()
+        total = 0
+        for f in self.paths[:sample_files]:
+            col = pq.read_table(f, columns=["conv_id"])["conv_id"].to_pandas()
+            counts.update(col.value_counts().to_dict())
+            total += len(col)
+        hot = [k for k, c in counts.items() if total and c > total * frac]
+        hot_t = tuple(sorted(hot, key=lambda k: (-counts[k], k))[:8])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"hot_keys": list(hot_t), "sampled_rows": total}, f)
+        os.replace(tmp, path)  # write-once: resume reads, never re-detects
+        return hot_t
 
     @property
     def n_input_epochs(self) -> int:

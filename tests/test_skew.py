@@ -64,3 +64,35 @@ def test_hot_keys_reserved_partitions(tmp_path):
     for lin in hot_lineage:
         pid = int(lin.split("/")[0].split("-")[1])
         assert pid in reserved
+
+
+def test_auto_hot_key_detection_persists(tmp_path):
+    """auto_hot_keys: the engine samples the arrival head, reserves
+    partitions for hot conversations, persists the choice write-once, and a
+    resumed engine reuses the identical keys; outputs stay golden."""
+    table = generate_transcripts(n_convs=40, mean_turns=10, seed=21,
+                                 hot_keys=3, hot_frac=0.3)
+    paths = write_transcripts(table, str(tmp_path / "in"), num_files=NUM_FILES)
+    cfg = StreamConfig(num_partitions=4, scrub=ScrubConfig())
+    out = str(tmp_path / "out_auto")
+    eng = StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES,
+                          auto_hot_keys=True, hot_key_sample_files=NUM_FILES)
+    assert set(eng.cfg.hot_keys) >= {"c000000", "c000001", "c000002"}
+    eng.run(kill_after_epoch=1)
+
+    # resume: detection file is reused verbatim (no re-sampling drift)
+    marker = json.load(open(f"{out}/_hot_keys.json"))
+    eng2 = StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES,
+                           auto_hot_keys=True, hot_key_sample_files=1)
+    assert list(eng2.cfg.hot_keys) == marker["hot_keys"]
+    eng2.run()
+
+    golden = streaming_oracle(table, NUM_FILES, EPOCH_FILES, eng.cfg)
+    assert_stream_equal(
+        read_stream(out, "turns"), golden["turns"],
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts", "modified"],
+    )
+    assert_stream_equal(
+        read_stream(out, "matches"), golden["matches"],
+        ["conv_id", "user_turn_idx", "tool_turn_idx", "tool", "dt_us"],
+    )
