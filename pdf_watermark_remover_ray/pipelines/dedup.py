@@ -139,7 +139,19 @@ def _distributed_verify_pairs(sf_dir: str, cand: pd.DataFrame, threshold: float,
                             "jaccard": round_half_away(sims, 6)})
         return out[out["jaccard"] >= threshold]
 
-    verified = _read_docs(sf_dir) \
+    # candidate-id filter pushed INTO the scan (row-group pruning: at scale
+    # the candidates touch a sliver of the corpus files), capped so the
+    # predicate itself stays small; the merge in `replicate` remains the
+    # exact filter either way.
+    need_ids = need["doc_id"].unique()
+    docs = _read_docs(sf_dir)
+    if len(need_ids) <= 200_000:
+        import pyarrow.compute as pc
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+            filter=pc.field("doc_id").isin(pa.array(need_ids)))
+    verified = docs \
         .map_batches(replicate, batch_format="pandas") \
         .groupby("vp").map_groups(verify_block, batch_format="pandas") \
         .to_pandas()
