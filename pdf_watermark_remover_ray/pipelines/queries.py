@@ -195,6 +195,7 @@ def queries() -> dict:
         "ann_topk": similarity.ann_topk,
         "ann_topk_lsh": similarity.ann_topk_lsh,
         "ann_topk_ivf": similarity.ann_topk_ivf,
+        "ann_topk_ivf_clustered": similarity.ann_topk_ivf_clustered,
         # text analysis
         "text_stats": text.text_stats,
         "token_counts": text.token_counts,

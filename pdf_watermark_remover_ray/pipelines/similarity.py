@@ -12,8 +12,11 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data
@@ -156,6 +159,133 @@ def ann_topk_ivf(sf_dir: str, n_queries: int = 10, k: int = 5, n_lists: int = 16
     out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["cos_sim"] = round_half_away(out["cos_sim"], 4)
     return out[["query_id", "vec_id", "cos_sim"]]
+
+
+def ivf_build(sf_dir: str, index_dir: str, n_lists: int = 16,
+              seed: int = 42) -> "IVFIndex":
+    """Materialize the IVF clustered layout: embeddings written as ONE
+    parquet dir per cluster (``index_dir/cluster={c}/data.parquet``) plus
+    the centroid matrix — the cluster id as a PHYSICAL partition column, so
+    a probed query reads only its clusters' files (partition pruning at the
+    read; at 100 TB the unprobed ~ (1 - nprobe/n_lists) of the corpus never
+    leaves storage).  Deterministic (fixed seed) and resumable (write-once
+    per cluster via the batch sink discipline)."""
+    import duckdb
+
+    import pyarrow.parquet as pq_
+
+    con = duckdb.connect()
+    sample = con.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"USING SAMPLE reservoir(512 ROWS) REPEATABLE ({seed})"
+    ).df()
+    con.close()
+    sm = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(sm, axis=1)
+    norms[norms == 0] = 1.0
+    index = IVFIndex(sm / norms[:, None], n_lists=n_lists, seed=seed)
+    os.makedirs(index_dir, exist_ok=True)
+    cpath = os.path.join(index_dir, "centroids.npy")
+    if not os.path.exists(cpath):
+        tmp = cpath + ".tmp.npy"
+        np.save(tmp, index.centroids)
+        os.replace(tmp, cpath)
+    idx_ref = ray.put(index)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ix = ray.get(idx_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        nr = np.linalg.norm(m, axis=1)
+        nr[nr == 0] = 1.0
+        df = df.copy()
+        df["cluster"] = ix.assign(m / nr[:, None]).astype(np.int32)
+        return df
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    clustered = ds.map_batches(assign, batch_format="pandas")
+
+    def write_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        c = int(df["cluster"].iloc[0])
+        d = os.path.join(index_dir, f"cluster={c}")
+        os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, "data.parquet")
+        if not os.path.exists(final):  # write-once: rebuild skips done clusters
+            staging = final + ".staging"
+            body = df.drop(columns=["cluster"]).sort_values("vec_id")
+            pq_.write_table(pa.Table.from_pandas(body, preserve_index=False),
+                            staging)
+            os.replace(staging, final)
+        return pd.DataFrame({"cluster": [c], "rows": [len(df)]})
+
+    clustered.groupby("cluster").map_groups(
+        write_cluster, batch_format="pandas").materialize()
+    return index
+
+
+def ann_topk_ivf_clustered(sf_dir: str, index_dir: str | None = None,
+                           n_queries: int = 10, k: int = 5, n_lists: int = 16,
+                           nprobe: int = 4):
+    """IVF top-k over the CLUSTERED layout: the probed clusters' parquet
+    dirs are the only files opened — the physical-partition-pruning variant
+    of :func:`ann_topk_ivf` (identical results by construction: same
+    centroids, same probes, same scoring; asserted in tests)."""
+    import tempfile
+
+    qids, qm = _load_queries(sf_dir, n_queries)
+    own_tmp = index_dir is None
+    if own_tmp:
+        index_dir = tempfile.mkdtemp(prefix="pwr_ivf_")
+    try:
+        index = ivf_build(sf_dir, index_dir, n_lists=n_lists)
+        probes = {int(qids[i]): index.probe(qm[i], nprobe)
+                  for i in range(len(qids))}
+        probed_union = sorted({int(c) for ps in probes.values() for c in ps})
+        files = [os.path.join(index_dir, f"cluster={c}", "data.parquet")
+                 for c in probed_union]
+        files = [f for f in files if os.path.exists(f)]  # empty clusters
+        ref = ray.put((qids, qm, probes, index))
+
+        def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+            qids_, qm_, probes_, index_ = ray.get(ref)
+            ids = df["vec_id"].to_numpy(np.int64)
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            nr = np.linalg.norm(m, axis=1)
+            nr[nr == 0] = 1.0
+            mn = m / nr[:, None]
+            clusters = index_.assign(mn)
+            out = []
+            for qi in range(len(qids_)):
+                cand = np.flatnonzero(
+                    np.isin(clusters, probes_[int(qids_[qi])])
+                    & (ids != qids_[qi]))
+                if len(cand) == 0:
+                    continue
+                s = mn[cand] @ qm_[qi]
+                take = min(k, len(cand))
+                idx = np.argpartition(-s, take - 1)[:take]
+                out.append(pd.DataFrame(
+                    {"query_id": qids_[qi], "vec_id": ids[cand[idx]],
+                     "cos_sim": s[idx]}))
+            return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+                {"query_id": pd.Series([], dtype=np.int64),
+                 "vec_id": pd.Series([], dtype=np.int64),
+                 "cos_sim": pd.Series([], dtype=float)})
+
+        partials = ray.data.read_parquet(files) \
+            .map_batches(local_topk, batch_format="pandas", batch_size=4096) \
+            .to_pandas()
+        partials = partials.sort_values(["query_id", "cos_sim", "vec_id"],
+                                        ascending=[True, False, True],
+                                        kind="mergesort")
+        out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        out["cos_sim"] = round_half_away(out["cos_sim"], 4)
+        return out[["query_id", "vec_id", "cos_sim"]]
+    finally:
+        if own_tmp:
+            import shutil
+
+            shutil.rmtree(index_dir, ignore_errors=True)
 
 
 class HyperplaneLSH:

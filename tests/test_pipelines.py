@@ -431,3 +431,35 @@ def test_multimodal_resize_and_frames(planted_dir):
     full = multimodal_frames(planted_dir).to_pandas()
     assert (full["frame_idx"] % 2 == 0).all()
     assert full["frame_len"].between(1, 4096).all()
+
+
+def test_ivf_clustered_layout_matches_inmemory(planted_dir, tmp_path):
+    """The clustered (partition-pruned) IVF variant returns EXACTLY the
+    in-memory IVF results (same centroids/probes/scoring), and the layout is
+    one write-once parquet dir per cluster."""
+    import glob
+    import os
+
+    from pdf_watermark_remover_ray.pipelines.similarity import (
+        ann_topk_ivf,
+        ann_topk_ivf_clustered,
+        ivf_build,
+    )
+
+    mem = ann_topk_ivf(planted_dir, n_queries=5, k=3, n_lists=4, nprobe=2)
+    idx_dir = str(tmp_path / "ivf")
+    clu = ann_topk_ivf_clustered(planted_dir, idx_dir, n_queries=5, k=3,
+                                 n_lists=4, nprobe=2)
+    pd.testing.assert_frame_equal(
+        mem.sort_values(["query_id", "vec_id"]).reset_index(drop=True),
+        clu.sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+
+    dirs = glob.glob(f"{idx_dir}/cluster=*/data.parquet")
+    assert 1 <= len(dirs) <= 4
+    assert os.path.exists(f"{idx_dir}/centroids.npy")
+    total = sum(len(pq.read_table(d)) for d in dirs)
+    assert total == 21  # every vector landed in exactly one cluster
+    # rebuild is a no-op (write-once clusters)
+    before = {d: os.path.getmtime(d) for d in dirs}
+    ivf_build(planted_dir, idx_dir, n_lists=4)
+    assert {d: os.path.getmtime(d) for d in dirs} == before
