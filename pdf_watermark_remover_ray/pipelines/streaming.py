@@ -687,6 +687,22 @@ class StreamingEngine:
                 return dict(self._last_progress)
         return dict(self._last_progress)
 
+    def compact(self, streams: tuple[str, ...] | None = None) -> dict:
+        """Compact every committed epoch's many small per-task files into one
+        Parquet file per (stream, epoch) via the sink's crash-safe directory
+        swap (reference S6 output compaction, ``watermark_processor.py:166``).
+        Run between runs only — no concurrent readers.  Returns rows
+        compacted per (stream, epoch) (0 = already single-file)."""
+        from ..sinks.parquet import STREAMS
+
+        out: dict[str, int] = {}
+        for s in streams or STREAMS:
+            for e in self.sink.committed_epochs():
+                if not os.path.isdir(self.sink.data_dir(s, e)):
+                    continue  # e.g. the flush epoch emits no turns
+                out[f"{s}/epoch={e}"] = self.sink.compact_epoch(s, e)
+        return out
+
     def metrics_df(self) -> pd.DataFrame:
         """Per-(epoch, partition) observability from the committed markers:
         rows routed, late drops, state size, emission counts, phase timings —

@@ -394,3 +394,23 @@ def test_metrics_include_per_partition_lag(fixture, tmp_path):
     assert len(lags) > 0
     assert (lags >= -CFG.lateness_us).all()
     assert len(df) == (eng.n_input_epochs + 1) * CFG.total_partitions
+
+
+def test_engine_compact_all(fixture, tmp_path):
+    """Engine-level compaction: one file per (stream, epoch) afterwards,
+    identical rows."""
+    import glob as _g
+
+    table, paths, golden = fixture
+    out = str(tmp_path / "out_compact_all")
+    eng = StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES)
+    eng.run()
+    before = read_stream(out, "turns")
+    res = eng.compact()
+    assert any(v > 0 for v in res.values())
+    for d in _g.glob(f"{out}/data/*/epoch=*"):
+        assert len(_g.glob(f"{d}/part-*.parquet")) == 1
+    after = read_stream(out, "turns")
+    pd.testing.assert_frame_equal(
+        before.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        after.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
