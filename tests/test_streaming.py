@@ -414,3 +414,18 @@ def test_engine_compact_all(fixture, tmp_path):
     pd.testing.assert_frame_equal(
         before.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
         after.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+
+
+def test_kill_at_every_epoch_chain_resume(fixture, tmp_path):
+    """Chaos chain: kill after EVERY epoch in turn (and mid-epoch at each),
+    resuming each time with a fresh engine; the final outputs must equal the
+    golden run exactly — exactly-once survives arbitrary kill points."""
+    table, paths, golden = fixture
+    out = str(tmp_path / "out_chaos")
+    n = StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES).n_input_epochs
+    for e in range(n + 1):
+        StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES).run(
+            kill_mid_epoch=e if e < n else None,
+            kill_after_epoch=e)
+    StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES).run()
+    _check_outputs(out, golden)
