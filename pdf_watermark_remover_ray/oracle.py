@@ -98,11 +98,22 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
         .size()
         .rename(columns={"size": "n_turns"})
     )
+    # per-window value stats over the SCRUBBED text length
+    n_chars = np.array([len(t) if isinstance(t, str) else 0
+                        for t in live["text"]], dtype=np.int64)
+    wstats = (
+        pd.DataFrame({"conv_id": live["conv_id"].to_numpy(),
+                      "window_start_us": ws, "c": n_chars})
+        .groupby(["conv_id", "window_start_us"], as_index=False)
+        .agg(n_turns=("c", "size"), sum_chars=("c", "sum"),
+             min_chars=("c", "min"), max_chars=("c", "max"))
+    )
     return {
         "turns": live[["conv_id", "turn_idx", "role", "text", "tool", "ts", "modified"]],
         "late": late[["conv_id", "turn_idx", "ts_us", "epoch"]],
         "sessions": sessions,
         "windows": windows,
+        "wstats": wstats,
         "sliding": sliding,
         "matches": matches,
     }

@@ -129,7 +129,7 @@ class StatePartition:
 
     _EMPTY_BUF = pa.schema(
         [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("role", pa.string()),
-         ("tool", pa.string()), ("ts_us", pa.int64())]
+         ("tool", pa.string()), ("ts_us", pa.int64()), ("n_chars", pa.int64())]
     )
 
     def close_epoch(self, epoch: int, wm_prev_us: int, wm_after_us: int) -> dict:
@@ -145,6 +145,7 @@ class StatePartition:
         self._delta = {}  # per-epoch join-buffer appends (delta snapshot)
         self._fold_sessions(live)
         self._fold_windows(live)
+        self._fold_wstats(live)
         self._fold_sliding(live)
         self._fold_join(live)
         t_fold = time.monotonic()
@@ -152,6 +153,7 @@ class StatePartition:
         emitted = {
             "sessions": self._emit_sessions(wm_after_us, epoch),
             "windows": self._emit_windows(wm_after_us, epoch),
+            "wstats": self._emit_wstats(wm_after_us, epoch),
             "sliding": self._emit_sliding(wm_after_us, epoch),
             "matches": self._emit_matches(wm_after_us, epoch),
         }
@@ -206,6 +208,49 @@ class StatePartition:
         agg = allw.groupby(["conv_id", "window_start_us"], sort=False, as_index=False)["n"].sum()
         self.store.put("windows", agg)
         return len(agg)
+
+    def _fold_wstats(self, live: pd.DataFrame) -> int:
+        """Per-(conv, tumbling window) VALUE aggregate of the turn text
+        length: n / sum / min / max — all decomposable, so the open-window
+        state folds by the same combine and stays one row per open window
+        (the streaming counterpart of stages/windows.windowed_stats)."""
+        if len(live) == 0:
+            return 0
+        ws = self.cfg.tumbling_spec.assign(live["ts_us"].to_numpy(np.int64))
+        c = live["n_chars"].to_numpy(np.int64)
+        new = pd.DataFrame({"conv_id": live["conv_id"].to_numpy(),
+                            "window_start_us": ws,
+                            "n": np.ones(len(live), dtype=np.int64),
+                            "sum_c": c, "min_c": c, "max_c": c})
+        allw = pd.concat([self.store.get("wstats"), new], ignore_index=True)
+        agg = allw.groupby(["conv_id", "window_start_us"], sort=False,
+                           as_index=False).agg(
+            n=("n", "sum"), sum_c=("sum_c", "sum"),
+            min_c=("min_c", "min"), max_c=("max_c", "max"))
+        self.store.put("wstats", agg)
+        return len(agg)
+
+    def _emit_wstats(self, wm_us: int, epoch: int) -> int:
+        """Same strict emission rule as the count windows:
+        ``window_start + size <= wm``."""
+        w = self.store.get("wstats")
+        size = self.cfg.tumbling_us
+        done_mask = (w["window_start_us"].to_numpy(np.int64, copy=False) + size <= wm_us) \
+            if len(w) else np.zeros(0, dtype=bool)
+        done = w[done_mask]
+        self.store.put("wstats", w[~done_mask])
+        out = pd.DataFrame(
+            {"conv_id": done["conv_id"].to_numpy(),
+             "window_start_us": done["window_start_us"].to_numpy(np.int64),
+             "n_turns": done["n"].to_numpy(np.int64),
+             "sum_chars": done["sum_c"].to_numpy(np.int64),
+             "min_chars": done["min_c"].to_numpy(np.int64),
+             "max_chars": done["max_c"].to_numpy(np.int64)}
+        ).sort_values(["conv_id", "window_start_us"], kind="mergesort")
+        schema = pa.schema([("conv_id", pa.string()), ("window_start_us", pa.int64()),
+                            ("n_turns", pa.int64()), ("sum_chars", pa.int64()),
+                            ("min_chars", pa.int64()), ("max_chars", pa.int64())])
+        return self._write("wstats", epoch, out, schema)
 
     _SLIDING_BOUND_KEY = "sliding_emit_bound"
 
@@ -418,9 +463,15 @@ class ProgressTracker:
 
 def _prepare_table(t: pa.Table, scrub_fn, num_partitions: int,
                    hot_keys: tuple[str, ...] = ()) -> pa.Table:
-    """scrub + ts_us + partition columns (shared by both routing paths)."""
+    """scrub + ts_us + n_chars + partition columns (shared routing prep).
+
+    ``n_chars`` (post-scrub text length) is the per-turn VALUE the windowed
+    stats aggregate — computed here so the bulky text column itself still
+    never ships to the state actors."""
     t = scrub_fn(t)
     t = t.append_column("ts_us", t["ts"].cast(pa.int64()))
+    n_chars = pc.fill_null(pc.utf8_length(t["text"]), 0).cast(pa.int64())
+    t = t.append_column("n_chars", n_chars)
     part = partition_table(t, "conv_id", num_partitions, hot_keys=hot_keys)
     return t.append_column("part", pa.array(part))
 
@@ -428,7 +479,7 @@ def _prepare_table(t: pa.Table, scrub_fn, num_partitions: int,
 # Only the narrow fold columns reach the state actors — the text column (the
 # bulk of every row) is emitted at route time and never crosses the object
 # store twice.
-_INGEST_COLS = ["conv_id", "turn_idx", "role", "tool", "ts_us"]
+_INGEST_COLS = ["conv_id", "turn_idx", "role", "tool", "ts_us", "n_chars"]
 
 
 def _route_table(t: pa.Table, actors, epoch: int,

@@ -31,7 +31,7 @@ from __future__ import annotations
 import json
 import os
 
-STREAMS = ("turns", "sessions", "matches", "windows", "sliding", "late")
+STREAMS = ("turns", "sessions", "matches", "windows", "wstats", "sliding", "late")
 
 
 class EpochSink:

@@ -33,6 +33,9 @@ _EMPTY = {
     "users": {"conv_id": str, "ts_us": np.int64, "turn_idx": np.int32},
     "tools": {"conv_id": str, "ts_us": np.int64, "turn_idx": np.int32, "tool": str},
     "windows": {"conv_id": str, "window_start_us": np.int64, "n": np.int64},
+    # per-window VALUE aggregate state (n/sum/min/max of turn text length)
+    "wstats": {"conv_id": str, "window_start_us": np.int64, "n": np.int64,
+               "sum_c": np.int64, "min_c": np.int64, "max_c": np.int64},
     # "sliding" holds per-(conv, slide-bucket) counts; window_start_us is the
     # BUCKET start (windows are rolled up from buckets at emission time).
     "sliding": {"conv_id": str, "window_start_us": np.int64, "n": np.int64},
@@ -45,13 +48,14 @@ _SORT_KEYS = {
     "users": ["conv_id", "ts_us", "turn_idx"],
     "tools": ["conv_id", "ts_us", "turn_idx"],
     "windows": ["conv_id", "window_start_us"],
+    "wstats": ["conv_id", "window_start_us"],
     "sliding": ["conv_id", "window_start_us"],
     "meta": ["conv_id"],
 }
 
 # Superset schema used by the single-file snapshot.
 _SNAP_COLS = ["kind", "conv_id", "start_us", "end_us", "n", "ts_us", "turn_idx", "tool",
-              "window_start_us"]
+              "window_start_us", "sum_c", "min_c", "max_c"]
 
 
 def _empty_frame(kind: str) -> pd.DataFrame:
@@ -90,7 +94,7 @@ class SortedStateStore:
     # O(epoch delta + open state), not O(total state).
 
     _BULKY = ("users", "tools")
-    _OPEN = ("sessions", "windows", "sliding", "meta")
+    _OPEN = ("sessions", "windows", "wstats", "sliding", "meta")
 
     def snapshot(self, path: str, mode: str = "full",
                  delta: dict[str, pd.DataFrame] | None = None,

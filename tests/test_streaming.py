@@ -75,6 +75,11 @@ def _check_outputs(out_dir: str, golden: dict):
         ["conv_id", "window_start_us", "n_turns"],
     )
     assert_stream_equal(
+        read_stream(out_dir, "wstats"), golden["wstats"],
+        ["conv_id", "window_start_us", "n_turns", "sum_chars", "min_chars",
+         "max_chars"],
+    )
+    assert_stream_equal(
         read_stream(out_dir, "sliding"), golden["sliding"],
         ["conv_id", "window_start_us", "n_turns"],
     )
