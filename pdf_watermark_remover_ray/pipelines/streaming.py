@@ -144,16 +144,16 @@ class StatePartition:
         live = tbl.select(_INGEST_COLS).to_pandas()
         self._delta = {}  # per-epoch join-buffer appends (delta snapshot)
         self._fold_sessions(live)
-        self._fold_windows(live)
-        self._fold_wstats(live)
+        self._fold_wstats(live)  # one fold feeds BOTH windows and wstats
         self._fold_sliding(live)
         self._fold_join(live)
         t_fold = time.monotonic()
 
+        n_windows, n_wstats = self._emit_tumbling(wm_after_us, epoch)
         emitted = {
             "sessions": self._emit_sessions(wm_after_us, epoch),
-            "windows": self._emit_windows(wm_after_us, epoch),
-            "wstats": self._emit_wstats(wm_after_us, epoch),
+            "windows": n_windows,
+            "wstats": n_wstats,
             "sliding": self._emit_sliding(wm_after_us, epoch),
             "matches": self._emit_matches(wm_after_us, epoch),
         }
@@ -198,22 +198,13 @@ class StatePartition:
         self.store.put("sessions", merged)
         return len(merged)
 
-    def _fold_windows(self, live: pd.DataFrame) -> int:
-        if len(live) == 0:
-            return 0
-        ws = self.cfg.tumbling_spec.assign(live["ts_us"].to_numpy(np.int64))
-        new = pd.DataFrame({"conv_id": live["conv_id"].to_numpy(), "window_start_us": ws,
-                            "n": np.ones(len(live), dtype=np.int64)})
-        allw = pd.concat([self.store.get("windows"), new], ignore_index=True)
-        agg = allw.groupby(["conv_id", "window_start_us"], sort=False, as_index=False)["n"].sum()
-        self.store.put("windows", agg)
-        return len(agg)
-
     def _fold_wstats(self, live: pd.DataFrame) -> int:
         """Per-(conv, tumbling window) VALUE aggregate of the turn text
         length: n / sum / min / max — all decomposable, so the open-window
         state folds by the same combine and stays one row per open window
-        (the streaming counterpart of stages/windows.windowed_stats)."""
+        (the streaming counterpart of stages/windows.windowed_stats).  The
+        count-window stream is the ``n`` projection of this state, so ONE
+        fold and ONE eviction serve both output streams."""
         if len(live) == 0:
             return 0
         ws = self.cfg.tumbling_spec.assign(live["ts_us"].to_numpy(np.int64))
@@ -230,27 +221,39 @@ class StatePartition:
         self.store.put("wstats", agg)
         return len(agg)
 
-    def _emit_wstats(self, wm_us: int, epoch: int) -> int:
-        """Same strict emission rule as the count windows:
-        ``window_start + size <= wm``."""
+    def _emit_tumbling(self, wm_us: int, epoch: int) -> tuple[int, int]:
+        """Emit BOTH tumbling output streams from the shared wstats state
+        (strict rule ``window_start + size <= wm``): the count-window stream
+        is the ``n`` projection, the value-stats stream carries n/sum/min/max
+        of the per-turn text length.  One state scan, one eviction."""
         w = self.store.get("wstats")
         size = self.cfg.tumbling_us
         done_mask = (w["window_start_us"].to_numpy(np.int64, copy=False) + size <= wm_us) \
             if len(w) else np.zeros(0, dtype=bool)
-        done = w[done_mask]
+        done = w[done_mask].sort_values(["conv_id", "window_start_us"],
+                                        kind="mergesort")
         self.store.put("wstats", w[~done_mask])
-        out = pd.DataFrame(
+        counts = pd.DataFrame(
+            {"conv_id": done["conv_id"].to_numpy(),
+             "window_start_us": done["window_start_us"].to_numpy(np.int64),
+             "n_turns": done["n"].to_numpy(np.int64)})
+        counts_schema = pa.schema([("conv_id", pa.string()),
+                                   ("window_start_us", pa.int64()),
+                                   ("n_turns", pa.int64())])
+        n_windows = self._write("windows", epoch, counts, counts_schema)
+        stats = pd.DataFrame(
             {"conv_id": done["conv_id"].to_numpy(),
              "window_start_us": done["window_start_us"].to_numpy(np.int64),
              "n_turns": done["n"].to_numpy(np.int64),
              "sum_chars": done["sum_c"].to_numpy(np.int64),
              "min_chars": done["min_c"].to_numpy(np.int64),
-             "max_chars": done["max_c"].to_numpy(np.int64)}
-        ).sort_values(["conv_id", "window_start_us"], kind="mergesort")
-        schema = pa.schema([("conv_id", pa.string()), ("window_start_us", pa.int64()),
-                            ("n_turns", pa.int64()), ("sum_chars", pa.int64()),
-                            ("min_chars", pa.int64()), ("max_chars", pa.int64())])
-        return self._write("wstats", epoch, out, schema)
+             "max_chars": done["max_c"].to_numpy(np.int64)})
+        stats_schema = pa.schema([("conv_id", pa.string()),
+                                  ("window_start_us", pa.int64()),
+                                  ("n_turns", pa.int64()), ("sum_chars", pa.int64()),
+                                  ("min_chars", pa.int64()), ("max_chars", pa.int64())])
+        n_wstats = self._write("wstats", epoch, stats, stats_schema)
+        return n_windows, n_wstats
 
     _SLIDING_BOUND_KEY = "sliding_emit_bound"
 
@@ -375,22 +378,6 @@ class StatePartition:
         schema = pa.schema([("conv_id", pa.string()), ("session_start_us", pa.int64()),
                             ("session_end_us", pa.int64()), ("n_turns", pa.int64())])
         return self._write("sessions", epoch, out, schema)
-
-    def _emit_windows(self, wm_us: int, epoch: int) -> int:
-        w = self.store.get("windows")
-        size = self.cfg.tumbling_us
-        done_mask = (w["window_start_us"].to_numpy(np.int64, copy=False) + size <= wm_us) \
-            if len(w) else np.zeros(0, dtype=bool)
-        done = w[done_mask]
-        self.store.put("windows", w[~done_mask])
-        out = pd.DataFrame(
-            {"conv_id": done["conv_id"].to_numpy(),
-             "window_start_us": done["window_start_us"].to_numpy(np.int64),
-             "n_turns": done["n"].to_numpy(np.int64)}
-        ).sort_values(["conv_id", "window_start_us"], kind="mergesort")
-        schema = pa.schema([("conv_id", pa.string()), ("window_start_us", pa.int64()),
-                            ("n_turns", pa.int64())])
-        return self._write("windows", epoch, out, schema)
 
     def _emit_matches(self, wm_us: int, epoch: int) -> int:
         users = self.store.get("users")
