@@ -1,0 +1,92 @@
+"""Cluster job entry point for the streaming engine.
+
+On a real multi-node cluster this is the submission path the north rule
+names:
+
+    ray job submit --working-dir . -- python jobs/run_stream.py \\
+        --input '/data/stream/*.parquet' --out /data/out --epoch-files 32 \\
+        --partitions 256 --auto-hot-keys
+
+The script owns a Ray session ONLY when none exists (``ray job submit``
+and the driver harness both pre-initialise); the engine library itself
+never calls ``ray.init``.  Exit code 0 on a clean run, 2 when any input
+file was dead-lettered and ``--strict`` is set.
+
+Prints one JSON line: rows, throughput, watermark, failed files (top-10
+sample), and per-partition metrics summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="Run the transcript streaming engine")
+    ap.add_argument("--input", required=True,
+                    help="glob of input Parquet files (arrival order = sorted)")
+    ap.add_argument("--out", required=True, help="output/checkpoint directory")
+    ap.add_argument("--epoch-files", type=int, default=32)
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--lateness-us", type=int, default=15_000_000)
+    ap.add_argument("--session-gap-us", type=int, default=30_000_000)
+    ap.add_argument("--join-gap-us", type=int, default=30_000_000)
+    ap.add_argument("--tumbling-us", type=int, default=60_000_000)
+    ap.add_argument("--auto-hot-keys", action="store_true")
+    ap.add_argument("--compact", action="store_true",
+                    help="compact committed epochs after the run")
+    ap.add_argument("--strict", action="store_true",
+                    help="exit 2 if any input file failed")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 include_dashboard=False, logging_level="ERROR")
+
+    from pdf_watermark_remover_ray.config import StreamConfig
+    from pdf_watermark_remover_ray.pipelines.streaming import StreamingEngine
+
+    paths = sorted(glob.glob(args.input))
+    cfg = StreamConfig(num_partitions=args.partitions,
+                       lateness_us=args.lateness_us,
+                       session_gap_us=args.session_gap_us,
+                       join_gap_us=args.join_gap_us,
+                       tumbling_us=args.tumbling_us)
+    eng = StreamingEngine(paths, args.out, cfg, epoch_files=args.epoch_files,
+                          auto_hot_keys=args.auto_hot_keys)
+    t0 = time.monotonic()
+    res = eng.run()
+    wall = time.monotonic() - t0
+    if args.compact:
+        eng.compact()
+    rows = sum(m.get("rows", 0) for m in res.get("epochs", []))
+    metrics = eng.metrics_df()
+    summary = {
+        "rows": int(rows),
+        "wall_s": round(wall, 3),
+        "rows_per_s": round(rows / wall, 1) if wall else None,
+        "epochs": len(res.get("epochs", [])),
+        "resumed_done": bool(res.get("resumed_done", False)),
+        "all_succeeded": bool(res.get("all_succeeded", True)),
+        "failed_files_sample": res.get("failed_files_sample", []),
+        "hot_keys": list(eng.cfg.hot_keys),
+        "partitions": eng.cfg.total_partitions,
+        "max_partition_lag_us": (int(metrics["wm_lag_us"].max())
+                                 if len(metrics) and "wm_lag_us" in metrics
+                                 and metrics["wm_lag_us"].notna().any() else None),
+    }
+    print(json.dumps(summary))
+    if args.strict and not summary["all_succeeded"]:
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

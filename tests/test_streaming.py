@@ -434,3 +434,39 @@ def test_kill_at_every_epoch_chain_resume(fixture, tmp_path):
             kill_after_epoch=e)
     StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES).run()
     _check_outputs(out, golden)
+
+
+def test_job_entry_point(fixture, tmp_path):
+    """jobs/run_stream.py (the `ray job submit` payload) runs standalone in a
+    fresh process, resumes idempotently, and reports a JSON summary."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    table, paths, golden = fixture
+    out = str(tmp_path / "out_job")
+    indir = os.path.dirname(paths[0])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, RAY_ADDRESS="local",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    cmd = [sys.executable, os.path.join(repo, "jobs", "run_stream.py"),
+           "--input", f"{indir}/*.parquet", "--out", out,
+           "--epoch-files", str(EPOCH_FILES), "--partitions", "4",
+           "--lateness-us", str(CFG.lateness_us),
+           "--session-gap-us", str(CFG.session_gap_us),
+           "--join-gap-us", str(CFG.join_gap_us),
+           "--tumbling-us", str(CFG.tumbling_us),
+           "--compact", "--strict"]
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                          timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == len(table) and summary["all_succeeded"]
+    _check_outputs(out, golden)
+    # rerun = resume no-op
+    proc2 = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                           timeout=300)
+    assert proc2.returncode == 0
+    s2 = _json.loads(proc2.stdout.strip().splitlines()[-1])
+    assert s2["resumed_done"] is True and s2["rows"] == 0
