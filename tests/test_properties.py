@@ -151,3 +151,32 @@ def test_epoch_slicing_conservation_and_invariance(tmp_path):
         outs.append(s)
     pd.testing.assert_frame_equal(outs[0], outs[2])
     pd.testing.assert_frame_equal(outs[1], outs[3])
+
+
+@given(
+    size_mult=st.integers(min_value=1, max_value=12),
+    slide_mult=st.integers(min_value=1, max_value=12),
+    unit=st.sampled_from([1, 3, 7, 10]),
+    ts=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_sliding_gcd_bucket_windows_match_per_event(size_mult, slide_mult,
+                                                    unit, ts):
+    """For ANY size/slide (divisible or not): the windows assigned to an
+    event's gcd-bucket are exactly the per-event window memberships — the
+    invariant the streaming rollup relies on."""
+    from pdf_watermark_remover_ray.config import Sliding
+
+    spec = Sliding(size_us=size_mult * unit, slide_us=slide_mult * unit)
+    size, slide, g = spec.size_us, spec.slide_us, spec.bucket_us
+    n_off = spec.n_windows_per_bucket()
+    for t in ts:
+        # per-event membership: ws = k*slide with t-size < ws <= t
+        per_event = {k * slide for k in range((t - size) // slide + 1,
+                                              t // slide + 1) if k * slide <= t}
+        b = spec.assign_bucket(t)
+        top = (b // slide) * slide
+        via_bucket = {top - j * slide for j in range(n_off)
+                      if top - j * slide >= b + g - size}
+        assert via_bucket == per_event, (size, slide, t, b)
