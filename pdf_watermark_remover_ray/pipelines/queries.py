@@ -2,10 +2,14 @@
 its DuckDB oracle SQL (the driver's correctness gate).
 
 Column names match between Ray results and SQL (the driver sorts columns by
-name and value-hashes), floats are rounded identically on both sides, and
-non-SQL-expressible operators (span-surgery scrub, LSH families, the
-streaming engine itself) ship without an oracle entry → rows-only check,
-with their real goldens in tests/.
+name and value-hashes), and floats are rounded identically on both sides.
+The hash-based families (MinHash-LSH, SimHash, hyperplane-LSH ANN, KMV,
+winnow) use md5-prefix hashes + literal-embedded seed constants precisely so
+DuckDB can replay them EXACTLY (see the _*_sql builders below).  Only the
+genuinely non-SQL operators ship without an oracle entry → rows-only check,
+with their real goldens in tests/: span-surgery scrub (`scrub_full`), the
+streaming engine itself (`streaming_e2e`), and IVF ANN (data-dependent
+k-means centroids; the clustered variant is equality-tested against it).
 """
 
 from __future__ import annotations
