@@ -1,0 +1,72 @@
+"""Deterministic sampling / dataset splitting (training-data staples).
+
+Both operators key off the md5-prefix hash of the stable document id — NOT
+``random()`` — so they are reproducible across runs, machines and partition
+layouts, and the DuckDB oracle replays them exactly.  At 100 TB this is the
+only sane sampling design: a re-run (or a resumed run) must select the same
+rows without coordinating state.
+
+- :func:`sample_documents` — Bernoulli sample: keep doc iff
+  ``md5_u64(str(doc_id)) % 100 < pct``.
+- :func:`split_documents` — train/val/test assignment from the same hash
+  (bucket < 90 → train, < 95 → val, else test by default); disjoint and
+  exhaustive by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from .hashing import md5_u64
+
+
+def _hash_bucket(ids: pd.Series, mod: int = 100) -> np.ndarray:
+    return (md5_u64([str(int(i)) for i in ids]) % np.uint64(mod)).astype(np.int64)
+
+
+def sample_documents(sf_dir: str, pct: int = 10):
+    """Deterministic ~pct% Bernoulli sample of the documents table."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_hash_bucket(df["doc_id"]) < pct]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def split_documents(sf_dir: str, train_pct: int = 90, val_pct: int = 5):
+    """Deterministic disjoint train/val/test split assignment."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        b = _hash_bucket(df["doc_id"])
+        split = np.where(b < train_pct, "train",
+                         np.where(b < train_pct + val_pct, "val", "test"))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "split": split})
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def sample_oracle_sql(pct: int = 10) -> str:
+    return f"""
+        SELECT doc_id, text FROM documents
+        WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+              % 100 < {pct}"""
+
+
+def split_oracle_sql(train_pct: int = 90, val_pct: int = 5) -> str:
+    return f"""
+        SELECT doc_id,
+               CASE WHEN b < {train_pct} THEN 'train'
+                    WHEN b < {train_pct + val_pct} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                     % 100 AS b
+              FROM documents)"""

@@ -19,6 +19,12 @@ import pandas as pd
 
 from ..config import ScrubConfig, StreamConfig
 from ..functions.scrub import scrub_dataset
+from ..functions.sampling import (
+    sample_documents,
+    sample_oracle_sql,
+    split_documents,
+    split_oracle_sql,
+)
 from ..functions.sketches import approx_distinct_users, kmv_oracle_sql
 from ..sources.transcripts import TRANSCRIPTS_CTE, derive_transcripts
 from ..stages.join import stream_join
@@ -189,6 +195,8 @@ def queries() -> dict:
         "prev_order_gap": relational.prev_order_gap,
         "running_revenue": relational.running_revenue,
         "approx_distinct_users": approx_distinct_users,
+        "sample_documents": sample_documents,
+        "split_documents": split_documents,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -536,6 +544,8 @@ def oracle_sql() -> dict:
                                              ELSE 0.0 END), 6) AS quality_score
             FROM base""",
         "approx_distinct_users": kmv_oracle_sql(k=64),
+        "sample_documents": sample_oracle_sql(),
+        "split_documents": split_oracle_sql(),
         "minhash_lsh_pairs": _minhash_sql(threshold=0.5),
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "ann_topk_lsh": _ann_lsh_sql(),
