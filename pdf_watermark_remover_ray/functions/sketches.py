@@ -80,6 +80,82 @@ def approx_distinct_users(sf_dir: str, k: int = 64) -> pd.DataFrame:
     return approx_distinct(ds, "event_type", "user_id", k=k)
 
 
+def heavy_hitters(ds, col: str, width: int = 64) -> pd.DataFrame:
+    """EXACT heavy hitters (items with frequency > n/width) with
+    sketch-bounded intermediates — the Misra-Gries candidate-then-verify
+    pattern:
+
+    1. candidate pass: each batch emits only items with batch frequency
+       > batch_n/width — at most ``width`` survivors per batch regardless of
+       column cardinality (the Misra-Gries retention guarantee).  Pigeonhole
+       gives NO false negatives: a globally heavy item (freq > n/width) must
+       be batch-heavy in at least one batch, since freq = Σ freq_b ≤
+       Σ n_b/width = n/width otherwise.
+    2. verify pass: exact counts of the (small, broadcast) candidate set +
+       the exact total, then the true threshold filter — so the OUTPUT is
+       exactly the brute-force answer, while the shuffle moved O(width ×
+       batches) candidate partials instead of per-item counts of an
+       unbounded domain.  Same shape as the LSH candidate→verify dedups.
+
+    Returns (item, n) for every item with n · width > total, count desc."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def candidates(t: pa.Table) -> pa.Table:
+        s = t[col].to_pandas().dropna()
+        vc = s.value_counts()
+        heavy = list(vc[vc * width > len(s)].index.astype(str))
+        # a null-item row carries the batch size even when nothing survives,
+        # so the exact total is never undercounted
+        items = heavy if heavy else ([None] if len(s) else [])
+        rows = ([len(s)] + [0] * (len(items) - 1)) if items else []
+        return pa.table({"item": pa.array(items, pa.string()),
+                         "batch_rows": pa.array(rows, pa.int64())})
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    total = int(cand["batch_rows"].sum())
+    cand_set = cand["item"].dropna().unique()
+    if not len(cand_set) or total == 0:
+        return pd.DataFrame({"item": pd.Series([], dtype=str),
+                             "n": pd.Series([], dtype=np.int64)})
+    ref = ray.put(set(cand_set))
+
+    def counts(t: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        s = t[col].to_pandas().dropna().astype(str)
+        vc = s[s.isin(want)].value_counts()
+        return pa.table({"item": pa.array(vc.index.astype(str)),
+                         "partial_n": pa.array(vc.to_numpy(), pa.int64())})
+
+    merged = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("item").aggregate(Sum("partial_n", alias_name="n")) \
+        .to_pandas()
+    out = merged[merged["n"] * width > total][["item", "n"]]
+    return out.sort_values(["n", "item"], ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
+def heavy_hitter_events(sf_dir: str, width: int = 8) -> pd.DataFrame:
+    """Event types holding more than 1/8 of all events (non-empty at every
+    sf: the 5-type distribution always has members above 12.5%)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return heavy_hitters(ds, "event_type", width=width)
+
+
+def heavy_hitters_oracle_sql(col: str = "event_type", table: str = "events",
+                             width: int = 8) -> str:
+    """Brute-force SQL mirror — valid because candidate→verify makes the
+    engine output exactly the true threshold set (integer arithmetic only)."""
+    return f"""
+        SELECT CAST({col} AS VARCHAR) AS item, count(*) AS n
+        FROM {table} WHERE {col} IS NOT NULL
+        GROUP BY {col}
+        HAVING count(*) * {width} > (SELECT count(*) FROM {table}
+                                     WHERE {col} IS NOT NULL)"""
+
+
 def kmv_oracle_sql(group_col: str = "event_type", value_col: str = "user_id",
                    table: str = "events", k: int = _K) -> str:
     """The DuckDB mirror of :func:`approx_distinct`: same md5-prefix hash,

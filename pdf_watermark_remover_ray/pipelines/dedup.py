@@ -453,6 +453,111 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, concurrency: int = 2):
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def connected_components(edges, num_partitions: int = 16, max_rounds: int = 64):
+    """Distributed connected components over an edge Dataset ``(u, v)`` —
+    returns a Dataset ``(node, label)`` where ``label`` is the component's
+    minimum node id.
+
+    Hash-to-min formulation (Rastogi et al., "Finding Connected Components in
+    Map-Reduce in Logarithmic Rounds", 2012 — public): each round, every node
+    ``u`` sends the minimum of its neighborhood ``C(u) = {u} ∪ N(u)`` to all
+    of ``C(u)``; edge sets converge to stars centered at component minima in
+    O(log diameter) rounds.  Each round is ONE hash shuffle of the current
+    edge frontier (symmetrize → partition by node → vectorized per-node min
+    emit) — the corpus itself never moves, only near-dup edges, and the
+    driver holds nothing but the round loop and a 3-number convergence
+    signature (count, Σu, Σv).  Per-round ``materialize()`` is on the edge
+    frontier (bounded by the near-dup pair count), deliberately NOT on any
+    input table."""
+    from ray.data.aggregate import Sum
+
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "u": np.concatenate([df["u"].to_numpy(np.int64),
+                                 df["v"].to_numpy(np.int64)]),
+            "v": np.concatenate([df["v"].to_numpy(np.int64),
+                                 df["u"].to_numpy(np.int64)]),
+        })
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "v"])
+        gm = g.groupby("u", sort=False)["v"].min()
+        nodes = gm.index.to_numpy(np.int64)
+        m = np.minimum(gm.to_numpy(np.int64), nodes)  # min over {u} ∪ N(u)
+        mu = pd.Series(m, index=nodes)
+        src = np.concatenate([g["v"].to_numpy(np.int64), nodes])
+        dst = np.concatenate([mu[g["u"].to_numpy(np.int64)].to_numpy(np.int64),
+                              m])
+        keep = src != dst
+        out = pd.DataFrame({"u": src[keep], "v": dst[keep]})
+        return out.drop_duplicates(["u", "v"])
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        sym = edges.map_batches(symmetrize, batch_format="pandas")
+        part = add_partition_column(sym, key="u", num_partitions=num_partitions)
+        edges = part.groupby("part").map_groups(
+            propagate, batch_format="pandas").materialize()
+        agg = edges.aggregate(Sum("u", alias_name="su"), Sum("v", alias_name="sv"))
+        sig = (edges.count(), int(agg["su"] or 0), int(agg["sv"] or 0))
+        if sig == prev_sig:  # deterministic round fn: same set in ⇒ same set out
+            break
+        prev_sig = sig
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: no fixpoint after %d rounds; labels may "
+            "reflect a partially-contracted graph", max_rounds)
+
+    def to_labels(df: pd.DataFrame) -> pd.DataFrame:
+        # star edges (x, m): every non-rep x labels m; reps label themselves
+        return pd.DataFrame({
+            "node": np.concatenate([df["u"].to_numpy(np.int64),
+                                    df["v"].to_numpy(np.int64)]),
+            "label": np.concatenate([df["v"].to_numpy(np.int64),
+                                     df["v"].to_numpy(np.int64)]),
+        })
+
+    labels = edges.map_batches(to_labels, batch_format="pandas")
+    labels = add_partition_column(labels, key="node",
+                                  num_partitions=num_partitions)
+
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        gm = g.groupby("node", sort=False)["label"].min()
+        nodes = gm.index.to_numpy(np.int64)
+        return pd.DataFrame({"node": nodes,
+                             "label": np.minimum(gm.to_numpy(np.int64), nodes)})
+
+    return labels.groupby("part").map_groups(min_label, batch_format="pandas")
+
+
+_EMPTY_CLUSTERS = {"doc_id": pd.Series([], dtype=np.int64),
+                   "rep_id": pd.Series([], dtype=np.int64)}
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.5):
+    """Near-dup clusters: MinHash-LSH verified pairs → connected components →
+    one representative (min doc_id) per cluster.  Output: ``(doc_id,
+    rep_id)`` for every doc in at least one near-dup pair; the dedup keep
+    list is ``doc_id == rep_id`` plus all unpaired docs.
+
+    This is the capstone the pair-emitting dedup ops feed at 100 TB: pairs
+    are transitive ("A≈B, B≈C" must collapse to ONE survivor), so cluster
+    formation has to run before any row is dropped.  Oracle: the same
+    MinHash SQL replay + a recursive-CTE reachability closure."""
+    pairs = minhash_lsh_pairs(sf_dir, threshold)
+    if not len(pairs):
+        return pd.DataFrame(_EMPTY_CLUSTERS)
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "u": pairs["doc_a"].to_numpy(np.int64),
+        "v": pairs["doc_b"].to_numpy(np.int64)}))
+    out = connected_components(edges).to_pandas()
+    return pd.DataFrame({"doc_id": out["node"].to_numpy(np.int64),
+                         "rep_id": out["label"].to_numpy(np.int64)}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.30,
                         tile_rows: int = 4096):
     """Pairs of embeddings with cosine similarity ≥ θ.

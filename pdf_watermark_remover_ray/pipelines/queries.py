@@ -25,7 +25,12 @@ from ..functions.sampling import (
     split_documents,
     split_oracle_sql,
 )
-from ..functions.sketches import approx_distinct_users, kmv_oracle_sql
+from ..functions.sketches import (
+    approx_distinct_users,
+    heavy_hitter_events,
+    heavy_hitters_oracle_sql,
+    kmv_oracle_sql,
+)
 from ..sources.transcripts import TRANSCRIPTS_CTE, derive_transcripts
 from ..stages.join import stream_join
 from ..stages.watermark import late_rows
@@ -192,15 +197,18 @@ def queries() -> dict:
         "topk_orders_per_customer": relational.topk_orders_per_customer,
         "order_priority_counts": relational.order_priority_counts,
         "events_windowed_stats": relational.events_windowed_stats,
+        "events_quantiles": relational.events_quantiles,
         "prev_order_gap": relational.prev_order_gap,
         "running_revenue": relational.running_revenue,
         "approx_distinct_users": approx_distinct_users,
+        "heavy_hitter_events": heavy_hitter_events,
         "sample_documents": sample_documents,
         "split_documents": split_documents,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         # similarity search
@@ -231,13 +239,11 @@ BIGRAMS_SQL = (
 )
 
 
-def _minhash_sql(threshold: float = 0.5) -> str:
-    """DuckDB replay of the FULL MinHash-LSH pipeline: identical md5-prefix
-    shingle hashes, identical (a·x+b) mod 2^31-1 signatures (the constants
-    are embedded literally — they are data-independent functions of the
-    seed), identical Horner band hashes, the same bucket-candidate set and
-    the same exact-Jaccard verification.  Everything stays below 2^62 so
-    DuckDB's overflow-checked BIGINT arithmetic never trips."""
+def _minhash_ctes(threshold: float = 0.5) -> tuple[str, str]:
+    """The MinHash-LSH replay as (CTE list, final pair select) so callers can
+    splice it into a larger WITH clause (``_clusters_sql`` adds a recursive
+    closure on top; DuckDB rejects a nested WITH inside a CTE body when the
+    body is a UNION)."""
     from .dedup import MINHASH_M, MINHASH_P, N_BANDS, N_HASHES, _minhash_params
 
     a, b = _minhash_params()
@@ -245,8 +251,8 @@ def _minhash_sql(threshold: float = 0.5) -> str:
     assert rows_per_band == 4  # the Horner fold below is written for 4 rows
     params = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(N_HASHES))
     p, m = MINHASH_P, MINHASH_M
-    return f"""
-        WITH toksed AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+    ctes = f"""
+        toksed AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
         sh AS (SELECT doc_id, {BIGRAMS_SQL} AS grams FROM toksed),
         gx AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
         hx AS (SELECT doc_id,
@@ -276,11 +282,24 @@ def _minhash_sql(threshold: float = 0.5) -> str:
             FROM cand c
             JOIN sh x ON x.doc_id = c.doc_a
             JOIN sh y ON y.doc_id = c.doc_b),
-        empties AS (SELECT doc_id FROM sh WHERE len(grams) = 0)
+        empties AS (SELECT doc_id FROM sh WHERE len(grams) = 0)"""
+    final = f"""
         SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
         UNION
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, 1.0 AS jaccard
         FROM empties x JOIN empties y ON x.doc_id < y.doc_id"""
+    return ctes, final
+
+
+def _minhash_sql(threshold: float = 0.5) -> str:
+    """DuckDB replay of the FULL MinHash-LSH pipeline: identical md5-prefix
+    shingle hashes, identical (a·x+b) mod 2^31-1 signatures (the constants
+    are embedded literally — they are data-independent functions of the
+    seed), identical Horner band hashes, the same bucket-candidate set and
+    the same exact-Jaccard verification.  Everything stays below 2^62 so
+    DuckDB's overflow-checked BIGINT arithmetic never trips."""
+    ctes, final = _minhash_ctes(threshold)
+    return f"WITH {ctes} {final}"
 
 
 def _simhash_sql(max_hamming: int = 3) -> str:
@@ -349,6 +368,25 @@ def _ann_lsh_sql(n_queries: int = 10, k: int = 5, n_planes: int = 6,
         QUALIFY row_number() OVER (
             PARTITION BY q.query_id
             ORDER BY list_cosine_similarity(q.qe, e.emb) DESC, e.vec_id ASC) <= {k}"""
+
+
+def _clusters_sql(threshold: float = 0.5) -> str:
+    """MinHash pair replay + recursive-CTE reachability closure: each node's
+    rep is the min label reachable through the near-dup pair graph —
+    SQL-exact vs the engine's hash-to-min connected components."""
+    ctes, final = _minhash_ctes(threshold)
+    return f"""
+        WITH RECURSIVE {ctes},
+        pairs AS ({final}),
+        nodes AS (SELECT doc_a AS node FROM pairs
+                  UNION SELECT doc_b FROM pairs),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node)
+        SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node"""
 
 
 def oracle_sql() -> dict:
@@ -472,6 +510,16 @@ def oracle_sql() -> dict:
                    count(*) AS n, round(sum(value), 2) AS sum_value,
                    round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
             FROM events GROUP BY 1, 2""",
+        # quantile_disc picks an actual element (sorted index ceil(q·n)−1, no
+        # interpolation) — float-order-insensitive, so it hash-matches the
+        # engine's distributed value-counts selection exactly
+        "events_quantiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS p50_value,
+                   quantile_disc(value, 0.75) AS p75_value,
+                   quantile_disc(value, 0.95) AS p95_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type""",
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text""",
@@ -544,9 +592,11 @@ def oracle_sql() -> dict:
                                              ELSE 0.0 END), 6) AS quality_score
             FROM base""",
         "approx_distinct_users": kmv_oracle_sql(k=64),
+        "heavy_hitter_events": heavy_hitters_oracle_sql(width=8),
         "sample_documents": sample_oracle_sql(),
         "split_documents": split_oracle_sql(),
         "minhash_lsh_pairs": _minhash_sql(threshold=0.5),
+        "dedup_clusters": _clusters_sql(threshold=0.5),
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "ann_topk_lsh": _ann_lsh_sql(),
         "token_counts": f"""

@@ -228,6 +228,51 @@ def running_revenue(sf_dir: str, num_partitions: int = 16):
     return ds.groupby("part").map_groups(cum, batch_format="pandas")
 
 
+def events_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.75, 0.95)):
+    """Exact per-event-type quantiles of ``value`` as a DISTRIBUTED
+    value-counts rollup — no per-group row materialization:
+
+    1. per-batch ``(event_type, value) → count`` partials (map_batches);
+    2. one small groupby-sum shuffle that moves DISTINCT (type, value) pairs
+       — for a bounded-precision value domain (2-decimal readings here) this
+       is O(|domain|) per type regardless of row count, so it holds at
+       10^12 rows where a sort-based exact quantile would shuffle everything;
+    3. per-type sorted cumulative-count selection.
+
+    Selection rule = sorted element at index ``ceil(q·n) − 1`` — DuckDB's
+    ``quantile_disc``, an actual data element (no interpolation), so the
+    oracle hash-matches without float-order sensitivity.  For unbounded/
+    continuous domains at scale, swap stage 2's key for a fixed-width value
+    histogram (the same topology, bounded by construction, approximate)."""
+    import math
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["event_type", "value"], sort=False).size() \
+            .reset_index(name="partial_n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["event_type", "value"]) \
+        .aggregate(Sum("partial_n", alias_name="n"))
+
+    def select_quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value", kind="mergesort")
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy()
+        vals = g["value"].to_numpy()
+        row = {"event_type": [g["event_type"].iloc[0]], "n": [n]}
+        for q in qs:
+            idx = min(max(math.ceil(q * n) - 1, 0), n - 1)
+            row[f"p{int(q * 100)}_value"] = [vals[np.searchsorted(cum, idx + 1)]]
+        return pd.DataFrame(row)
+
+    return counts.groupby("event_type").map_groups(
+        select_quantiles, batch_format="pandas")
+
+
 def events_windowed_stats(sf_dir: str, size_us: int = 86_400_000_000):
     """Daily tumbling per event_type: count / sum / min / max of value."""
     from ..stages.windows import windowed_stats

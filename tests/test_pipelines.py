@@ -463,3 +463,109 @@ def test_ivf_clustered_layout_matches_inmemory(planted_dir, tmp_path):
     before = {d: os.path.getmtime(d) for d in dirs}
     ivf_build(planted_dir, idx_dir, n_lists=4)
     assert {d: os.path.getmtime(d) for d in dirs} == before
+
+
+def test_connected_components_random_vs_union_find():
+    """Property: hash-to-min CC labels equal a pure-Python union-find oracle
+    on random graphs (chains, cliques, isolated pairs all arise)."""
+    import ray.data
+
+    from pdf_watermark_remover_ray.pipelines.dedup import connected_components
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = 60
+        m = int(rng.integers(20, 80))
+        u = rng.integers(0, n, size=m).astype(np.int64)
+        v = rng.integers(0, n, size=m).astype(np.int64)
+        keep = u != v
+        edges = pd.DataFrame({"u": u[keep], "v": v[keep]})
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(edges["u"], edges["v"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = sorted(set(edges["u"]) | set(edges["v"]))
+        want = {x: find(x) for x in touched}
+        got = connected_components(
+            ray.data.from_pandas(edges), num_partitions=4).to_pandas()
+        got_map = dict(zip(got["node"].astype(int), got["label"].astype(int)))
+        assert got_map == want, f"trial {trial}"
+
+
+def test_dedup_clusters_planted(planted_dir):
+    """40=41≈42≈43 collapse into one cluster represented by min id 40."""
+    from pdf_watermark_remover_ray.pipelines.dedup import dedup_clusters
+
+    out = dedup_clusters(planted_dir, threshold=0.5)
+    got = dict(zip(out["doc_id"].astype(int), out["rep_id"].astype(int)))
+    assert got[40] == 40 and got[41] == 40 and got[42] == 40
+    # transitivity: 43 pairs with 40/42 at this threshold via LSH — if it
+    # appears at all it must share rep 40 (never form a second cluster)
+    for d, r in got.items():
+        assert r <= d
+
+
+def test_events_quantiles_rule(planted_dir, tmp_path):
+    """quantile selection = sorted element at ceil(q·n)−1 (quantile_disc)."""
+    import math
+
+    import duckdb
+
+    from pdf_watermark_remover_ray.pipelines.relational import events_quantiles
+
+    rng = np.random.default_rng(11)
+    n = 500
+    vals = rng.uniform(0, 100, n).round(2)
+    types = rng.choice(["a", "b", "c"], n)
+    pq.write_table(pa.table({
+        "event_type": pa.array(types), "value": pa.array(vals),
+        "ts": pa.array([pd.Timestamp("2024-01-01")] * n)}),
+        str(tmp_path / "events.parquet"))
+    out = events_quantiles(str(tmp_path)).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    for _, row in out.iterrows():
+        sub = np.sort(vals[types == row["event_type"]])
+        assert row["n"] == len(sub)
+        for q, c in ((0.5, "p50_value"), (0.75, "p75_value"), (0.95, "p95_value")):
+            assert row[c] == sub[min(max(math.ceil(q * len(sub)) - 1, 0),
+                                     len(sub) - 1)]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    from pdf_watermark_remover_ray.pipelines.queries import oracle_sql
+
+    odf = con.execute(oracle_sql()["events_quantiles"]).df() \
+        .sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[sorted(out.columns)], odf[sorted(odf.columns)], check_dtype=False)
+
+
+def test_heavy_hitters_high_cardinality(tmp_path):
+    """Zipf-ish high-cardinality column: output equals brute force; the
+    candidate pass stays bounded at `width` survivors per batch."""
+    import ray.data
+
+    from pdf_watermark_remover_ray.functions.sketches import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    # 3 planted heavy users over a 5000-distinct long tail
+    tail = rng.integers(1000, 6000, size=20_000)
+    heavy = np.repeat([1, 2, 3], 4000)
+    col = np.concatenate([tail, heavy]).astype(str)
+    rng.shuffle(col)
+    ds = ray.data.from_pandas(pd.DataFrame({"user": col}))
+    width = 16
+    out = heavy_hitters(ds, "user", width=width)
+    vc = pd.Series(col).value_counts()
+    want = vc[vc * width > len(col)]
+    assert dict(zip(out["item"], out["n"])) == \
+        {str(k): int(v) for k, v in want.items()}
+    assert set(out["item"]) == {"1", "2", "3"}
