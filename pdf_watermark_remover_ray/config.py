@@ -123,6 +123,12 @@ class StreamConfig:
     # key would split its sessions/join state across actors (SURVEY.md §7.4
     # "Skew vs sessions").  Fixed for the run → deterministic replays.
     hot_keys: tuple[str, ...] = ()
+    # Streaming exact dedup: emit each distinct post-scrub text's first-seen
+    # winner row to the ``dedup`` output stream.  Keyed by a 104-bit text
+    # hash (two 52-bit halves — exact through the snapshot's int-as-float
+    # round-trip; collision odds ~1e-8 at 10^12 rows), hash-partitioned
+    # independently of conv_id so the seen-set shards uniformly.
+    dedup_stream: bool = True
 
     def __post_init__(self) -> None:
         """Pre-flight validation (reference P2/P3 analog: the UI rejects bad

@@ -108,8 +108,16 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
         .agg(n_turns=("c", "size"), sum_chars=("c", "sum"),
              min_chars=("c", "min"), max_chars=("c", "max"))
     )
+    # streaming exact dedup: one winner per distinct scrubbed text — the min
+    # (conv_id, turn_idx) within the FIRST epoch containing that text (the
+    # engine's arrival-order-free winner rule; null text keys as "" exactly
+    # like the engine's fillna-then-hash)
+    dd = live.assign(_k=live["text"].fillna("")).sort_values(
+        ["epoch", "conv_id", "turn_idx"], kind="mergesort")
+    dedup = dd.drop_duplicates(subset=["_k"])[["conv_id", "turn_idx"]]
     return {
         "turns": live[["conv_id", "turn_idx", "role", "text", "tool", "ts", "modified"]],
+        "dedup": dedup,
         "late": late[["conv_id", "turn_idx", "ts_us", "epoch"]],
         "sessions": sessions,
         "windows": windows,

@@ -86,6 +86,10 @@ class StatePartition:
         # overlap with (pipelined) close of epoch e without mixing rows; inner
         # dict keyed by deterministic source key for retry idempotence.
         self.buffer: dict[int, dict[str, pa.Table]] = {}
+        # Second keyspace, same actor: dedup ingests are hash-partitioned by
+        # TEXT hash (h1 % P), not conv_id — the seen-set shards uniformly and
+        # independently of conversation skew.
+        self.dedup_buffer: dict[int, dict[str, pa.Table]] = {}
         if restore_epoch >= 0:
             self.store = SortedStateStore.restore_chain(
                 lambda e: self.sink.state_path(e, partition_id),
@@ -110,6 +114,13 @@ class StatePartition:
         self.buffer.setdefault(epoch, {})[source_key] = table
         return table.num_rows
 
+    def ingest_dedup(self, epoch: int, table: pa.Table, source_key: str) -> int:
+        """Idempotent dedup-keyspace ingestion: (h1, h2, conv_id, turn_idx)
+        rows whose text hash routes to this partition (same keyed-overwrite
+        retry semantics as :meth:`ingest`)."""
+        self.dedup_buffer.setdefault(epoch, {})[source_key] = table
+        return table.num_rows
+
     def retract(self, epoch: int, source_keys: list[str]) -> int:
         """Withdraw previously-ingested units of a file that failed MID-read:
         the route task buffers nothing locally (bounded memory), so
@@ -117,12 +128,13 @@ class StatePartition:
         file's keyed tables from the epoch buffer before close folds them
         (reference: a failed file contributes nothing,
         watermark_processor.py:197-202)."""
-        bucket = self.buffer.get(epoch)
         n = 0
-        if bucket:
-            for k in source_keys:
-                if bucket.pop(k, None) is not None:
-                    n += 1
+        for buf in (self.buffer, self.dedup_buffer):
+            bucket = buf.get(epoch)
+            if bucket:
+                for k in source_keys:
+                    if bucket.pop(k, None) is not None:
+                        n += 1
         return n
 
     # -- epoch close -------------------------------------------------------
@@ -157,6 +169,8 @@ class StatePartition:
             "sliding": self._emit_sliding(wm_after_us, epoch),
             "matches": self._emit_matches(wm_after_us, epoch),
         }
+        if self.cfg.dedup_stream:
+            emitted["dedup"] = self._emit_dedup(epoch)
         t_emit = time.monotonic()
         mode = "full" if epoch % self.cfg.snapshot_full_every == 0 else "delta"
         self.store.snapshot(self.sink.staging_state_path(epoch, self.pid),
@@ -363,6 +377,42 @@ class StatePartition:
         pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
         return len(df)
 
+    def _emit_dedup(self, epoch: int) -> int:
+        """Streaming exact dedup: emit the winner row of every text hash first
+        seen in this epoch (not watermark-driven — first sight is final).
+
+        Winner rule is ARRIVAL-ORDER-FREE so parallel routing can't make it
+        nondeterministic: within the first epoch containing a hash, the
+        winner is the min ``(conv_id, turn_idx)`` occurrence.  The seen-set
+        is append-only keyed state: O(distinct texts) per partition,
+        horizontally sharded by text hash, delta-snapshotted every epoch (the
+        scale path for bounded memory is a TTL or Bloom-filter variant; exact
+        dedup fundamentally remembers every distinct text)."""
+        bucket = self.dedup_buffer.pop(epoch, {})
+        tables = [t for _, t in sorted(bucket.items())]
+        schema = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                            ("h1", pa.int64()), ("h2", pa.int64())])
+        df = (pa.concat_tables(tables).to_pandas() if tables
+              else schema.empty_table().to_pandas())
+        if len(df):
+            # one winner per hash within the epoch, then anti-join vs seen
+            df = df.sort_values(["h1", "h2", "conv_id", "turn_idx"],
+                                kind="mergesort").drop_duplicates(["h1", "h2"])
+            seen = self.store.get("seen")
+            if len(seen):
+                m = df.merge(seen, on=["h1", "h2"], how="left", indicator=True)
+                df = m[m["_merge"] == "left_only"].drop(columns=["_merge"])
+            new_hashes = df[["h1", "h2"]].reset_index(drop=True)
+            self._delta["seen"] = new_hashes
+            self.store.put("seen", pd.concat([seen, new_hashes],
+                                             ignore_index=True))
+        out = df[["conv_id", "turn_idx"]].sort_values(
+            ["conv_id", "turn_idx"], kind="mergesort") if len(df) else \
+            pd.DataFrame({"conv_id": pd.Series([], dtype=str),
+                          "turn_idx": pd.Series([], dtype=np.int32)})
+        return self._write("dedup", epoch, out, pa.schema(
+            [("conv_id", pa.string()), ("turn_idx", pa.int32())]))
+
     def _emit_sessions(self, wm_us: int, epoch: int) -> int:
         s = self.store.get("sessions")
         closed_mask = s["end_us"].to_numpy(np.int64, copy=False) < wm_us - self.cfg.session_gap_us \
@@ -470,9 +520,11 @@ _INGEST_COLS = ["conv_id", "turn_idx", "role", "tool", "ts_us", "n_chars"]
 
 
 def _route_table(t: pa.Table, actors, epoch: int,
-                 source_key: str | None = None) -> None:
+                 source_key: str | None = None, wait: bool = True) -> list:
     """Partition one prepared (narrow) table and push slices to the state
-    actors.  One gather, then zero-copy range slices."""
+    actors.  One gather, then zero-copy range slices.  With ``wait=False``
+    returns the ack refs so the caller can overlap a second keyed route
+    (dedup) and block on both at once."""
     part = t["part"].to_numpy(zero_copy_only=False)
     order = np.argsort(part, kind="stable")
     sub = t.select(_INGEST_COLS).take(pa.array(order))
@@ -484,7 +536,43 @@ def _route_table(t: pa.Table, actors, epoch: int,
         if hi > lo:
             acks.append(actors[p].ingest.options(concurrency_group="ingest")
                         .remote(epoch, sub.slice(lo, hi - lo), source_key))
-    ray.get(acks)  # backpressure: done only once state holds the rows
+    if wait:
+        ray.get(acks)  # backpressure: done only once state holds the rows
+    return acks
+
+
+_HASH_MASK = np.int64((1 << 52) - 1)  # 52-bit halves: exact through the
+#                                       snapshot's int64-as-float round-trip
+
+
+def _route_dedup(live: pa.Table, actors, epoch: int, num_partitions: int,
+                 source_key: str) -> list:
+    """Second keyed route of the SAME prepared batch: (h1, h2, conv_id,
+    turn_idx) rows hash-partitioned by the post-scrub text hash.  Only these
+    four narrow columns ship — the text column itself stays in the staged
+    turn files.  Hash = two independently-keyed vectorized siphashes masked
+    to 52 bits each (104-bit composite; see exact_dedup for the batch twin).
+    Returns ack refs; the caller blocks on both keyed routes together."""
+    s = live["text"].to_pandas().fillna("")
+    h1 = (pd.util.hash_pandas_object(s, index=False).to_numpy()
+          .view(np.int64) & _HASH_MASK)
+    h2 = (pd.util.hash_pandas_object(s, index=False, hash_key="9c39a2b1f04d58e7")
+          .to_numpy().view(np.int64) & _HASH_MASK)
+    part = (h1 % num_partitions).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    narrow = pa.table({
+        "conv_id": live["conv_id"], "turn_idx": live["turn_idx"],
+        "h1": pa.array(h1), "h2": pa.array(h2)}).take(pa.array(order))
+    sorted_part = part[order]
+    bounds = np.searchsorted(sorted_part, np.arange(num_partitions + 1))
+    acks = []
+    for p in range(num_partitions):
+        lo, hi = int(bounds[p]), int(bounds[p + 1])
+        if hi > lo:
+            acks.append(actors[p].ingest_dedup
+                        .options(concurrency_group="ingest")
+                        .remote(epoch, narrow.slice(lo, hi - lo), source_key))
+    return acks
 
 
 def _emit_turns_file(sink: EpochSink, live: pa.Table, epoch: int, file_idx: int) -> int:
@@ -594,7 +682,13 @@ def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig,
                 staged.append(sink.staging_path(epoch, "late", file_idx))
                 _emit_turns_file(sink, live, epoch, file_idx)
                 _emit_late_file(sink, late_tbl, epoch, file_idx)
-                _route_table(live, actors, epoch, source_key=f"{f}#{b}")
+                acks = _route_table(live, actors, epoch,
+                                    source_key=f"{f}#{b}", wait=False)
+                if cfg.dedup_stream:
+                    acks += _route_dedup(live, actors, epoch,
+                                         cfg.num_partitions,
+                                         source_key=f"{f}#{b}")
+                ray.get(acks)  # one barrier for both keyed routes
                 ingested.append(f"{f}#{b}")
                 frows += len(t)
                 flate += len(late_tbl)

@@ -31,7 +31,8 @@ from __future__ import annotations
 import json
 import os
 
-STREAMS = ("turns", "sessions", "matches", "windows", "wstats", "sliding", "late")
+STREAMS = ("turns", "sessions", "matches", "windows", "wstats", "sliding",
+           "late", "dedup")
 
 
 class EpochSink:

@@ -41,6 +41,10 @@ _EMPTY = {
     "sliding": {"conv_id": str, "window_start_us": np.int64, "n": np.int64},
     # "meta" holds scalar state (e.g. the sliding emission bound) as rows.
     "meta": {"conv_id": str, "n": np.int64},
+    # "seen" is the streaming exact-dedup hash set (128-bit composite text
+    # hash), partitioned by h1 — append-only and never evicted, so it
+    # delta-snapshots like the join buffers but restores without thresholds.
+    "seen": {"h1": np.int64, "h2": np.int64},
 }
 
 _SORT_KEYS = {
@@ -51,11 +55,12 @@ _SORT_KEYS = {
     "wstats": ["conv_id", "window_start_us"],
     "sliding": ["conv_id", "window_start_us"],
     "meta": ["conv_id"],
+    "seen": ["h1", "h2"],
 }
 
 # Superset schema used by the single-file snapshot.
 _SNAP_COLS = ["kind", "conv_id", "start_us", "end_us", "n", "ts_us", "turn_idx", "tool",
-              "window_start_us", "sum_c", "min_c", "max_c"]
+              "window_start_us", "sum_c", "min_c", "max_c", "h1", "h2"]
 
 
 def _empty_frame(kind: str) -> pd.DataFrame:
@@ -93,7 +98,9 @@ class SortedStateStore:
     # with active keys, not stream length.  Snapshot I/O per epoch is thus
     # O(epoch delta + open state), not O(total state).
 
-    _BULKY = ("users", "tools")
+    # "seen" is append-only like the join buffers (delta-snapshotted) but
+    # restores by plain concatenation — exact dedup state never evicts.
+    _BULKY = ("users", "tools", "seen")
     _OPEN = ("sessions", "windows", "wstats", "sliding", "meta")
 
     def snapshot(self, path: str, mode: str = "full",
@@ -178,6 +185,8 @@ class SortedStateStore:
         tools = pd.concat([c["tools"] for c in chain], ignore_index=True)
         store.put("users", users[users["ts_us"] >= wm_last - join_gap_us])
         store.put("tools", tools[tools["ts_us"] >= wm_last])
+        store.put("seen", pd.concat([c["seen"] for c in chain],
+                                    ignore_index=True))
         return store
 
     @classmethod

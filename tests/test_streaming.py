@@ -87,6 +87,10 @@ def _check_outputs(out_dir: str, golden: dict):
         read_stream(out_dir, "matches"), golden["matches"],
         ["conv_id", "user_turn_idx", "tool_turn_idx", "tool", "dt_us"],
     )
+    assert_stream_equal(
+        read_stream(out_dir, "dedup"), golden["dedup"],
+        ["conv_id", "turn_idx"],
+    )
 
 
 def test_full_run_matches_oracle(fixture, tmp_path):
@@ -470,3 +474,36 @@ def test_job_entry_point(fixture, tmp_path):
     assert proc2.returncode == 0
     s2 = _json.loads(proc2.stdout.strip().splitlines()[-1])
     assert s2["resumed_done"] is True and s2["rows"] == 0
+
+
+def test_streaming_dedup_cross_epoch_and_resume(tmp_path):
+    """Heavy planted duplicates: texts repeat WITHIN and ACROSS epochs; the
+    seen-set must suppress every later occurrence (cross-epoch memory),
+    survive a kill/resume through the snapshot chain, and pick the
+    arrival-order-free winner (min (conv_id, turn_idx) in the first epoch)."""
+    import pyarrow as pa
+
+    table = generate_transcripts(n_convs=50, mean_turns=10, seed=23, late_frac=0.05)
+    # cycle the text column through 20 distinct strings over the whole run:
+    # every epoch re-sees most of them
+    texts = [f"dup text {i % 20} payload" for i in range(len(table))]
+    table = table.set_column(
+        table.schema.get_field_index("text"), "text", pa.array(texts))
+    d = tmp_path / "dup_in"
+    paths = write_transcripts(table, str(d), num_files=NUM_FILES, split_by="ts")
+    golden = streaming_oracle(table, NUM_FILES, EPOCH_FILES, CFG)
+    assert len(golden["dedup"]) == 20  # all duplicates collapsed
+    out = str(tmp_path / "dup_out")
+    eng = StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES)
+    assert eng.run(kill_after_epoch=1)["killed_after"] == 1
+    StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES).run()
+    got = read_stream(out, "dedup")
+    assert_stream_equal(got, golden["dedup"], ["conv_id", "turn_idx"])
+    # every winner sits in the earliest epoch that contains its text
+    turns = read_stream(out, "turns")
+    winner_epochs = got.merge(turns[["conv_id", "turn_idx", "epoch"]],
+                              on=["conv_id", "turn_idx"])
+    first_epoch = turns.assign(k=turns["text"].fillna("")) \
+        .groupby("k")["epoch"].min()
+    assert len(winner_epochs) == 20
+    assert sorted(winner_epochs["epoch"]) == sorted(first_epoch)
