@@ -179,6 +179,9 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         derive_transcripts(sf_dir, num_partitions=32), 3_600_000_000).materialize())
     timed("exact_dedup", lambda: dedup.exact_dedup(sf_dir).materialize())
     timed("minhash_lsh_pairs", lambda: dedup.minhash_lsh_pairs(sf_dir))
+    timed("dedup_clusters", lambda: dedup.dedup_clusters(sf_dir))
+    timed("events_quantiles",
+          lambda: relational.events_quantiles(sf_dir).materialize())
     timed("ann_topk", lambda: similarity.ann_topk(sf_dir))
     timed("text_stats", lambda: text.text_stats(sf_dir).materialize())
 
