@@ -13,7 +13,8 @@ State kinds (all pandas DataFrames sorted by their key columns):
 - ``sessions``: open session intervals  (conv_id, start_us, end_us, n)
 - ``users``:    joinable user turns     (conv_id, ts_us, turn_idx)
 - ``tools``:    pending tool turns      (conv_id, ts_us, turn_idx, tool)
-- ``windows``:  open tumbling windows   (conv_id, window_start_us, n)
+- ``wstats``:   open tumbling windows   (conv_id, window_start_us, n/sum/min/max)
+- ``seen``:     streaming-dedup hash set (h1, h2)
 
 Snapshots store every kind in ONE Parquet file per partition with a ``kind``
 discriminator column, so restore is a single columnar read.
@@ -32,8 +33,9 @@ _EMPTY = {
     "sessions": {"conv_id": str, "start_us": np.int64, "end_us": np.int64, "n": np.int64},
     "users": {"conv_id": str, "ts_us": np.int64, "turn_idx": np.int32},
     "tools": {"conv_id": str, "ts_us": np.int64, "turn_idx": np.int32, "tool": str},
-    "windows": {"conv_id": str, "window_start_us": np.int64, "n": np.int64},
-    # per-window VALUE aggregate state (n/sum/min/max of turn text length)
+    # per-window VALUE aggregate state (n/sum/min/max of turn text length);
+    # BOTH tumbling output streams (count windows + value stats) project
+    # from this one kind, so there is no separate "windows" state.
     "wstats": {"conv_id": str, "window_start_us": np.int64, "n": np.int64,
                "sum_c": np.int64, "min_c": np.int64, "max_c": np.int64},
     # "sliding" holds per-(conv, slide-bucket) counts; window_start_us is the
@@ -51,7 +53,6 @@ _SORT_KEYS = {
     "sessions": ["conv_id", "start_us"],
     "users": ["conv_id", "ts_us", "turn_idx"],
     "tools": ["conv_id", "ts_us", "turn_idx"],
-    "windows": ["conv_id", "window_start_us"],
     "wstats": ["conv_id", "window_start_us"],
     "sliding": ["conv_id", "window_start_us"],
     "meta": ["conv_id"],
@@ -101,7 +102,7 @@ class SortedStateStore:
     # "seen" is append-only like the join buffers (delta-snapshotted) but
     # restores by plain concatenation — exact dedup state never evicts.
     _BULKY = ("users", "tools", "seen")
-    _OPEN = ("sessions", "windows", "wstats", "sliding", "meta")
+    _OPEN = ("sessions", "wstats", "sliding", "meta")
 
     def snapshot(self, path: str, mode: str = "full",
                  delta: dict[str, pd.DataFrame] | None = None,

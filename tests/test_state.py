@@ -43,9 +43,10 @@ def test_state_delta_chain_roundtrip(tmp_path):
         dt = _tools([f"c{e % 2}"] * n, ts + 1)
         store.put("users", pd.concat([store.get("users"), du], ignore_index=True))
         store.put("tools", pd.concat([store.get("tools"), dt], ignore_index=True))
-        store.put("windows", pd.DataFrame(
+        store.put("wstats", pd.DataFrame(
             {"conv_id": [f"c{e}"], "window_start_us": np.array([e], np.int64),
-             "n": np.array([e + 1], np.int64)}))
+             "n": np.array([e + 1], np.int64), "sum_c": np.array([e], np.int64),
+             "min_c": np.array([e], np.int64), "max_c": np.array([e], np.int64)}))
         # emit: watermark-threshold evictions (the only eviction rule)
         wm = 5_000 * e
         u = store.get("users")
@@ -56,7 +57,7 @@ def test_state_delta_chain_roundtrip(tmp_path):
         store.snapshot(path(e), mode=mode,
                        delta={"users": du, "tools": dt}, wm_after_us=wm)
         live_snapshots[e] = {k: store.get(k).copy()
-                             for k in ("users", "tools", "windows", "sessions",
+                             for k in ("users", "tools", "wstats", "sessions",
                                        "sliding", "meta")}
 
     for e in range(6):
