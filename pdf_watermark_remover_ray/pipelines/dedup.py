@@ -335,12 +335,15 @@ class MinHasher:
         })
 
 
-def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, concurrency: int = 2):
+def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5,
+                      concurrency=(2, 16)):
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
     Pipeline: map_batches(MinHasher) → groupby(band_id, band_hash) → candidate
     pairs per bucket → dedup pairs → verify.  Only band rows shuffle; texts are
-    re-read for the (small) candidate set."""
+    re-read for the (small) candidate set.  The signature stage is the compute
+    bottleneck → autoscaling actor pool (min, max) sizes itself to the host
+    instead of pinning a fixed worker count."""
     ds = _read_docs(sf_dir)
     bands = ds.map_batches(MinHasher, batch_format="pandas", batch_size=4096,
                            concurrency=concurrency)
@@ -403,7 +406,7 @@ class SimHasher:
                              "simhash": out.astype(np.int64)})
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3, concurrency: int = 2):
+def simhash_pairs(sf_dir: str, max_hamming: int = 3, concurrency=(2, 16)):
     """Near-dup pairs with simhash Hamming distance ≤ k via 4-band blocking
     (a pair within Hamming ≤ 3 must agree exactly on ≥ 1 of 4 16-bit bands)."""
     ds = _read_docs(sf_dir)
