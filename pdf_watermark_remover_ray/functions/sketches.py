@@ -80,6 +80,9 @@ def approx_distinct_users(sf_dir: str, k: int = 64) -> pd.DataFrame:
     return approx_distinct(ds, "event_type", "user_id", k=k)
 
 
+_HH_TOTAL_KEY = "\x00__pwr_total__\x00"  # reserved; cannot clash with real items
+
+
 def heavy_hitters(ds, col: str, width: int = 64) -> pd.DataFrame:
     """EXACT heavy hitters (items with frequency > n/width) with
     sketch-bounded intermediates — the Misra-Gries candidate-then-verify
@@ -106,17 +109,22 @@ def heavy_hitters(ds, col: str, width: int = 64) -> pd.DataFrame:
         s = t[col].to_pandas().dropna()
         vc = s.value_counts()
         heavy = list(vc[vc * width > len(s)].index.astype(str))
-        # a null-item row carries the batch size even when nothing survives,
-        # so the exact total is never undercounted
-        items = heavy if heavy else ([None] if len(s) else [])
-        rows = ([len(s)] + [0] * (len(items) - 1)) if items else []
+        # the sentinel row carries the batch size (candidate rows carry 0),
+        # so the exact total survives the rollup even when nothing else does
+        items = heavy + [_HH_TOTAL_KEY] if len(s) else []
+        rows = ([0] * len(heavy) + [len(s)]) if items else []
         return pa.table({"item": pa.array(items, pa.string()),
                          "batch_rows": pa.array(rows, pa.int64())})
 
+    # cluster-side rollup BEFORE the driver collect: heavy items recur in
+    # most batches, so grouping dedups O(width × batches) survivor rows down
+    # to the distinct-candidate set (plus one null-sentinel row)
     cand = ds.map_batches(candidates, batch_format="pyarrow",
-                          zero_copy_batch=True).to_pandas()
-    total = int(cand["batch_rows"].sum())
-    cand_set = cand["item"].dropna().unique()
+                          zero_copy_batch=True) \
+        .groupby("item").aggregate(Sum("batch_rows", alias_name="batch_rows")) \
+        .to_pandas()
+    total = int(cand.loc[cand["item"] == _HH_TOTAL_KEY, "batch_rows"].sum())
+    cand_set = cand.loc[cand["item"] != _HH_TOTAL_KEY, "item"].unique()
     if not len(cand_set) or total == 0:
         return pd.DataFrame({"item": pd.Series([], dtype=str),
                              "n": pd.Series([], dtype=np.int64)})

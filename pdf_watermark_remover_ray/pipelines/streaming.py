@@ -835,6 +835,39 @@ class StreamingEngine:
                 out[f"{s}/epoch={e}"] = self.sink.compact_epoch(s, e)
         return out
 
+    def prune_state(self) -> dict:
+        """Checkpoint GC (run between runs, like ``compact``): resume only
+        walks the snapshot chain back to the newest epoch where EVERY
+        partition has a FULL snapshot, so state dirs strictly below that
+        epoch are dead weight — at 100 TB, per-epoch delta snapshots
+        accumulate forever without this.  Returns the chain base epoch and
+        the pruned epoch list."""
+        import shutil
+
+        from ..state.store import SortedStateStore
+
+        last = self.sink.last_contiguous_epoch()
+        base = last
+        while base >= 0:
+            paths = [self.sink.state_path(base, p)
+                     for p in range(self.cfg.total_partitions)]
+            if all(os.path.exists(p) for p in paths) and all(
+                    SortedStateStore._parse_snapshot(p)[1] == "full"
+                    for p in paths):
+                break
+            base -= 1
+        pruned = []
+        if base > 0:
+            state_root = os.path.join(self.out_dir, "_state")
+            for d in sorted(os.listdir(state_root)):
+                if not d.startswith("epoch="):
+                    continue
+                e = int(d.split("=", 1)[1])
+                if e < base:
+                    shutil.rmtree(os.path.join(state_root, d))
+                    pruned.append(e)
+        return {"chain_base_epoch": base, "pruned": pruned}
+
     def metrics_df(self) -> pd.DataFrame:
         """Per-(epoch, partition) observability from the committed markers:
         rows routed, late drops, state size, emission counts, phase timings —

@@ -507,3 +507,23 @@ def test_streaming_dedup_cross_epoch_and_resume(tmp_path):
         .groupby("k")["epoch"].min()
     assert len(winner_epochs) == 20
     assert sorted(winner_epochs["epoch"]) == sorted(first_epoch)
+
+
+def test_prune_state_then_resume(fixture, tmp_path):
+    """Checkpoint GC: pruning snapshots below the last all-full epoch must
+    not break the delta-chain restore of a killed run."""
+    from dataclasses import replace
+
+    table, paths, golden = fixture
+    cfg = replace(CFG, snapshot_full_every=2)
+    out = str(tmp_path / "out_prune")
+    eng = StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES)
+    assert eng.run(kill_after_epoch=3)["killed_after"] == 3
+    res = eng.prune_state()
+    assert res["chain_base_epoch"] == 2  # fulls at 0 and 2
+    assert res["pruned"] == [0, 1]
+    import os as _os
+
+    assert not _os.path.isdir(f"{out}/_state/epoch=1")
+    StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES).run()
+    _check_outputs(out, golden)
