@@ -129,6 +129,15 @@ class StreamConfig:
     # round-trip; collision odds ~1e-8 at 10^12 rows), hash-partitioned
     # independently of conv_id so the seen-set shards uniformly.
     dedup_stream: bool = True
+    # Bounded-state dedup horizon: with a TTL, a hash unseen for longer than
+    # ``dedup_ttl_us`` of EVENT time is forgotten (its next occurrence
+    # re-emits) and the seen-set stays O(distinct texts per horizon) instead
+    # of O(all distinct texts ever).  None = exact/unbounded.  Must be >=
+    # lateness_us: otherwise a late-but-accepted arrival could carry a ts
+    # below an already-evicted hash's high mark, and a resumed run (which
+    # reconstructs the high mark as a max over delta snapshots) would evict
+    # on a different schedule than the uninterrupted run.
+    dedup_ttl_us: int | None = None
 
     def __post_init__(self) -> None:
         """Pre-flight validation (reference P2/P3 analog: the UI rejects bad
@@ -146,6 +155,8 @@ class StreamConfig:
             "epoch_rows must be > 0": self.epoch_rows > 0,
             "route_batch_rows must be > 0": self.route_batch_rows > 0,
             "snapshot_full_every must be >= 1": self.snapshot_full_every >= 1,
+            "dedup_ttl_us must be >= lateness_us (determinism under resume)":
+                self.dedup_ttl_us is None or self.dedup_ttl_us >= self.lateness_us,
         }
         bad = [msg for msg, ok in checks.items() if not ok]
         if bad:

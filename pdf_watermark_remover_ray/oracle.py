@@ -108,13 +108,32 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
         .agg(n_turns=("c", "size"), sum_chars=("c", "sum"),
              min_chars=("c", "min"), max_chars=("c", "max"))
     )
-    # streaming exact dedup: one winner per distinct scrubbed text — the min
+    # streaming dedup: one winner per distinct scrubbed text — the min
     # (conv_id, turn_idx) within the FIRST epoch containing that text (the
     # engine's arrival-order-free winner rule; null text keys as "" exactly
-    # like the engine's fillna-then-hash)
+    # like the engine's fillna-then-hash).  With a TTL, a text unseen for
+    # dedup_ttl_us of event time is forgotten at each epoch close (threshold
+    # wm_after(e) − ttl against the text's event-time high mark) and its
+    # next occurrence wins again.
     dd = live.assign(_k=live["text"].fillna("")).sort_values(
         ["epoch", "conv_id", "turn_idx"], kind="mergesort")
-    dedup = dd.drop_duplicates(subset=["_k"])[["conv_id", "turn_idx"]]
+    if cfg.dedup_ttl_us is None:
+        dedup = dd.drop_duplicates(subset=["_k"])[["conv_id", "turn_idx"]]
+    else:
+        marks: dict[str, int] = {}
+        rows = []
+        for e in range(n_epochs):
+            sub = dd[dd["epoch"] == e]
+            for key, g in sub.groupby("_k", sort=False):
+                if key not in marks:
+                    rows.append(g.iloc[0][["conv_id", "turn_idx"]])
+                marks[key] = max(marks.get(key, -(1 << 62)),
+                                 int(g["ts_us"].max()))
+            thr = wm_after[e] - cfg.dedup_ttl_us
+            marks = {k: v for k, v in marks.items() if v >= thr}
+        dedup = pd.DataFrame(rows, columns=["conv_id", "turn_idx"]) \
+            if rows else pd.DataFrame({"conv_id": pd.Series([], dtype=str),
+                                       "turn_idx": pd.Series([], dtype=np.int32)})
     return {
         "turns": live[["conv_id", "turn_idx", "role", "text", "tool", "ts", "modified"]],
         "dedup": dedup,

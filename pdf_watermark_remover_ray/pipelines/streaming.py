@@ -94,6 +94,7 @@ class StatePartition:
             self.store = SortedStateStore.restore_chain(
                 lambda e: self.sink.state_path(e, partition_id),
                 restore_epoch, cfg.join_gap_us,
+                dedup_ttl_us=cfg.dedup_ttl_us,
             )
         else:
             self.store = SortedStateStore()
@@ -170,7 +171,7 @@ class StatePartition:
             "matches": self._emit_matches(wm_after_us, epoch),
         }
         if self.cfg.dedup_stream:
-            emitted["dedup"] = self._emit_dedup(epoch)
+            emitted["dedup"] = self._emit_dedup(epoch, wm_after_us)
         t_emit = time.monotonic()
         mode = "full" if epoch % self.cfg.snapshot_full_every == 0 else "delta"
         self.store.snapshot(self.sink.staging_state_path(epoch, self.pid),
@@ -377,35 +378,55 @@ class StatePartition:
         pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
         return len(df)
 
-    def _emit_dedup(self, epoch: int) -> int:
-        """Streaming exact dedup: emit the winner row of every text hash first
-        seen in this epoch (not watermark-driven — first sight is final).
+    def _emit_dedup(self, epoch: int, wm_after_us: int) -> int:
+        """Streaming dedup: emit the winner row of every text hash not in the
+        seen-set (not watermark-driven — first sight is final).
 
         Winner rule is ARRIVAL-ORDER-FREE so parallel routing can't make it
         nondeterministic: within the first epoch containing a hash, the
         winner is the min ``(conv_id, turn_idx)`` occurrence.  The seen-set
-        is append-only keyed state: O(distinct texts) per partition,
-        horizontally sharded by text hash, delta-snapshotted every epoch (the
-        scale path for bounded memory is a TTL or Bloom-filter variant; exact
-        dedup fundamentally remembers every distinct text)."""
+        keeps each hash's event-time HIGH MARK: exact mode (ttl=None) never
+        evicts — O(distinct texts) per partition, horizontally sharded by
+        text hash; TTL mode forgets hashes unseen for ``dedup_ttl_us`` of
+        event time at each close (their next occurrence re-emits), bounding
+        state to one dedup horizon.  Delta snapshots carry the epoch's new /
+        ts-advanced rows; restore groupby-maxes the chain (exact because
+        ttl >= lateness, enforced in StreamConfig)."""
         bucket = self.dedup_buffer.pop(epoch, {})
         tables = [t for _, t in sorted(bucket.items())]
         schema = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
-                            ("h1", pa.int64()), ("h2", pa.int64())])
+                            ("h1", pa.int64()), ("h2", pa.int64()),
+                            ("ts_us", pa.int64())])
         df = (pa.concat_tables(tables).to_pandas() if tables
               else schema.empty_table().to_pandas())
+        ttl = self.cfg.dedup_ttl_us
         if len(df):
-            # one winner per hash within the epoch, then anti-join vs seen
+            seen = self.store.get("seen")
+            # per-hash epoch rollup: winner (min conv, turn) + ts high mark
             df = df.sort_values(["h1", "h2", "conv_id", "turn_idx"],
-                                kind="mergesort").drop_duplicates(["h1", "h2"])
+                                kind="mergesort")
+            mx = df.groupby(["h1", "h2"], sort=False, as_index=False)["ts_us"].max()
+            df = df.drop_duplicates(["h1", "h2"])
+            if len(seen):
+                m = df.merge(seen[["h1", "h2"]], on=["h1", "h2"],
+                             how="left", indicator=True)
+                df = m[m["_merge"] == "left_only"].drop(columns=["_merge"])
+            # advance high marks (new hashes insert, re-seen hashes max up);
+            # the delta carries every hash touched this epoch so a restored
+            # chain reconstructs the identical marks
+            self._delta["seen"] = mx
+            merged = pd.concat([seen, mx], ignore_index=True)
+            merged = merged.groupby(["h1", "h2"], sort=False, as_index=False) \
+                ["ts_us"].max()
+            self.store.put("seen", merged)
+        if ttl is not None:
+            # evict EVERY close (even with no dedup rows this epoch) — the
+            # restore path applies this threshold unconditionally, so the
+            # live store must too or a resumed run would diverge
             seen = self.store.get("seen")
             if len(seen):
-                m = df.merge(seen, on=["h1", "h2"], how="left", indicator=True)
-                df = m[m["_merge"] == "left_only"].drop(columns=["_merge"])
-            new_hashes = df[["h1", "h2"]].reset_index(drop=True)
-            self._delta["seen"] = new_hashes
-            self.store.put("seen", pd.concat([seen, new_hashes],
-                                             ignore_index=True))
+                self.store.put("seen",
+                               seen[seen["ts_us"] >= wm_after_us - ttl])
         out = df[["conv_id", "turn_idx"]].sort_values(
             ["conv_id", "turn_idx"], kind="mergesort") if len(df) else \
             pd.DataFrame({"conv_id": pd.Series([], dtype=str),
@@ -562,7 +583,8 @@ def _route_dedup(live: pa.Table, actors, epoch: int, num_partitions: int,
     order = np.argsort(part, kind="stable")
     narrow = pa.table({
         "conv_id": live["conv_id"], "turn_idx": live["turn_idx"],
-        "h1": pa.array(h1), "h2": pa.array(h2)}).take(pa.array(order))
+        "h1": pa.array(h1), "h2": pa.array(h2),
+        "ts_us": live["ts_us"]}).take(pa.array(order))
     sorted_part = part[order]
     bounds = np.searchsorted(sorted_part, np.arange(num_partitions + 1))
     acks = []

@@ -43,10 +43,12 @@ _EMPTY = {
     "sliding": {"conv_id": str, "window_start_us": np.int64, "n": np.int64},
     # "meta" holds scalar state (e.g. the sliding emission bound) as rows.
     "meta": {"conv_id": str, "n": np.int64},
-    # "seen" is the streaming exact-dedup hash set (128-bit composite text
-    # hash), partitioned by h1 — append-only and never evicted, so it
-    # delta-snapshots like the join buffers but restores without thresholds.
-    "seen": {"h1": np.int64, "h2": np.int64},
+    # "seen" is the streaming-dedup hash set (104-bit composite text hash,
+    # partitioned by h1) with each hash's event-time high mark — append-only
+    # in exact mode; with a TTL, rows below wm − ttl evict at close.  Delta
+    # snapshots carry the epoch's (new or ts-advanced) rows; restore
+    # groupby-maxes the chain so re-appended hashes keep their latest mark.
+    "seen": {"h1": np.int64, "h2": np.int64, "ts_us": np.int64},
 }
 
 _SORT_KEYS = {
@@ -156,7 +158,8 @@ class SortedStateStore:
 
     @classmethod
     def restore_chain(cls, path_for_epoch, restore_epoch: int,
-                      join_gap_us: int) -> "SortedStateStore":
+                      join_gap_us: int,
+                      dedup_ttl_us: int | None = None) -> "SortedStateStore":
         """Rebuild state at ``restore_epoch`` from the delta chain: walk
         snapshots backwards to the nearest full one, concat the bulky
         appends forward, apply the final watermark eviction thresholds."""
@@ -186,8 +189,15 @@ class SortedStateStore:
         tools = pd.concat([c["tools"] for c in chain], ignore_index=True)
         store.put("users", users[users["ts_us"] >= wm_last - join_gap_us])
         store.put("tools", tools[tools["ts_us"] >= wm_last])
-        store.put("seen", pd.concat([c["seen"] for c in chain],
-                                    ignore_index=True))
+        seen = pd.concat([c["seen"] for c in chain], ignore_index=True)
+        if len(seen):
+            seen = seen.groupby(["h1", "h2"], sort=False, as_index=False) \
+                ["ts_us"].max()
+            if dedup_ttl_us is not None:
+                # mirror the live store's close-time eviction (exact because
+                # ttl >= lateness makes the chain max equal the live mark)
+                seen = seen[seen["ts_us"] >= wm_last - dedup_ttl_us]
+        store.put("seen", seen)
         return store
 
     @classmethod

@@ -527,3 +527,37 @@ def test_prune_state_then_resume(fixture, tmp_path):
     assert not _os.path.isdir(f"{out}/_state/epoch=1")
     StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES).run()
     _check_outputs(out, golden)
+
+
+def test_streaming_dedup_ttl_bounded_state(tmp_path):
+    """TTL mode: a text unseen for dedup_ttl_us of event time is forgotten
+    and re-emits; output matches the oracle's per-epoch horizon replay, a
+    killed run resumes identically (ts high marks reconstructed from the
+    delta chain), and re-emissions actually occur (> exact-mode winners)."""
+    from dataclasses import replace
+
+    import pyarrow as pa
+
+    table = generate_transcripts(n_convs=50, mean_turns=10, seed=23, late_frac=0.05)
+    texts = [f"dup text {i % 20} payload" for i in range(len(table))]
+    table = table.set_column(
+        table.schema.get_field_index("text"), "text", pa.array(texts))
+    cfg = replace(CFG, dedup_ttl_us=60_000_000, snapshot_full_every=3)
+    d = tmp_path / "ttl_in"
+    paths = write_transcripts(table, str(d), num_files=NUM_FILES, split_by="ts")
+    golden = streaming_oracle(table, NUM_FILES, EPOCH_FILES, cfg)
+    exact = streaming_oracle(table, NUM_FILES, EPOCH_FILES, CFG)
+    assert len(golden["dedup"]) > len(exact["dedup"])  # horizon re-emissions
+    out = str(tmp_path / "ttl_out")
+    eng = StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES)
+    assert eng.run(kill_after_epoch=2)["killed_after"] == 2
+    StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES).run()
+    assert_stream_equal(read_stream(out, "dedup"), golden["dedup"],
+                        ["conv_id", "turn_idx"])
+
+
+def test_dedup_ttl_below_lateness_rejected():
+    from dataclasses import replace
+
+    with pytest.raises(ValueError, match="dedup_ttl_us"):
+        replace(CFG, dedup_ttl_us=CFG.lateness_us - 1)
