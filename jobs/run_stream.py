@@ -38,8 +38,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--join-gap-us", type=int, default=30_000_000)
     ap.add_argument("--tumbling-us", type=int, default=60_000_000)
     ap.add_argument("--auto-hot-keys", action="store_true")
+    ap.add_argument("--no-dedup", action="store_true",
+                    help="disable the streaming exact-dedup output stream")
+    ap.add_argument("--dedup-ttl-us", type=int, default=None,
+                    help="bound dedup state to an event-time horizon "
+                         "(>= --lateness-us; hashes unseen for ttl re-emit)")
     ap.add_argument("--compact", action="store_true",
                     help="compact committed epochs after the run")
+    ap.add_argument("--prune-state", action="store_true",
+                    help="checkpoint GC: drop state snapshots below the "
+                         "newest all-full epoch after the run")
     ap.add_argument("--strict", action="store_true",
                     help="exit 2 if any input file failed")
     args = ap.parse_args(argv)
@@ -58,7 +66,9 @@ def main(argv: list[str] | None = None) -> int:
                        lateness_us=args.lateness_us,
                        session_gap_us=args.session_gap_us,
                        join_gap_us=args.join_gap_us,
-                       tumbling_us=args.tumbling_us)
+                       tumbling_us=args.tumbling_us,
+                       dedup_stream=not args.no_dedup,
+                       dedup_ttl_us=args.dedup_ttl_us)
     eng = StreamingEngine(paths, args.out, cfg, epoch_files=args.epoch_files,
                           auto_hot_keys=args.auto_hot_keys)
     t0 = time.monotonic()
@@ -66,6 +76,8 @@ def main(argv: list[str] | None = None) -> int:
     wall = time.monotonic() - t0
     if args.compact:
         eng.compact()
+    if args.prune_state:
+        eng.prune_state()
     rows = sum(m.get("rows", 0) for m in res.get("epochs", []))
     metrics = eng.metrics_df()
     summary = {
