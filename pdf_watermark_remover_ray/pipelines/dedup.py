@@ -468,11 +468,14 @@ def connected_components(edges, num_partitions: int = 16, max_rounds: int = 64):
     O(log diameter) rounds.  Each round is ONE hash shuffle of the current
     edge frontier (symmetrize → partition by node → vectorized per-node min
     emit) — the corpus itself never moves, only near-dup edges, and the
-    driver holds nothing but the round loop and a 3-number convergence
-    signature (count, Σu, Σv).  Per-round ``materialize()`` is on the edge
-    frontier (bounded by the near-dup pair count), deliberately NOT on any
-    input table."""
-    from ray.data.aggregate import Sum
+    driver holds nothing but the round loop and a content signature.
+    Per-round ``materialize()`` is on the edge frontier (bounded by the
+    near-dup pair count), deliberately NOT on any input table.
+
+    Fixpoint test: the frontier's ORDER-INSENSITIVE content hash (wrapped
+    uint64 sum of per-edge row hashes) plus its count — set-sensitive, so
+    two different frontiers can't alias the way a plain (Σu, Σv) signature
+    could (e.g. {(2,1),(4,3)} vs {(2,3),(4,1)})."""
 
     def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -495,14 +498,24 @@ def connected_components(edges, num_partitions: int = 16, max_rounds: int = 64):
         out = pd.DataFrame({"u": src[keep], "v": dst[keep]})
         return out.drop_duplicates(["u", "v"])
 
+    def sig_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[["u", "v"]], index=False).to_numpy()
+        return pd.DataFrame({"h": [np.int64(h.sum(dtype=np.uint64)
+                                            .view(np.int64))],
+                             "n": [np.int64(len(df))]})
+
+    def signature(ds) -> tuple[int, int]:
+        parts = ds.map_batches(sig_partial, batch_format="pandas").to_pandas()
+        return (int(parts["h"].to_numpy(np.int64).view(np.uint64)
+                    .sum(dtype=np.uint64)), int(parts["n"].sum()))
+
     prev_sig = None
     for _ in range(max_rounds):
         sym = edges.map_batches(symmetrize, batch_format="pandas")
         part = add_partition_column(sym, key="u", num_partitions=num_partitions)
         edges = part.groupby("part").map_groups(
             propagate, batch_format="pandas").materialize()
-        agg = edges.aggregate(Sum("u", alias_name="su"), Sum("v", alias_name="sv"))
-        sig = (edges.count(), int(agg["su"] or 0), int(agg["sv"] or 0))
+        sig = signature(edges)
         if sig == prev_sig:  # deterministic round fn: same set in ⇒ same set out
             break
         prev_sig = sig

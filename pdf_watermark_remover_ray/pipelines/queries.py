@@ -519,7 +519,9 @@ def oracle_sql() -> dict:
                    quantile_disc(value, 0.75) AS p75_value,
                    quantile_disc(value, 0.95) AS p95_value,
                    count(*) AS n
-            FROM events GROUP BY event_type""",
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+            GROUP BY event_type""",
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text""",

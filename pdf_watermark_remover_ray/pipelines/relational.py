@@ -249,6 +249,8 @@ def events_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.75, 0.95)):
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # NULL event_type/value rows are excluded (pandas groupby dropna);
+        # the oracle SQL filters them identically
         df = t.to_pandas()
         g = df.groupby(["event_type", "value"], sort=False).size() \
             .reset_index(name="partial_n")
@@ -266,7 +268,9 @@ def events_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.75, 0.95)):
         row = {"event_type": [g["event_type"].iloc[0]], "n": [n]}
         for q in qs:
             idx = min(max(math.ceil(q * n) - 1, 0), n - 1)
-            row[f"p{int(q * 100)}_value"] = [vals[np.searchsorted(cum, idx + 1)]]
+            # round, not truncate: int(0.29 * 100) == 28
+            row[f"p{int(round(q * 100))}_value"] = \
+                [vals[np.searchsorted(cum, idx + 1)]]
         return pd.DataFrame(row)
 
     return counts.groupby("event_type").map_groups(

@@ -574,9 +574,10 @@ def _route_dedup(live: pa.Table, actors, epoch: int, num_partitions: int,
     turn files.  Hash = two independently-keyed vectorized siphashes masked
     to 52 bits each (104-bit composite; see exact_dedup for the batch twin).
     Returns ack refs; the caller blocks on both keyed routes together."""
+    from ..stages.partition import stable_hash
+
     s = live["text"].to_pandas().fillna("")
-    h1 = (pd.util.hash_pandas_object(s, index=False).to_numpy()
-          .view(np.int64) & _HASH_MASK)
+    h1 = stable_hash(s).view(np.int64) & _HASH_MASK
     h2 = (pd.util.hash_pandas_object(s, index=False, hash_key="9c39a2b1f04d58e7")
           .to_numpy().view(np.int64) & _HASH_MASK)
     part = (h1 % num_partitions).astype(np.int64)
@@ -874,7 +875,7 @@ class StreamingEngine:
             paths = [self.sink.state_path(base, p)
                      for p in range(self.cfg.total_partitions)]
             if all(os.path.exists(p) for p in paths) and all(
-                    SortedStateStore._parse_snapshot(p)[1] == "full"
+                    SortedStateStore.snapshot_mode(p) == "full"
                     for p in paths):
                 break
             base -= 1

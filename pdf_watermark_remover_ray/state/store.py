@@ -14,7 +14,7 @@ State kinds (all pandas DataFrames sorted by their key columns):
 - ``users``:    joinable user turns     (conv_id, ts_us, turn_idx)
 - ``tools``:    pending tool turns      (conv_id, ts_us, turn_idx, tool)
 - ``wstats``:   open tumbling windows   (conv_id, window_start_us, n/sum/min/max)
-- ``seen``:     streaming-dedup hash set (h1, h2)
+- ``seen``:     streaming-dedup hash set + event-time high mark (h1, h2, ts_us)
 
 Snapshots store every kind in ONE Parquet file per partition with a ``kind``
 discriminator column, so restore is a single columnar read.
@@ -101,8 +101,9 @@ class SortedStateStore:
     # with active keys, not stream length.  Snapshot I/O per epoch is thus
     # O(epoch delta + open state), not O(total state).
 
-    # "seen" is append-only like the join buffers (delta-snapshotted) but
-    # restores by plain concatenation — exact dedup state never evicts.
+    # "seen" delta-snapshots like the join buffers; restore groupby-maxes
+    # the chain's per-hash ts marks and (TTL mode) applies the wm − ttl
+    # eviction — see restore_chain.  Exact mode (ttl=None) never evicts.
     _BULKY = ("users", "tools", "seen")
     _OPEN = ("sessions", "wstats", "sliding", "meta")
 
@@ -137,6 +138,17 @@ class SortedStateStore:
                 snap[c] = pd.Series([None] * len(snap))
         os.makedirs(os.path.dirname(path), exist_ok=True)
         pq.write_table(pa.Table.from_pandas(snap[_SNAP_COLS], preserve_index=False), path)
+
+    @classmethod
+    def snapshot_mode(cls, path: str) -> str:
+        """Read ONLY the snapshot's mode flag ("full"/"delta") via a
+        predicate-pushdown scan of the tiny ``kind == '_snap'`` meta rows —
+        the checkpoint-GC probe must not deserialize whole state files."""
+        t = pq.read_table(path, columns=["kind", "conv_id", "tool"],
+                          filters=[("kind", "=", "_snap")])
+        df = t.to_pandas()
+        row = df[df["conv_id"] == "type"]
+        return str(row["tool"].iloc[0]) if len(row) else "full"
 
     @classmethod
     def _parse_snapshot(cls, path: str):
