@@ -195,6 +195,9 @@ def queries() -> dict:
         "q3_top_orders": relational.q3_top_orders,
         "q5_revenue_by_nation": relational.q5_revenue_by_nation,
         "topk_orders_per_customer": relational.topk_orders_per_customer,
+        "customers_without_urgent_orders":
+            relational.customers_without_urgent_orders,
+        "customer_order_counts": relational.customer_order_counts,
         "order_priority_counts": relational.order_priority_counts,
         "events_windowed_stats": relational.events_windowed_stats,
         "events_quantiles": relational.events_quantiles,
@@ -488,6 +491,15 @@ def oracle_sql() -> dict:
             FROM orders
             QUALIFY row_number() OVER (PARTITION BY o_custkey
                                        ORDER BY o_totalprice DESC, o_orderkey DESC) <= 2""",
+        "customers_without_urgent_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')""",
+        "customer_order_counts": """
+            SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey""",
         "order_priority_counts": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
             FROM orders GROUP BY 1, 2""",

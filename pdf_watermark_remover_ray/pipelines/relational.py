@@ -228,6 +228,56 @@ def running_revenue(sf_dir: str, num_partitions: int = 16):
     return ds.groupby("part").map_groups(cum, batch_format="pandas")
 
 
+def customers_without_urgent_orders(sf_dir: str, num_partitions: int = 16,
+                                    priority: str = "1-URGENT"):
+    """ANTI join: customers who never placed an order of the given priority
+    (`Dataset.join` left_anti — the set-difference shape every
+    retention/backfill pipeline needs).  The right side pushes the priority
+    filter INTO the scan and pre-distincts per batch, so the shuffle moves
+    at most one row per (custkey, batch), not one per order."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates("o_custkey")[["o_custkey"]]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pc.equal(pc.field("o_orderpriority"), priority)) \
+        .map_batches(distinct_keys, batch_format="pyarrow", zero_copy_batch=True)
+    return cust.join(orders, join_type="left_anti",
+                     num_partitions=num_partitions,
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+
+def customer_order_counts(sf_dir: str, num_partitions: int = 16):
+    """LEFT OUTER join with null-side fill: per-customer order counts
+    INCLUDING zero-order customers.  Orders pre-aggregate per batch →
+    one small keyed groupby → left_outer join against the customer table
+    (both sides hash-shuffled once); the unmatched side's null count
+    becomes 0."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("o_custkey", sort=False).size() \
+            .reset_index(name="partial_n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = _read(sf_dir, "orders", ["o_custkey"]) \
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("o_custkey").aggregate(Sum("partial_n", alias_name="n"))
+    joined = cust.join(counts, join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].to_numpy(np.int64),
+            "n_orders": df["n"].fillna(0).to_numpy(np.int64)})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def events_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.75, 0.95)):
     """Exact per-event-type quantiles of ``value`` as a DISTRIBUTED
     value-counts rollup — no per-group row materialization:
