@@ -108,6 +108,17 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
         .agg(n_turns=("c", "size"), sum_chars=("c", "sum"),
              min_chars=("c", "min"), max_chars=("c", "max"))
     )
+    # windowed COUNT DISTINCT of tools (tool-role turns only)
+    tl = live[live["role"] == "tool"]
+    wdistinct = (
+        pd.DataFrame({"conv_id": tl["conv_id"].to_numpy(),
+                      "window_start_us": (tl["ts_us"].to_numpy()
+                                          // cfg.tumbling_us) * cfg.tumbling_us,
+                      "tool": tl["tool"].to_numpy()})
+        .groupby(["conv_id", "window_start_us"], as_index=False)["tool"]
+        .nunique()
+        .rename(columns={"tool": "n_tools"})
+    )
     # streaming dedup: one winner per distinct scrubbed text — the min
     # (conv_id, turn_idx) within the FIRST epoch containing that text (the
     # engine's arrival-order-free winner rule; null text keys as "" exactly
@@ -141,6 +152,7 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
         "sessions": sessions,
         "windows": windows,
         "wstats": wstats,
+        "wdistinct": wdistinct,
         "sliding": sliding,
         "matches": matches,
     }

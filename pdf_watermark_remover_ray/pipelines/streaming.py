@@ -158,6 +158,7 @@ class StatePartition:
         self._delta = {}  # per-epoch join-buffer appends (delta snapshot)
         self._fold_sessions(live)
         self._fold_wstats(live)  # one fold feeds BOTH windows and wstats
+        self._fold_wdistinct(live)
         self._fold_sliding(live)
         self._fold_join(live)
         t_fold = time.monotonic()
@@ -169,6 +170,7 @@ class StatePartition:
             "wstats": n_wstats,
             "sliding": self._emit_sliding(wm_after_us, epoch),
             "matches": self._emit_matches(wm_after_us, epoch),
+            "wdistinct": self._emit_wdistinct(wm_after_us, epoch),
         }
         if self.cfg.dedup_stream:
             emitted["dedup"] = self._emit_dedup(epoch, wm_after_us)
@@ -269,6 +271,46 @@ class StatePartition:
                                   ("min_chars", pa.int64()), ("max_chars", pa.int64())])
         n_wstats = self._write("wstats", epoch, stats, stats_schema)
         return n_windows, n_wstats
+
+    def _fold_wdistinct(self, live: pd.DataFrame) -> int:
+        """Windowed COUNT DISTINCT state: the per-(conv, tumbling window)
+        distinct-tool SET folds as set union — one row per (conv, window,
+        tool), deduped on append, so state is bounded by open windows ×
+        tool cardinality and the fold is order-free (any arrival order of
+        the same rows yields the same set).  The count materializes only at
+        emission."""
+        t = live[live["role"] == "tool"]
+        if len(t) == 0:
+            return 0
+        ws = self.cfg.tumbling_spec.assign(t["ts_us"].to_numpy(np.int64))
+        new = pd.DataFrame({"conv_id": t["conv_id"].to_numpy(),
+                            "window_start_us": ws,
+                            "tool": t["tool"].to_numpy()})
+        allw = pd.concat([self.store.get("wtools"), new], ignore_index=True)
+        self.store.put("wtools", allw.drop_duplicates(
+            ["conv_id", "window_start_us", "tool"]))
+        return len(new)
+
+    def _emit_wdistinct(self, wm_us: int, epoch: int) -> int:
+        """Emit n_tools per closed window (same strict rule as tumbling:
+        ``window_start + size <= wm``); only windows with >= 1 tool-role turn
+        appear (the state holds tool rows only)."""
+        w = self.store.get("wtools")
+        size = self.cfg.tumbling_us
+        done_mask = (w["window_start_us"].to_numpy(np.int64, copy=False)
+                     + size <= wm_us) if len(w) else np.zeros(0, dtype=bool)
+        done = w[done_mask]
+        self.store.put("wtools", w[~done_mask])
+        out = done.groupby(["conv_id", "window_start_us"], sort=False,
+                           as_index=False)["tool"].nunique() \
+            .rename(columns={"tool": "n_tools"}) \
+            .sort_values(["conv_id", "window_start_us"], kind="mergesort")
+        out["n_tools"] = out["n_tools"].astype(np.int64) if len(out) else \
+            pd.Series([], dtype=np.int64)
+        schema = pa.schema([("conv_id", pa.string()),
+                            ("window_start_us", pa.int64()),
+                            ("n_tools", pa.int64())])
+        return self._write("wdistinct", epoch, out, schema)
 
     _SLIDING_BOUND_KEY = "sliding_emit_bound"
 

@@ -32,7 +32,7 @@ import json
 import os
 
 STREAMS = ("turns", "sessions", "matches", "windows", "wstats", "sliding",
-           "late", "dedup")
+           "wdistinct", "late", "dedup")
 
 
 class EpochSink:

@@ -41,6 +41,10 @@ _EMPTY = {
     # "sliding" holds per-(conv, slide-bucket) counts; window_start_us is the
     # BUCKET start (windows are rolled up from buckets at emission time).
     "sliding": {"conv_id": str, "window_start_us": np.int64, "n": np.int64},
+    # per-window COUNT DISTINCT state: one row per (conv, window, tool) seen —
+    # the distinct SET folds as set-union (dedup on append), the count only
+    # materializes at emission.  Bounded by open windows × tool cardinality.
+    "wtools": {"conv_id": str, "window_start_us": np.int64, "tool": str},
     # "meta" holds scalar state (e.g. the sliding emission bound) as rows.
     "meta": {"conv_id": str, "n": np.int64},
     # "seen" is the streaming-dedup hash set (104-bit composite text hash,
@@ -57,6 +61,7 @@ _SORT_KEYS = {
     "tools": ["conv_id", "ts_us", "turn_idx"],
     "wstats": ["conv_id", "window_start_us"],
     "sliding": ["conv_id", "window_start_us"],
+    "wtools": ["conv_id", "window_start_us", "tool"],
     "meta": ["conv_id"],
     "seen": ["h1", "h2"],
 }
@@ -105,7 +110,7 @@ class SortedStateStore:
     # the chain's per-hash ts marks and (TTL mode) applies the wm − ttl
     # eviction — see restore_chain.  Exact mode (ttl=None) never evicts.
     _BULKY = ("users", "tools", "seen")
-    _OPEN = ("sessions", "wstats", "sliding", "meta")
+    _OPEN = ("sessions", "wstats", "sliding", "wtools", "meta")
 
     def snapshot(self, path: str, mode: str = "full",
                  delta: dict[str, pd.DataFrame] | None = None,

@@ -91,6 +91,10 @@ def _check_outputs(out_dir: str, golden: dict):
         read_stream(out_dir, "dedup"), golden["dedup"],
         ["conv_id", "turn_idx"],
     )
+    assert_stream_equal(
+        read_stream(out_dir, "wdistinct"), golden["wdistinct"],
+        ["conv_id", "window_start_us", "n_tools"],
+    )
 
 
 def test_full_run_matches_oracle(fixture, tmp_path):
