@@ -330,6 +330,8 @@ def test_midfile_failure_all_or_nothing(tmp_path, fixture):
         ("windows", ["conv_id", "window_start_us", "n_turns"]),
         ("sliding", ["conv_id", "window_start_us", "n_turns"]),
         ("matches", ["conv_id", "user_turn_idx", "tool_turn_idx", "tool", "dt_us"]),
+        ("wdistinct", ["conv_id", "window_start_us", "n_tools"]),
+        ("dedup", ["conv_id", "turn_idx"]),
     ]
     for stream, cols in checks:
         assert_stream_equal(read_stream(outA, stream), read_stream(outB, stream), cols)
