@@ -146,6 +146,40 @@ def q_late(sf_dir: str):
     return df
 
 
+def q_tool_latency_quantiles(sf_dir: str):
+    """Operator composition: the stream join's matched (user → tool) pairs
+    feed the distributed value-counts quantile rollup — per tool, the p50 /
+    p95 response latency.  Both building blocks are already oracle-verified;
+    this checks they compose (same select rule as events_quantiles:
+    ``quantile_disc`` element selection, no interpolation)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    matches = stream_join(_transcripts(sf_dir), GAP_US, num_partitions=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["tool", "dt_us"], sort=False).size() \
+            .reset_index(name="partial_n")
+
+    counts = matches.map_batches(partial, batch_format="pandas") \
+        .groupby(["tool", "dt_us"]).aggregate(Sum("partial_n", alias_name="n"))
+
+    def select_quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("dt_us", kind="mergesort")
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy()
+        vals = g["dt_us"].to_numpy(np.int64)
+        row = {"tool": [g["tool"].iloc[0]], "n": [n]}
+        for q, c in ((0.5, "p50_dt_us"), (0.95, "p95_dt_us")):
+            idx = min(max(math.ceil(q * n) - 1, 0), n - 1)
+            row[c] = [vals[np.searchsorted(cum, idx + 1)]]
+        return pd.DataFrame(row)
+
+    return counts.groupby("tool").map_groups(select_quantiles,
+                                             batch_format="pandas")
+
+
 def q_streaming_e2e(sf_dir: str):
     """Full streaming engine (epochs, watermark, state, exactly-once sink) on
     the seeded fixture; returns the emitted turn rows.  Non-SQL — its golden
@@ -188,6 +222,7 @@ def queries() -> dict:
         "sliding_counts": q_sliding,
         "session_windows": q_sessions,
         "stream_join": q_join,
+        "tool_latency_quantiles": q_tool_latency_quantiles,
         "late_drops": q_late,
         "streaming_e2e": q_streaming_e2e,
         # relational family
@@ -446,6 +481,19 @@ def oracle_sql() -> dict:
             WHERE u.ts <= tt.ts AND epoch_us(tt.ts) - epoch_us(u.ts) <= {GAP_US}
             QUALIFY row_number() OVER (PARTITION BY tt.conv_id, tt.turn_idx
                                        ORDER BY u.ts DESC, u.turn_idx DESC) = 1""",
+        "tool_latency_quantiles": f"""{t},
+            m AS (
+                SELECT tt.conv_id, tt.tool,
+                       epoch_us(tt.ts) - epoch_us(u.ts) AS dt_us
+                FROM (SELECT * FROM transcripts WHERE role = 'tool') tt
+                JOIN (SELECT * FROM transcripts WHERE role = 'user') u
+                     USING (conv_id)
+                WHERE u.ts <= tt.ts AND epoch_us(tt.ts) - epoch_us(u.ts) <= {GAP_US}
+                QUALIFY row_number() OVER (PARTITION BY tt.conv_id, tt.turn_idx
+                                           ORDER BY u.ts DESC, u.turn_idx DESC) = 1)
+            SELECT tool, quantile_disc(dt_us, 0.5) AS p50_dt_us,
+                   quantile_disc(dt_us, 0.95) AS p95_dt_us, count(*) AS n
+            FROM m GROUP BY tool""",
         "late_drops": f"""{t},
             e AS (SELECT *, CAST(((event_id // {SCRAMBLE}) * {SCRAMBLE}
                                   + ({SCRAMBLE} - 1 - event_id % {SCRAMBLE})) // {EPOCH_SIZE}
