@@ -152,32 +152,9 @@ def q_tool_latency_quantiles(sf_dir: str):
     p95 response latency.  Both building blocks are already oracle-verified;
     this checks they compose (same select rule as events_quantiles:
     ``quantile_disc`` element selection, no interpolation)."""
-    import math
-
-    from ray.data.aggregate import Sum
-
     matches = stream_join(_transcripts(sf_dir), GAP_US, num_partitions=16)
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["tool", "dt_us"], sort=False).size() \
-            .reset_index(name="partial_n")
-
-    counts = matches.map_batches(partial, batch_format="pandas") \
-        .groupby(["tool", "dt_us"]).aggregate(Sum("partial_n", alias_name="n"))
-
-    def select_quantiles(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("dt_us", kind="mergesort")
-        n = int(g["n"].sum())
-        cum = g["n"].cumsum().to_numpy()
-        vals = g["dt_us"].to_numpy(np.int64)
-        row = {"tool": [g["tool"].iloc[0]], "n": [n]}
-        for q, c in ((0.5, "p50_dt_us"), (0.95, "p95_dt_us")):
-            idx = min(max(math.ceil(q * n) - 1, 0), n - 1)
-            row[c] = [vals[np.searchsorted(cum, idx + 1)]]
-        return pd.DataFrame(row)
-
-    return counts.groupby("tool").map_groups(select_quantiles,
-                                             batch_format="pandas")
+    return relational.quantile_rollup(matches, "tool", "dt_us",
+                                      qs=(0.5, 0.95), suffix="dt_us")
 
 
 def q_streaming_e2e(sf_dir: str):

@@ -278,53 +278,55 @@ def customer_order_counts(sf_dir: str, num_partitions: int = 16):
     return joined.map_batches(finish, batch_format="pandas")
 
 
-def events_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.75, 0.95)):
-    """Exact per-event-type quantiles of ``value`` as a DISTRIBUTED
-    value-counts rollup — no per-group row materialization:
+def quantile_rollup(ds, key: str, value_col: str,
+                    qs: tuple[float, ...], suffix: str):
+    """Exact per-key quantiles of ``value_col`` as a DISTRIBUTED value-counts
+    rollup — no per-group row materialization:
 
-    1. per-batch ``(event_type, value) → count`` partials (map_batches);
-    2. one small groupby-sum shuffle that moves DISTINCT (type, value) pairs
-       — for a bounded-precision value domain (2-decimal readings here) this
-       is O(|domain|) per type regardless of row count, so it holds at
-       10^12 rows where a sort-based exact quantile would shuffle everything;
-    3. per-type sorted cumulative-count selection.
+    1. per-batch ``(key, value) → count`` partials (map_batches; NULL
+       key/value rows are excluded — oracle SQL must filter identically);
+    2. one small groupby-sum shuffle that moves DISTINCT (key, value) pairs
+       — for a bounded-precision value domain this is O(|domain|) per key
+       regardless of row count, so it holds at 10^12 rows where a
+       sort-based exact quantile would shuffle everything;
+    3. per-key sorted cumulative-count selection.
 
     Selection rule = sorted element at index ``ceil(q·n) − 1`` — DuckDB's
     ``quantile_disc``, an actual data element (no interpolation), so the
     oracle hash-matches without float-order sensitivity.  For unbounded/
     continuous domains at scale, swap stage 2's key for a fixed-width value
-    histogram (the same topology, bounded by construction, approximate)."""
+    histogram (the same topology, bounded by construction, approximate).
+    Output columns: ``key, n, p{q}_{suffix}...``."""
     import math
 
-    ds = _read(sf_dir, "events", ["event_type", "value"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        # NULL event_type/value rows are excluded (pandas groupby dropna);
-        # the oracle SQL filters them identically
-        df = t.to_pandas()
-        g = df.groupby(["event_type", "value"], sort=False).size() \
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby([key, value_col], sort=False).size() \
             .reset_index(name="partial_n")
-        return pa.Table.from_pandas(g, preserve_index=False)
 
-    counts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby(["event_type", "value"]) \
-        .aggregate(Sum("partial_n", alias_name="n"))
+    counts = ds.map_batches(partial, batch_format="pandas") \
+        .groupby([key, value_col]).aggregate(Sum("partial_n", alias_name="n"))
 
     def select_quantiles(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("value", kind="mergesort")
+        g = g.sort_values(value_col, kind="mergesort")
         n = int(g["n"].sum())
         cum = g["n"].cumsum().to_numpy()
-        vals = g["value"].to_numpy()
-        row = {"event_type": [g["event_type"].iloc[0]], "n": [n]}
+        vals = g[value_col].to_numpy()
+        row = {key: [g[key].iloc[0]], "n": [n]}
         for q in qs:
             idx = min(max(math.ceil(q * n) - 1, 0), n - 1)
             # round, not truncate: int(0.29 * 100) == 28
-            row[f"p{int(round(q * 100))}_value"] = \
+            row[f"p{int(round(q * 100))}_{suffix}"] = \
                 [vals[np.searchsorted(cum, idx + 1)]]
         return pd.DataFrame(row)
 
-    return counts.groupby("event_type").map_groups(
-        select_quantiles, batch_format="pandas")
+    return counts.groupby(key).map_groups(select_quantiles,
+                                          batch_format="pandas")
+
+
+def events_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.75, 0.95)):
+    """Exact per-event-type quantiles of ``value`` (see quantile_rollup)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return quantile_rollup(ds, "event_type", "value", qs, suffix="value")
 
 
 def events_windowed_stats(sf_dir: str, size_us: int = 86_400_000_000):
