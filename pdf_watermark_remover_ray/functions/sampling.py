@@ -53,6 +53,48 @@ def split_documents(sf_dir: str, train_pct: int = 90, val_pct: int = 5):
     return ds.map_batches(assign, batch_format="pandas")
 
 
+def stratified_sample_documents(sf_dir: str, per_group: int = 20):
+    """Balanced sample: the ``per_group`` docs with the SMALLEST id-hash per
+    (lang, source) block — deterministic rank-by-hash, so re-runs and
+    resumed runs pick identical rows and the per-group quota holds exactly
+    (a Bernoulli pct can't balance skewed groups).  Same grouped-top-k
+    shuffle shape as topk_orders_per_customer: one hash partition by group,
+    vectorized head-k per group."""
+    import ray.data
+
+    from ..stages.partition import partitioned_map
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "source"])
+
+    def add_rank_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["grp"] = df["lang"].fillna("") + "|" + df["source"].fillna("")
+        # full 64-bit hash (not mod-100 buckets): a total order for ranking —
+        # kept UNSIGNED so the sort matches the oracle's UBIGINT ordering
+        df["h"] = md5_u64([str(int(i)) for i in df["doc_id"]])
+        return df[["doc_id", "grp", "h"]]
+
+    ds = ds.map_batches(add_rank_key, batch_format="pandas")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["grp", "h", "doc_id"], kind="mergesort")
+        out = df.groupby("grp", sort=False).head(per_group)
+        return out[["doc_id", "grp"]]
+
+    return partitioned_map(ds, topk, key="grp", num_partitions=16)
+
+
+def stratified_oracle_sql(per_group: int = 20) -> str:
+    return f"""
+        SELECT doc_id, coalesce(lang, '') || '|' || coalesce(source, '') AS grp
+        FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY coalesce(lang, '') || '|' || coalesce(source, '')
+            ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                          AS HUGEINT), doc_id) <= {per_group}"""
+
+
 def sample_oracle_sql(pct: int = 10) -> str:
     return f"""
         SELECT doc_id, text FROM documents

@@ -24,6 +24,8 @@ from ..functions.sampling import (
     sample_oracle_sql,
     split_documents,
     split_oracle_sql,
+    stratified_oracle_sql,
+    stratified_sample_documents,
 )
 from ..functions.sketches import (
     approx_distinct_users,
@@ -219,6 +221,7 @@ def queries() -> dict:
         "heavy_hitter_events": heavy_hitter_events,
         "sample_documents": sample_documents,
         "split_documents": split_documents,
+        "stratified_sample_documents": stratified_sample_documents,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -634,6 +637,7 @@ def oracle_sql() -> dict:
         "heavy_hitter_events": heavy_hitters_oracle_sql(width=8),
         "sample_documents": sample_oracle_sql(),
         "split_documents": split_oracle_sql(),
+        "stratified_sample_documents": stratified_oracle_sql(),
         "minhash_lsh_pairs": _minhash_sql(threshold=0.5),
         "dedup_clusters": _clusters_sql(threshold=0.5),
         "simhash_pairs": _simhash_sql(max_hamming=3),
