@@ -180,3 +180,54 @@ def test_sliding_gcd_bucket_windows_match_per_event(size_mult, slide_mult,
         via_bucket = {top - j * slide for j in range(n_off)
                       if top - j * slide >= b + g - size}
         assert via_bucket == per_event, (size, slide, t, b)
+
+
+def test_quantile_rollup_matches_numpy_random_multisets():
+    """quantile_rollup's ceil(q·n)−1 element selection over value-counts
+    equals direct selection on the raw sorted values — duplicates, singleton
+    groups and n=1 included."""
+    import math
+
+    import ray.data
+
+    from pdf_watermark_remover_ray.pipelines.relational import quantile_rollup
+
+    rng = np.random.default_rng(17)
+    vals = np.concatenate([
+        rng.integers(0, 30, 400),          # heavy duplicates
+        rng.integers(0, 10_000, 200),      # sparse
+    ]).astype(np.float64)
+    keys = np.concatenate([rng.choice(["a", "b", "c"], 599), ["solo"]])
+    df = pd.DataFrame({"k": keys, "v": vals})
+    out = quantile_rollup(ray.data.from_pandas(df).repartition(7),
+                          "k", "v", qs=(0.5, 0.9), suffix="v").to_pandas()
+    for _, row in out.iterrows():
+        sub = np.sort(df.loc[df["k"] == row["k"], "v"].to_numpy())
+        assert row["n"] == len(sub)
+        for q, c in ((0.5, "p50_v"), (0.9, "p90_v")):
+            idx = min(max(math.ceil(q * len(sub)) - 1, 0), len(sub) - 1)
+            assert row[c] == sub[idx], (row["k"], q)
+
+
+def test_heavy_hitters_invariant_under_batch_split():
+    """The candidate pass sees different batch boundaries under different
+    partitionings, but the verified output must be identical (and equal to
+    brute force) — the pigeonhole completeness is split-independent."""
+    import ray.data
+
+    from pdf_watermark_remover_ray.functions.sketches import heavy_hitters
+
+    rng = np.random.default_rng(29)
+    col = np.concatenate([rng.integers(0, 3000, 8000),
+                          np.repeat([7, 8], 1500)]).astype(str)
+    rng.shuffle(col)
+    df = pd.DataFrame({"u": col})
+    width = 12
+    outs = []
+    for parts in (1, 4, 23):
+        out = heavy_hitters(ray.data.from_pandas(df).repartition(parts),
+                            "u", width=width)
+        outs.append(dict(zip(out["item"], out["n"])))
+    vc = pd.Series(col).value_counts()
+    want = {str(k): int(v) for k, v in vc[vc * width > len(col)].items()}
+    assert outs[0] == outs[1] == outs[2] == want
