@@ -299,11 +299,16 @@ def quantile_rollup(ds, key: str, value_col: str,
     Output columns: ``key, n, p{q}_{suffix}...``."""
     import math
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby([key, value_col], sort=False).size() \
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby([key, value_col], sort=False).size() \
             .reset_index(name="partial_n")
+        # ARROW blocks in AND out: Ray's sort-based Aggregate on pandas
+        # blocks falls into a row-wise object-comparison path (~100× slower);
+        # Arrow blocks keep it on columnar kernels
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    counts = ds.map_batches(partial, batch_format="pandas") \
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
         .groupby([key, value_col]).aggregate(Sum("partial_n", alias_name="n"))
 
     def select_quantiles(g: pd.DataFrame) -> pd.DataFrame:
