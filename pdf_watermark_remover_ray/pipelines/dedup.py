@@ -121,10 +121,13 @@ def _distributed_verify_pairs(sf_dir: str, cand: pd.DataFrame, threshold: float,
     ]).drop_duplicates()
     ref = ray.put((cand, need))
 
-    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+    def replicate(t: pa.Table) -> pa.Table:
         _, need_ = ray.get(ref)
-        out = df.merge(need_, on="doc_id", how="inner")
-        return out[["vp", "doc_id", "text"]]
+        out = t.to_pandas().merge(need_, on="doc_id", how="inner")
+        # Arrow block out: the vp-groupby downstream sorts blocks, and Ray's
+        # sort path on pandas blocks is ~8× slower than on Arrow
+        return pa.Table.from_pandas(out[["vp", "doc_id", "text"]],
+                                    preserve_index=False)
 
     def verify_block(g: pd.DataFrame) -> pd.DataFrame:
         cand_, _ = ray.get(ref)
@@ -152,7 +155,7 @@ def _distributed_verify_pairs(sf_dir: str, cand: pd.DataFrame, threshold: float,
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
             filter=pc.field("doc_id").isin(pa.array(need_ids)))
     verified = docs \
-        .map_batches(replicate, batch_format="pandas") \
+        .map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("vp").map_groups(verify_block, batch_format="pandas") \
         .to_pandas()
     if not len(verified.columns):
