@@ -54,6 +54,13 @@ SCRAMBLE = 256
 DOC_NAME_PATTERN = "customer"
 DOC_FOOTER_PATTERN = "window"
 
+# CEP: role-sequence pattern + event-time span bound (1 day — events per
+# conversation are hours apart in the testdata, so a session-scale bound
+# would leave zero matches while a day-scale one still EXERCISES the
+# predicate: some contiguous matches do exceed it at every sf).
+CEP_PATTERN = ("user", "tool", "assistant")
+CEP_WITHIN_US = 86_400_000_000
+
 
 def _transcripts(sf_dir: str):
     return derive_transcripts(sf_dir, num_partitions=16)
@@ -159,6 +166,24 @@ def q_tool_latency_quantiles(sf_dir: str):
                                       qs=(0.5, 0.95), suffix="dt_us")
 
 
+def q_cep_funnel(sf_dir: str):
+    """CEP contiguous sequence: user → tool → assistant turns back-to-back in
+    one conversation within a day (MATCH_RECOGNIZE ``SKIP TO NEXT ROW``)."""
+    from ..stages.cep import sequence_matches
+
+    return sequence_matches(_transcripts(sf_dir), CEP_PATTERN, CEP_WITHIN_US,
+                            num_partitions=16)
+
+
+def q_cep_tool_bursts(sf_dir: str):
+    """CEP Kleene-plus: user (tool)+ assistant — maximal consecutive tool
+    runs bracketed by a user and an assistant turn."""
+    from ..stages.cep import kleene_matches
+
+    return kleene_matches(_transcripts(sf_dir), CEP_WITHIN_US,
+                          num_partitions=16)
+
+
 def q_streaming_e2e(sf_dir: str):
     """Full streaming engine (epochs, watermark, state, exactly-once sink) on
     the seeded fixture; returns the emitted turn rows.  Non-SQL — its golden
@@ -202,6 +227,8 @@ def queries() -> dict:
         "session_windows": q_sessions,
         "stream_join": q_join,
         "tool_latency_quantiles": q_tool_latency_quantiles,
+        "cep_funnel": q_cep_funnel,
+        "cep_tool_bursts": q_cep_tool_bursts,
         "late_drops": q_late,
         "streaming_e2e": q_streaming_e2e,
         # relational family
@@ -474,6 +501,38 @@ def oracle_sql() -> dict:
             SELECT tool, quantile_disc(dt_us, 0.5) AS p50_dt_us,
                    quantile_disc(dt_us, 0.95) AS p95_dt_us, count(*) AS n
             FROM m GROUP BY tool""",
+        "cep_funnel": f"""{t},
+            w AS (
+                SELECT conv_id, turn_idx, role, ts,
+                       lead(role, 1) OVER win AS r1,
+                       lead(role, 2) OVER win AS r2,
+                       lead(ts, 2) OVER win AS ts2
+                FROM transcripts
+                WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT conv_id, turn_idx,
+                   epoch_us(ts2) - epoch_us(ts) AS dt_us
+            FROM w
+            WHERE role = '{CEP_PATTERN[0]}' AND r1 = '{CEP_PATTERN[1]}'
+              AND r2 = '{CEP_PATTERN[2]}'
+              AND epoch_us(ts2) - epoch_us(ts) <= {CEP_WITHIN_US}""",
+        "cep_tool_bursts": f"""{t},
+            g AS (
+                SELECT conv_id, turn_idx, role, ts,
+                       turn_idx - row_number() OVER (
+                           PARTITION BY conv_id, role ORDER BY turn_idx) AS grp
+                FROM transcripts),
+            runs AS (
+                SELECT conv_id, min(turn_idx) AS s, max(turn_idx) AS e,
+                       count(*) AS n_tools
+                FROM g WHERE role = 'tool' GROUP BY conv_id, grp)
+            SELECT r.conv_id, u.turn_idx, r.n_tools,
+                   epoch_us(a.ts) - epoch_us(u.ts) AS dt_us
+            FROM runs r
+            JOIN g u ON u.conv_id = r.conv_id AND u.turn_idx = r.s - 1
+                    AND u.role = 'user'
+            JOIN g a ON a.conv_id = r.conv_id AND a.turn_idx = r.e + 1
+                    AND a.role = 'assistant'
+            WHERE epoch_us(a.ts) - epoch_us(u.ts) <= {CEP_WITHIN_US}""",
         "late_drops": f"""{t},
             e AS (SELECT *, CAST(((event_id // {SCRAMBLE}) * {SCRAMBLE}
                                   + ({SCRAMBLE} - 1 - event_id % {SCRAMBLE})) // {EPOCH_SIZE}

@@ -1,0 +1,134 @@
+"""Complex-event-processing (CEP) sequence patterns over transcript streams.
+
+MATCH_RECOGNIZE-style detection of role sequences within a conversation —
+the batch/oracle-mode counterpart of the north rule's "CEP engine" claim
+(the streaming incremental detector lives in :mod:`..pipelines.streaming`).
+The reference's analog is its ordered multi-step pattern cascade per content
+stream (T1→T5 fire in a fixed sequence per record,
+``mechanisms/watermark_processor.py:64-158``); here the "pattern" ranges
+over the ROLE sequence of consecutive turns instead of byte offsets.
+
+Two pattern shapes, both fully vectorized per hash partition (numpy shifted
+comparisons / run-length encoding — no per-conversation Python):
+
+- :func:`sequence_matches` — a fixed contiguous role sequence
+  (``A B C`` in MATCH_RECOGNIZE terms), every occurrence reported
+  (overlaps allowed), with an event-time span bound ``ts[last] - ts[first]
+  <= within_us``.
+- :func:`kleene_matches` — ``user (tool)+ assistant``: a MAXIMAL run of
+  consecutive tool turns bracketed by a user turn and an assistant turn
+  (Kleene-plus), via vectorized run-length encoding.
+
+Scale path: both ride the ONE conversation-hash partitioning
+(:mod:`.partition`) every keyed stage reuses — the only shuffle is the
+shared conv co-location; matching itself is O(n) numpy per partition.
+Pattern length is fixed and small, so the shifted-comparison loop is over
+the PATTERN (L terms), never over rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .partition import partitioned_map
+from .windows import ts_us_series
+
+_EMPTY_SEQ = {"conv_id": pd.Series([], dtype=str),
+              "turn_idx": pd.Series([], dtype=np.int32),
+              "dt_us": pd.Series([], dtype=np.int64)}
+
+_EMPTY_KLEENE = {"conv_id": pd.Series([], dtype=str),
+                 "turn_idx": pd.Series([], dtype=np.int32),
+                 "n_tools": pd.Series([], dtype=np.int64),
+                 "dt_us": pd.Series([], dtype=np.int64)}
+
+
+def sequence_matches(ds, pattern: tuple[str, ...], within_us: int,
+                     num_partitions: int = 16):
+    """All contiguous occurrences of ``pattern`` (role sequence) inside one
+    conversation with event-time span ≤ ``within_us``.
+
+    Returns ``(conv_id, turn_idx, dt_us)`` — ``turn_idx`` is the match's
+    first turn, ``dt_us = ts[last] - ts[first]``.  Matches may overlap
+    (MATCH_RECOGNIZE ``AFTER MATCH SKIP TO NEXT ROW``): every starting
+    position is reported, which is the order-free semantics a distributed
+    engine can compute without cross-match sequential state.
+    """
+    L = len(pattern)
+    if L < 1:
+        raise ValueError("pattern must have at least one term")
+
+    def match_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        n = len(df)
+        if n < L:
+            return pd.DataFrame(_EMPTY_SEQ)
+        conv = df["conv_id"].to_numpy()
+        role = df["role"].to_numpy()
+        ts = ts_us_series(df["ts"])
+        m = n - L + 1
+        ok = np.ones(m, dtype=bool)
+        for j, term in enumerate(pattern):  # loop over the PATTERN, not rows
+            ok &= role[j:m + j] == term
+        # rows are sorted (conv, turn_idx) with dense turn_idx per conv, so
+        # conv[i] == conv[i+L-1] ⇒ the whole span is one conversation
+        ok &= conv[:m] == conv[L - 1:]
+        dt = ts[L - 1:] - ts[:m]
+        ok &= dt <= within_us
+        idx = np.flatnonzero(ok)
+        return pd.DataFrame({
+            "conv_id": conv[idx],
+            "turn_idx": df["turn_idx"].to_numpy()[idx].astype(np.int32),
+            "dt_us": dt[idx].astype(np.int64),
+        })
+
+    return partitioned_map(ds, match_partition, key="conv_id",
+                           num_partitions=num_partitions)
+
+
+def kleene_matches(ds, within_us: int, num_partitions: int = 16):
+    """``user (tool)+ assistant`` — a maximal consecutive tool run preceded
+    by a user turn and followed by an assistant turn, span ≤ ``within_us``.
+
+    Returns ``(conv_id, turn_idx, n_tools, dt_us)``: ``turn_idx`` is the
+    opening user turn, ``n_tools`` the run length, ``dt_us = ts[assistant]
+    - ts[user]``.  Maximality makes matches disjoint per run, so the output
+    is deterministic under any partitioning.
+    """
+
+    def match_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        n = len(df)
+        if n < 3:
+            return pd.DataFrame(_EMPTY_KLEENE)
+        conv = df["conv_id"].to_numpy()
+        role = df["role"].to_numpy()
+        ts = ts_us_series(df["ts"])
+        # run-length encode (conv, role): starts where either changes
+        change = np.ones(n, dtype=bool)
+        change[1:] = (conv[1:] != conv[:-1]) | (role[1:] != role[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n) - 1  # inclusive
+        is_tool = role[starts] == "tool"
+        s, e = starts[is_tool], ends[is_tool]
+        # bracket checks: predecessor is a user turn, successor an assistant
+        # turn, both in the SAME conversation (run starts/ends at a conv
+        # boundary otherwise)
+        ok = (s > 0) & (e + 1 < n)
+        sp = np.maximum(s - 1, 0)
+        en = np.minimum(e + 1, n - 1)
+        ok &= (role[sp] == "user") & (conv[sp] == conv[s])
+        ok &= (role[en] == "assistant") & (conv[en] == conv[e])
+        dt = ts[en] - ts[sp]
+        ok &= dt <= within_us
+        idx = np.flatnonzero(ok)
+        return pd.DataFrame({
+            "conv_id": conv[s[idx]],
+            "turn_idx": df["turn_idx"].to_numpy()[sp[idx]].astype(np.int32),
+            "n_tools": (e[idx] - s[idx] + 1).astype(np.int64),
+            "dt_us": dt[idx].astype(np.int64),
+        })
+
+    return partitioned_map(ds, match_partition, key="conv_id",
+                           num_partitions=num_partitions)

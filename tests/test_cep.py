@@ -1,0 +1,102 @@
+"""CEP sequence/Kleene pattern matching vs DuckDB oracle + brute force."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from pdf_watermark_remover_ray.pipelines import queries as Q
+from pdf_watermark_remover_ray.sources.transcripts import derive_transcripts
+from pdf_watermark_remover_ray.stages.cep import kleene_matches, sequence_matches
+from pdf_watermark_remover_ray.stages.windows import ts_us_series
+
+
+def _duck(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    return con.sql(sql).df()
+
+
+def _cmp(ray_df: pd.DataFrame, duck_df: pd.DataFrame):
+    cols = sorted(ray_df.columns)
+    assert sorted(duck_df.columns) == cols, (sorted(duck_df.columns), cols)
+    a = ray_df[cols].sort_values(cols).reset_index(drop=True)
+    b = duck_df[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b), (len(a), len(b))
+    for c in cols:
+        assert (a[c].to_numpy().astype(str) == b[c].to_numpy().astype(str)).all(), c
+
+
+def test_cep_funnel_matches_sql(sf_dir):
+    ray_df = Q.q_cep_funnel(sf_dir).to_pandas()
+    duck_df = _duck(sf_dir, Q.oracle_sql()["cep_funnel"])
+    assert len(ray_df) > 0  # the fixture actually contains funnels
+    _cmp(ray_df, duck_df)
+
+
+def test_cep_tool_bursts_matches_sql(sf_dir):
+    ray_df = Q.q_cep_tool_bursts(sf_dir).to_pandas()
+    duck_df = _duck(sf_dir, Q.oracle_sql()["cep_tool_bursts"])
+    assert len(ray_df) > 0
+    # multi-tool bursts must exist, or the Kleene-plus is just a 3-term seq
+    assert (ray_df["n_tools"] > 1).any()
+    _cmp(ray_df, duck_df)
+
+
+def _brute_sequence(df: pd.DataFrame, pattern, within_us):
+    """Row-at-a-time reference implementation."""
+    out = []
+    for conv, g in df.sort_values(["conv_id", "turn_idx"]).groupby("conv_id"):
+        roles = g["role"].tolist()
+        ts = ts_us_series(g["ts"])
+        tix = g["turn_idx"].tolist()
+        L = len(pattern)
+        for i in range(len(roles) - L + 1):
+            if all(roles[i + j] == pattern[j] for j in range(L)) \
+                    and ts[i + L - 1] - ts[i] <= within_us:
+                out.append((conv, tix[i], int(ts[i + L - 1] - ts[i])))
+    return sorted(out)
+
+
+def test_cep_sequence_bruteforce_and_partition_invariance(sf_dir):
+    """Vectorized matcher == brute force; result identical at P=1 and P=5
+    (partitioning must not create or lose matches)."""
+    ds = derive_transcripts(sf_dir, num_partitions=4)
+    df = ds.to_pandas()
+    pattern = ("user", "user")
+    within = 86_400_000_000
+    want = _brute_sequence(df, pattern, within)
+    for parts in (1, 5):
+        got = sequence_matches(ds, pattern, within,
+                               num_partitions=parts).to_pandas()
+        got_t = sorted(zip(got["conv_id"], got["turn_idx"].astype(int),
+                           got["dt_us"].astype(int)))
+        assert got_t == want, parts
+    assert len(want) > 0
+
+
+def test_cep_kleene_maximality():
+    """A planted conversation: user tool tool tool assistant → ONE match of
+    n_tools=3; an unbracketed tool run emits nothing."""
+    import ray.data
+
+    ts = pd.to_datetime(np.arange(10) * 60_000_000, unit="us")
+    df = pd.DataFrame({
+        "conv_id": ["a"] * 5 + ["b"] * 5,
+        "turn_idx": np.tile(np.arange(5, dtype=np.int32), 2),
+        "role": ["user", "tool", "tool", "tool", "assistant",
+                 # b: tool run touching the conv start — no user bracket
+                 "tool", "tool", "assistant", "user", "tool"],
+        "text": [""] * 10,
+        "tool": [""] * 10,
+        "ts": ts,
+    })
+    got = kleene_matches(ray.data.from_pandas(df), 86_400_000_000,
+                         num_partitions=2).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["conv_id"], int(r["turn_idx"]), int(r["n_tools"])) == ("a", 0, 3)
+    assert int(r["dt_us"]) == 4 * 60_000_000
