@@ -264,6 +264,9 @@ def queries() -> dict:
         # text analysis
         "text_stats": text.text_stats,
         "token_counts": text.token_counts,
+        "quality_filter": text.quality_filter,
+        "bag_dedup": text.bag_dedup,
+        "json_extract_events": text.json_extract_events,
         "fingerprints": lambda sf: text.fingerprints(sf).select_columns(
             ["doc_id", "fingerprint"]),
         "winnow_fingerprints": text.fingerprints,
@@ -707,6 +710,37 @@ def oracle_sql() -> dict:
                    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
                        AS bpe_tokens
             FROM documents""",
+        "quality_filter": f"""
+            WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+            s AS (SELECT doc_id, len(toks) AS n,
+                         len(list_distinct(toks)) AS nd,
+                         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                             AS lensum,
+                         len(list_filter(toks,
+                             x -> x IN ('the','and','of','a','to','in'))) AS stop
+                  FROM t)
+            SELECT doc_id, n AS n_words,
+                   round(CASE WHEN n > 0 THEN CAST(lensum AS DOUBLE) / n
+                              ELSE 0.0 END, 6) AS mean_word_len,
+                   round(CASE WHEN n > 0 THEN CAST(nd AS DOUBLE) / n
+                              ELSE 0.0 END, 6) AS distinct_ratio,
+                   stop > 0 AS has_stopword,
+                   (n >= {text.QUALITY_MIN_WORDS} AND n <= {text.QUALITY_MAX_WORDS}
+                    AND CAST(lensum AS DOUBLE) / n >= {text.QUALITY_MIN_MWL}
+                    AND CAST(lensum AS DOUBLE) / n <= {text.QUALITY_MAX_MWL}
+                    AND stop > 0
+                    AND CAST(nd AS DOUBLE) / n >= {text.QUALITY_MIN_DISTINCT_RATIO})
+                       AS keep
+            FROM s""",
+        "bag_dedup": f"""
+            WITH c AS (SELECT doc_id,
+                              array_to_string(list_sort({TOKENS_SQL}), ' ') AS canon
+                       FROM documents)
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM c GROUP BY canon""",
+        "json_extract_events": """
+            SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events""",
         "fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         # winnow64: min over char-8-gram md5-prefix hashes, signed-int64 view
         # of the uint64 min (HUGEINT bridges the UBIGINT->BIGINT reinterpret)

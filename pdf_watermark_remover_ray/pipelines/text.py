@@ -162,3 +162,109 @@ def token_counts(sf_dir: str):
                              "bpe_tokens": bpe.to_numpy()})
 
     return ds.map_batches(counts, batch_format="pandas")
+
+
+# Gopher-style heuristic document-quality rules (Rae et al. 2021, public):
+# word-count bounds, mean-word-length bounds, stopword presence, and a
+# repetition bound via the distinct-token ratio.  Thresholds chosen so every
+# rule except mean-word-length actually fires on the testdata corpus.
+QUALITY_MIN_WORDS = 20
+QUALITY_MAX_WORDS = 80
+QUALITY_MIN_MWL = 3.0
+QUALITY_MAX_MWL = 10.0
+QUALITY_MIN_DISTINCT_RATIO = 0.5
+
+
+def quality_filter(sf_dir: str):
+    """Gopher-style quality rules per document → per-rule booleans + ``keep``.
+
+    Output ``(doc_id, n_words, mean_word_len, distinct_ratio, has_stopword,
+    keep)``.  All comparisons run on UNROUNDED doubles (identical division
+    on both engine and oracle sides); the reported ratio columns are rounded
+    to 6 for the value-hash.  Vectorized: one explode + two grouped sums per
+    batch, no per-row Python."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    stop = set(STOPWORDS)
+
+    def rules(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        toks = _token_lists(text)
+        n_words = toks.str.len().astype(np.int64)
+        exploded = toks.explode().dropna()
+        lens = exploded.str.len().groupby(level=0).sum() \
+            .reindex(df.index, fill_value=0).to_numpy(np.int64)
+        stops = exploded.isin(stop).groupby(level=0).any() \
+            .reindex(df.index, fill_value=False).to_numpy(bool)
+        nd = exploded.groupby(level=0).nunique() \
+            .reindex(df.index, fill_value=0).to_numpy(np.int64)
+        n = n_words.to_numpy()
+        safe_n = np.where(n > 0, n, 1)
+        mwl = lens / safe_n
+        dr = nd / safe_n
+        keep = ((n >= QUALITY_MIN_WORDS) & (n <= QUALITY_MAX_WORDS)
+                & (mwl >= QUALITY_MIN_MWL) & (mwl <= QUALITY_MAX_MWL)
+                & stops & (dr >= QUALITY_MIN_DISTINCT_RATIO))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_words": n,
+            "mean_word_len": round_half_away(np.where(n > 0, mwl, 0.0), 6),
+            "distinct_ratio": round_half_away(np.where(n > 0, dr, 0.0), 6),
+            "has_stopword": stops,
+            "keep": keep,
+        })
+
+    return ds.map_batches(rules, batch_format="pandas")
+
+
+def bag_dedup(sf_dir: str, num_partitions: int = 16):
+    """Order-insensitive exact dedup: two documents with the SAME token
+    multiset (bag of words) in any order collapse to one survivor.
+
+    Canonical form = space-joined sorted token list, then the exact-dedup
+    shuffle shape: vectorized 2×64-bit hash of the canonical form →
+    hash-partition groupby → keep min doc_id + copy count.  The per-row
+    token sort is inherent to the canonicalization (same cost class as
+    shingling); everything after it is the vectorized dedup path."""
+    from ..stages.partition import add_partition_column
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        canon = pd.Series(
+            [" ".join(sorted((t or "").split())) for t in df["text"]],
+            index=df.index)
+        h1 = pd.util.hash_pandas_object(canon, index=False).to_numpy()
+        h2 = pd.util.hash_pandas_object(
+            canon, index=False, hash_key="9c39a2b1f04d58e7").to_numpy()
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "h1": h1.view(np.int64), "h2": h2.view(np.int64)})
+
+    ds = ds.map_batches(add_hash, batch_format="pandas")
+    ds = add_partition_column(ds, key="h1", num_partitions=num_partitions)
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["h1", "h2"], sort=False, as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        return g[["doc_id", "n_copies"]]
+
+    return ds.groupby("part").map_groups(keep_first, batch_format="pandas")
+
+
+def json_extract_events(sf_dir: str):
+    """Typed field extraction from the JSON ``props`` column of events
+    (semi-structured ingestion staple): ``(event_id, k)`` with ``k`` the
+    integer at ``$.k``, null when absent.  Vectorized regex extract per
+    batch — never a per-row json.loads; the DuckDB oracle uses the real
+    ``json_extract`` so both parsers must agree."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "props"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].fillna("").str.extract(r'"k"\s*:\s*(-?\d+)',
+                                               expand=False)
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "k": k.astype("Int64").to_numpy()})
+
+    return ds.map_batches(extract, batch_format="pandas")

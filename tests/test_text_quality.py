@@ -1,0 +1,72 @@
+"""Quality filter / bag dedup / JSON extraction vs DuckDB + planted cases."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from pdf_watermark_remover_ray.pipelines import queries as Q
+from pdf_watermark_remover_ray.pipelines import text as T
+
+
+def _duck(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for tbl in ("documents", "events"):
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{tbl}.parquet')")
+    return con.sql(sql).df()
+
+
+def _cmp(ray_df: pd.DataFrame, duck_df: pd.DataFrame):
+    cols = sorted(ray_df.columns)
+    assert sorted(duck_df.columns) == cols, (sorted(duck_df.columns), cols)
+    a = ray_df[cols].sort_values(cols).reset_index(drop=True)
+    b = duck_df[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b), (len(a), len(b))
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            assert np.allclose(av.astype(float), bv.astype(float)), c
+        else:
+            assert (av.astype(str) == bv.astype(str)).all(), c
+
+
+def test_quality_filter_matches_sql(sf_dir):
+    got = T.quality_filter(sf_dir).to_pandas()
+    want = _duck(sf_dir, Q.oracle_sql()["quality_filter"])
+    # every rule except mean-word-length must actually fire on this corpus
+    assert got["keep"].any() and not got["keep"].all()
+    assert (~got["has_stopword"]).any()
+    assert (got["distinct_ratio"] < T.QUALITY_MIN_DISTINCT_RATIO).any()
+    _cmp(got, want)
+
+
+def test_bag_dedup_matches_sql_and_reorder_planted(sf_dir, tmp_path):
+    got = T.bag_dedup(sf_dir).to_pandas()
+    want = _duck(sf_dir, Q.oracle_sql()["bag_dedup"])
+    _cmp(got, want)
+
+    # planted: same bag in a different order collapses; different bag doesn't
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["alpha beta gamma", "gamma alpha beta",  # reordered dup
+                 "alpha beta beta",                        # different multiset
+                 "alpha beta gamma"],                      # exact dup
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = T.bag_dedup(str(tmp_path), num_partitions=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out.set_index("doc_id")["n_copies"].to_dict() == {1: 3, 3: 1}
+
+
+def test_json_extract_matches_sql(sf_dir):
+    got = T.json_extract_events(sf_dir).to_pandas()
+    want = _duck(sf_dir, Q.oracle_sql()["json_extract_events"])
+    got["k"] = got["k"].astype("int64")
+    want["k"] = want["k"].astype("int64")
+    _cmp(got, want)
