@@ -242,6 +242,9 @@ def queries() -> dict:
         "order_priority_counts": relational.order_priority_counts,
         "events_windowed_stats": relational.events_windowed_stats,
         "events_quantiles": relational.events_quantiles,
+        "events_quantiles_cont": relational.events_quantiles_cont,
+        "order_priority_rollup": relational.order_priority_rollup,
+        "user_event_pivot": relational.user_event_pivot,
         "prev_order_gap": relational.prev_order_gap,
         "running_revenue": relational.running_revenue,
         "approx_distinct_users": approx_distinct_users,
@@ -624,6 +627,30 @@ def oracle_sql() -> dict:
             FROM events
             WHERE event_type IS NOT NULL AND value IS NOT NULL
             GROUP BY event_type""",
+        # quantile_cont: the engine replays DuckDB's interpolation formula
+        # with identical IEEE operation order, so doubles match bit-for-bit
+        "events_quantiles_cont": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS c50_value,
+                   quantile_cont(value, 0.9) AS c90_value,
+                   count(*) AS n
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+            GROUP BY event_type""",
+        "order_priority_rollup": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*) AS n
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "user_event_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id""",
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text""",

@@ -334,6 +334,110 @@ def events_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.75, 0.95)):
     return quantile_rollup(ds, "event_type", "value", qs, suffix="value")
 
 
+def quantile_cont_rollup(ds, key: str, value_col: str,
+                         qs: tuple[float, ...], suffix: str):
+    """Interpolated (``percentile_cont``) per-key quantiles over the SAME
+    distributed value-counts topology as :func:`quantile_rollup` — only the
+    final selection differs: DuckDB's ``quantile_cont`` formula ``RN =
+    q·(n−1); (CRN−RN)·v[FRN] + (RN−FRN)·v[CRN]`` replayed with the identical
+    IEEE operation order, so doubles hash-match the oracle bit-for-bit."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby([key, value_col], sort=False).size() \
+            .reset_index(name="partial_n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby([key, value_col]).aggregate(Sum("partial_n", alias_name="n"))
+
+    def select_quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col, kind="mergesort")
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy()
+        vals = g[value_col].to_numpy().astype(np.float64)
+
+        def elem(i: int) -> float:  # i-th (0-based) of the sorted multiset
+            return float(vals[np.searchsorted(cum, i + 1)])
+
+        row = {key: [g[key].iloc[0]], "n": [n]}
+        for q in qs:
+            rn = q * (n - 1)
+            frn, crn = math.floor(rn), math.ceil(rn)
+            v = elem(frn) if crn == frn else \
+                (crn - rn) * elem(frn) + (rn - frn) * elem(crn)
+            row[f"c{int(round(q * 100))}_{suffix}"] = [v]
+        return pd.DataFrame(row)
+
+    return counts.groupby(key).map_groups(select_quantiles,
+                                          batch_format="pandas")
+
+
+def events_quantiles_cont(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9)):
+    """Interpolated per-event-type quantiles (see quantile_cont_rollup)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return quantile_cont_rollup(ds, "event_type", "value", qs, suffix="value")
+
+
+ROLLUP_ALL = "ALL"
+
+
+def order_priority_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (o_orderstatus, o_orderpriority) counts — three
+    grouping levels from ONE scan: the finest aggregate runs distributed
+    (per-batch partials → small groupby), coarser levels are derived from
+    the finest's few-dozen rows driver-side (bounded by the grouping
+    domain, never by row count).  Rolled-up columns carry the explicit
+    ``'ALL'`` sentinel (both sides coalesce, avoiding NULL-repr drift)."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby(["o_orderstatus", "o_orderpriority"],
+                                  sort=False).size().reset_index(name="partial_n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["o_orderstatus", "o_orderpriority"]) \
+        .aggregate(Sum("partial_n", alias_name="n")).to_pandas()
+    by_status = fine.groupby("o_orderstatus", as_index=False)["n"].sum()
+    by_status["o_orderpriority"] = ROLLUP_ALL
+    total = pd.DataFrame({"o_orderstatus": [ROLLUP_ALL],
+                          "o_orderpriority": [ROLLUP_ALL],
+                          "n": [fine["n"].sum()]})
+    out = pd.concat([fine, by_status, total], ignore_index=True)
+    return out[["o_orderstatus", "o_orderpriority", "n"]] \
+        .sort_values(["o_orderstatus", "o_orderpriority"]).reset_index(drop=True)
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(sf_dir: str):
+    """Per-user event-type count pivot (long → wide over the FIXED
+    event-type domain, so the schema is stable by construction): one row per
+    user_id with ``n_<type>`` columns.  Per-batch wide partials (vectorized
+    crosstab) → one groupby-sum shuffle of user×5-int rows — the pivot never
+    sees raw events after the batch partial."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        for ty in EVENT_TYPES:
+            if ty not in ct.columns:
+                ct[ty] = 0
+        ct = ct[list(EVENT_TYPES)].astype(np.int64)
+        ct.columns = [f"n_{ty}" for ty in EVENT_TYPES]
+        return pa.Table.from_pandas(ct.reset_index(), preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("user_id").aggregate(*aggs)
+
+
 def events_windowed_stats(sf_dir: str, size_us: int = 86_400_000_000):
     """Daily tumbling per event_type: count / sum / min / max of value."""
     from ..stages.windows import windowed_stats

@@ -231,3 +231,57 @@ def test_heavy_hitters_invariant_under_batch_split():
     vc = pd.Series(col).value_counts()
     want = {str(k): int(v) for k, v in vc[vc * width > len(col)].items()}
     assert outs[0] == outs[1] == outs[2] == want
+
+
+def test_quantile_cont_rollup_matches_numpy_linear():
+    """quantile_cont_rollup's interpolation over value-counts equals
+    numpy's 'linear' percentile on the raw values (same RN = q(n−1) rule),
+    including singleton groups and duplicate-heavy multisets."""
+    import ray.data
+
+    from pdf_watermark_remover_ray.pipelines.relational import quantile_cont_rollup
+
+    rng = np.random.default_rng(23)
+    vals = np.concatenate([
+        rng.integers(0, 25, 500),
+        rng.normal(100, 5, 300).round(2),
+    ]).astype(np.float64)
+    keys = np.concatenate([rng.choice(["x", "y", "z"], 799), ["solo"]])
+    df = pd.DataFrame({"k": keys, "v": vals})
+    out = quantile_cont_rollup(ray.data.from_pandas(df).repartition(5),
+                               "k", "v", qs=(0.5, 0.9), suffix="v").to_pandas()
+    assert set(out["k"]) == {"x", "y", "z", "solo"}
+    for _, row in out.iterrows():
+        sub = df.loc[df["k"] == row["k"], "v"].to_numpy()
+        assert row["n"] == len(sub)
+        for q, c in ((0.5, "c50_v"), (0.9, "c90_v")):
+            want = np.percentile(sub, q * 100, method="linear")
+            assert np.isclose(row[c], want, rtol=0, atol=1e-9), (row["k"], q)
+
+
+def test_rollup_and_pivot_consistency(sf_dir):
+    """ROLLUP levels are mutually consistent (children sum to parents) and
+    the pivot's wide counts sum to the total event count."""
+    from pdf_watermark_remover_ray.pipelines.relational import (
+        order_priority_rollup,
+        user_event_pivot,
+    )
+
+    roll = order_priority_rollup(sf_dir)
+    fine = roll[(roll["o_orderstatus"] != "ALL")
+                & (roll["o_orderpriority"] != "ALL")]
+    mid = roll[(roll["o_orderstatus"] != "ALL")
+               & (roll["o_orderpriority"] == "ALL")]
+    top = roll[(roll["o_orderstatus"] == "ALL")
+               & (roll["o_orderpriority"] == "ALL")]
+    assert len(top) == 1 and top["n"].iloc[0] == fine["n"].sum()
+    per_status = fine.groupby("o_orderstatus")["n"].sum()
+    for _, r in mid.iterrows():
+        assert r["n"] == per_status[r["o_orderstatus"]]
+
+    piv = user_event_pivot(sf_dir).to_pandas()
+    import pyarrow.parquet as pq
+
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    wide_cols = [c for c in piv.columns if c.startswith("n_")]
+    assert piv[wide_cols].to_numpy().sum() == n_events
