@@ -33,6 +33,11 @@ class ScrubConfig:
         return self.footer_pattern if self.use_footer else ""
 
 
+# Role → small-int code for the CEP state buffer (strings never ship to or
+# sit in the cepbuf state kind).
+ROLE_CODES = {"user": 0, "assistant": 1, "tool": 2}
+
+
 @dataclass(frozen=True)
 class Tumbling:
     """Tumbling event-time window: fixed, non-overlapping ``size_us`` buckets."""
@@ -138,6 +143,15 @@ class StreamConfig:
     # reconstructs the high mark as a max over delta snapshots) would evict
     # on a different schedule than the uninterrupted run.
     dedup_ttl_us: int | None = None
+    # Streaming CEP: contiguous role-sequence detection (``cep`` output
+    # stream).  A match = turns (i .. i+L-1) of ONE conversation whose roles
+    # equal ``cep_pattern`` in order, with turn_idx consecutive and the
+    # event-time SPAN (max ts − min ts over the match — span, not endpoint
+    # difference, so the watermark eviction bound holds even when late-but-
+    # accepted rows make ts non-monotone in turn_idx) ≤ ``cep_within_us``.
+    # A match is emitted in the epoch its last-arriving constituent lands.
+    cep_pattern: tuple[str, ...] = ("user", "tool", "assistant")
+    cep_within_us: int = 120_000_000
 
     def __post_init__(self) -> None:
         """Pre-flight validation (reference P2/P3 analog: the UI rejects bad
@@ -157,10 +171,20 @@ class StreamConfig:
             "snapshot_full_every must be >= 1": self.snapshot_full_every >= 1,
             "dedup_ttl_us must be >= lateness_us (determinism under resume)":
                 self.dedup_ttl_us is None or self.dedup_ttl_us >= self.lateness_us,
+            "cep_pattern must be a non-empty tuple of known roles":
+                len(self.cep_pattern) >= 1
+                and all(r in ("user", "assistant", "tool")
+                        for r in self.cep_pattern),
+            "cep_within_us must be > 0": self.cep_within_us > 0,
         }
         bad = [msg for msg, ok in checks.items() if not ok]
         if bad:
             raise ValueError("invalid StreamConfig: " + "; ".join(bad))
+
+    @property
+    def cep_codes(self) -> tuple[int, ...]:
+        """Pattern as small-int role codes (what the state store buffers)."""
+        return tuple(ROLE_CODES[r] for r in self.cep_pattern)
 
     @property
     def tumbling_spec(self) -> Tumbling:

@@ -145,8 +145,35 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
         dedup = pd.DataFrame(rows, columns=["conv_id", "turn_idx"]) \
             if rows else pd.DataFrame({"conv_id": pd.Series([], dtype=str),
                                        "turn_idx": pd.Series([], dtype=np.int32)})
+    # CEP: contiguous role-sequence matches over the ACCEPTED (non-late)
+    # rows — final union over epochs equals the batch matcher on live rows
+    # (a match completes exactly once; eviction provably loses none).
+    cl = live.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    L = len(cfg.cep_pattern)
+    cconv = cl["conv_id"].to_numpy()
+    crole = cl["role"].to_numpy()
+    ctix = cl["turn_idx"].to_numpy().astype(np.int64)
+    cts = cl["ts_us"].to_numpy(np.int64)
+    cep = pd.DataFrame({"conv_id": pd.Series([], dtype=str),
+                        "turn_idx": pd.Series([], dtype=np.int32),
+                        "dt_us": pd.Series([], dtype=np.int64)})
+    if len(cl) >= L:
+        m = len(cl) - L + 1
+        ok = np.ones(m, dtype=bool)
+        for j, term in enumerate(cfg.cep_pattern):
+            ok &= crole[j:m + j] == term
+        ok &= cconv[:m] == cconv[L - 1:]
+        ok &= ctix[L - 1:] - ctix[:m] == L - 1
+        dt = np.maximum.reduce([cts[j:m + j] for j in range(L)]) \
+            - np.minimum.reduce([cts[j:m + j] for j in range(L)])
+        ok &= dt <= cfg.cep_within_us
+        idx = np.flatnonzero(ok)
+        cep = pd.DataFrame({"conv_id": cconv[idx],
+                            "turn_idx": ctix[idx].astype(np.int32),
+                            "dt_us": dt[idx].astype(np.int64)})
     return {
         "turns": live[["conv_id", "turn_idx", "role", "text", "tool", "ts", "modified"]],
+        "cep": cep,
         "dedup": dedup,
         "late": late[["conv_id", "turn_idx", "ts_us", "epoch"]],
         "sessions": sessions,

@@ -507,20 +507,26 @@ def oracle_sql() -> dict:
             SELECT tool, quantile_disc(dt_us, 0.5) AS p50_dt_us,
                    quantile_disc(dt_us, 0.95) AS p95_dt_us, count(*) AS n
             FROM m GROUP BY tool""",
+        # dt_us = span (greatest - least over the 3 turns), the engine's
+        # non-monotone-safe rule; equals lead(ts,2)-ts on this (monotone) data
         "cep_funnel": f"""{t},
             w AS (
                 SELECT conv_id, turn_idx, role, ts,
                        lead(role, 1) OVER win AS r1,
                        lead(role, 2) OVER win AS r2,
+                       lead(ts, 1) OVER win AS ts1,
                        lead(ts, 2) OVER win AS ts2
                 FROM transcripts
                 WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx))
             SELECT conv_id, turn_idx,
-                   epoch_us(ts2) - epoch_us(ts) AS dt_us
+                   greatest(epoch_us(ts), epoch_us(ts1), epoch_us(ts2))
+                   - least(epoch_us(ts), epoch_us(ts1), epoch_us(ts2)) AS dt_us
             FROM w
             WHERE role = '{CEP_PATTERN[0]}' AND r1 = '{CEP_PATTERN[1]}'
               AND r2 = '{CEP_PATTERN[2]}'
-              AND epoch_us(ts2) - epoch_us(ts) <= {CEP_WITHIN_US}""",
+              AND greatest(epoch_us(ts), epoch_us(ts1), epoch_us(ts2))
+                  - least(epoch_us(ts), epoch_us(ts1), epoch_us(ts2))
+                  <= {CEP_WITHIN_US}""",
         "cep_tool_bursts": f"""{t},
             g AS (
                 SELECT conv_id, turn_idx, role, ts,

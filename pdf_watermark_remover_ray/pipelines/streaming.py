@@ -95,6 +95,7 @@ class StatePartition:
                 lambda e: self.sink.state_path(e, partition_id),
                 restore_epoch, cfg.join_gap_us,
                 dedup_ttl_us=cfg.dedup_ttl_us,
+                cep_within_us=cfg.cep_within_us,
             )
         else:
             self.store = SortedStateStore()
@@ -171,6 +172,7 @@ class StatePartition:
             "sliding": self._emit_sliding(wm_after_us, epoch),
             "matches": self._emit_matches(wm_after_us, epoch),
             "wdistinct": self._emit_wdistinct(wm_after_us, epoch),
+            "cep": self._fold_emit_cep(live, wm_after_us, epoch),
         }
         if self.cfg.dedup_stream:
             emitted["dedup"] = self._emit_dedup(epoch, wm_after_us)
@@ -391,6 +393,80 @@ class StatePartition:
         self.store.put("meta", pd.DataFrame(
             {"conv_id": [self._SLIDING_BOUND_KEY], "n": np.array([bound], np.int64)}))
         return self._write("sliding", epoch, out, schema)
+
+    def _fold_emit_cep(self, live: pd.DataFrame, wm_us: int, epoch: int) -> int:
+        """Streaming CEP (``cep`` stream): contiguous role-sequence matches
+        (see StreamConfig.cep_pattern) emitted in the epoch their LAST
+        constituent turn arrives.
+
+        Completion-driven, not watermark-driven: a match over consecutive
+        turn_idx values is decided the moment all L turns are present (turn
+        indices are unique per conversation, so no future arrival can
+        contradict it), and the completion epoch is a pure function of input
+        + epoch slicing — deterministic under kill/resume.  Exactly-once
+        without an emitted-match set: a match is reported iff ≥ 1 of its
+        turns is NEW this epoch, which is true precisely once.
+
+        Eviction is watermark-driven: a buffered turn with ``ts < wm −
+        within`` is dropped because any future (non-late) arrival has ``ts ≥
+        wm``, making every not-yet-complete match through the dropped turn
+        exceed the span bound ``max(ts) − min(ts) ≤ within`` (the span rule —
+        NOT endpoint difference — is what makes this sound when late-but-
+        accepted rows break ts-monotonicity in turn_idx)."""
+        pat = self.cfg.cep_codes
+        L = len(pat)
+        old = self.store.get("cepbuf")
+        if len(live):
+            from ..config import ROLE_CODES
+
+            code = np.full(len(live), -1, dtype=np.int64)
+            role = live["role"].to_numpy()
+            for r, c in ROLE_CODES.items():
+                code[role == r] = c
+            new = pd.DataFrame({"conv_id": live["conv_id"].to_numpy(),
+                                "turn_idx": live["turn_idx"].to_numpy(np.int32),
+                                "n": code,
+                                "ts_us": live["ts_us"].to_numpy(np.int64)})
+        else:
+            new = old.iloc[0:0]
+        self._delta["cepbuf"] = new
+        buf = pd.concat([old.assign(_new=False), new.assign(_new=True)],
+                        ignore_index=True) \
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = buf["conv_id"].to_numpy()
+        codes = buf["n"].to_numpy(np.int64)
+        tix = buf["turn_idx"].to_numpy().astype(np.int64)
+        ts = buf["ts_us"].to_numpy(np.int64)
+        isnew = buf["_new"].to_numpy(bool)
+        n = len(buf)
+        out = pd.DataFrame({"conv_id": pd.Series([], dtype=str),
+                            "turn_idx": pd.Series([], dtype=np.int32),
+                            "dt_us": pd.Series([], dtype=np.int64)})
+        if n >= L:
+            m = n - L + 1
+            ok = np.ones(m, dtype=bool)
+            anynew = np.zeros(m, dtype=bool)
+            for j, term in enumerate(pat):
+                ok &= codes[j:m + j] == term
+                anynew |= isnew[j:m + j]
+            ok &= conv[:m] == conv[L - 1:]
+            ok &= tix[L - 1:] - tix[:m] == L - 1
+            dt = np.maximum.reduce([ts[j:m + j] for j in range(L)]) \
+                - np.minimum.reduce([ts[j:m + j] for j in range(L)])
+            ok &= dt <= self.cfg.cep_within_us
+            ok &= anynew  # completed THIS epoch ⇒ emitted exactly once
+            idx = np.flatnonzero(ok)
+            if len(idx):
+                out = pd.DataFrame({
+                    "conv_id": conv[idx],
+                    "turn_idx": tix[idx].astype(np.int32),
+                    "dt_us": dt[idx].astype(np.int64),
+                }).sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        keep = ts >= wm_us - self.cfg.cep_within_us
+        self.store.put("cepbuf", buf[keep].drop(columns=["_new"]))
+        schema = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                            ("dt_us", pa.int64())])
+        return self._write("cep", epoch, out, schema)
 
     def _fold_join(self, live: pd.DataFrame) -> None:
         if len(live) == 0:

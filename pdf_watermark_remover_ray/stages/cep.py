@@ -50,10 +50,14 @@ def sequence_matches(ds, pattern: tuple[str, ...], within_us: int,
     conversation with event-time span ≤ ``within_us``.
 
     Returns ``(conv_id, turn_idx, dt_us)`` — ``turn_idx`` is the match's
-    first turn, ``dt_us = ts[last] - ts[first]``.  Matches may overlap
-    (MATCH_RECOGNIZE ``AFTER MATCH SKIP TO NEXT ROW``): every starting
-    position is reported, which is the order-free semantics a distributed
-    engine can compute without cross-match sequential state.
+    first turn, ``dt_us`` the event-time SPAN ``max(ts) - min(ts)`` over the
+    match (span, not endpoint difference: identical when ts is monotone in
+    turn_idx, but well-defined — and safe to evict against a watermark —
+    when late-but-accepted rows break monotonicity; the streaming engine's
+    ``cep`` stream shares this rule).  Matches may overlap (MATCH_RECOGNIZE
+    ``AFTER MATCH SKIP TO NEXT ROW``): every starting position is reported,
+    which is the order-free semantics a distributed engine can compute
+    without cross-match sequential state.
     """
     L = len(pattern)
     if L < 1:
@@ -66,15 +70,19 @@ def sequence_matches(ds, pattern: tuple[str, ...], within_us: int,
             return pd.DataFrame(_EMPTY_SEQ)
         conv = df["conv_id"].to_numpy()
         role = df["role"].to_numpy()
+        tix = df["turn_idx"].to_numpy().astype(np.int64)
         ts = ts_us_series(df["ts"])
         m = n - L + 1
         ok = np.ones(m, dtype=bool)
         for j, term in enumerate(pattern):  # loop over the PATTERN, not rows
             ok &= role[j:m + j] == term
-        # rows are sorted (conv, turn_idx) with dense turn_idx per conv, so
-        # conv[i] == conv[i+L-1] ⇒ the whole span is one conversation
+        # rows are sorted (conv, turn_idx), so conv equality at the span ends
+        # ⇒ one conversation; explicit turn_idx contiguity makes the matcher
+        # correct on SPARSE inputs too (e.g. a late-filtered stream)
         ok &= conv[:m] == conv[L - 1:]
-        dt = ts[L - 1:] - ts[:m]
+        ok &= tix[L - 1:] - tix[:m] == L - 1
+        dt = np.maximum.reduce([ts[j:m + j] for j in range(L)]) \
+            - np.minimum.reduce([ts[j:m + j] for j in range(L)])
         ok &= dt <= within_us
         idx = np.flatnonzero(ok)
         return pd.DataFrame({

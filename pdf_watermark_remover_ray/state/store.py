@@ -53,6 +53,13 @@ _EMPTY = {
     # snapshots carry the epoch's (new or ts-advanced) rows; restore
     # groupby-maxes the chain so re-appended hashes keep their latest mark.
     "seen": {"h1": np.int64, "h2": np.int64, "ts_us": np.int64},
+    # CEP open-turn buffer: every accepted turn within the cep_within_us
+    # horizon, with its role as a small-int code in the reused "n" column
+    # (the "meta" trick — no extra snapshot column).  Append-only with a
+    # pure ts threshold eviction (keep ts >= wm − within), so it
+    # delta-snapshots exactly like the join buffers.
+    "cepbuf": {"conv_id": str, "turn_idx": np.int32, "n": np.int64,
+               "ts_us": np.int64},
 }
 
 _SORT_KEYS = {
@@ -64,6 +71,7 @@ _SORT_KEYS = {
     "wtools": ["conv_id", "window_start_us", "tool"],
     "meta": ["conv_id"],
     "seen": ["h1", "h2"],
+    "cepbuf": ["conv_id", "turn_idx"],
 }
 
 # Superset schema used by the single-file snapshot.
@@ -109,7 +117,7 @@ class SortedStateStore:
     # "seen" delta-snapshots like the join buffers; restore groupby-maxes
     # the chain's per-hash ts marks and (TTL mode) applies the wm − ttl
     # eviction — see restore_chain.  Exact mode (ttl=None) never evicts.
-    _BULKY = ("users", "tools", "seen")
+    _BULKY = ("users", "tools", "seen", "cepbuf")
     _OPEN = ("sessions", "wstats", "sliding", "wtools", "meta")
 
     def snapshot(self, path: str, mode: str = "full",
@@ -176,7 +184,8 @@ class SortedStateStore:
     @classmethod
     def restore_chain(cls, path_for_epoch, restore_epoch: int,
                       join_gap_us: int,
-                      dedup_ttl_us: int | None = None) -> "SortedStateStore":
+                      dedup_ttl_us: int | None = None,
+                      cep_within_us: int | None = None) -> "SortedStateStore":
         """Rebuild state at ``restore_epoch`` from the delta chain: walk
         snapshots backwards to the nearest full one, concat the bulky
         appends forward, apply the final watermark eviction thresholds."""
@@ -215,6 +224,11 @@ class SortedStateStore:
                 # ttl >= lateness makes the chain max equal the live mark)
                 seen = seen[seen["ts_us"] >= wm_last - dedup_ttl_us]
         store.put("seen", seen)
+        cep = pd.concat([c["cepbuf"] for c in chain], ignore_index=True)
+        if cep_within_us is not None:
+            # mirror the live store's close-time eviction threshold
+            cep = cep[cep["ts_us"] >= wm_last - cep_within_us]
+        store.put("cepbuf", cep)
         return store
 
     @classmethod

@@ -55,9 +55,10 @@ def _brute_sequence(df: pd.DataFrame, pattern, within_us):
         tix = g["turn_idx"].tolist()
         L = len(pattern)
         for i in range(len(roles) - L + 1):
+            span = max(ts[i:i + L]) - min(ts[i:i + L])
             if all(roles[i + j] == pattern[j] for j in range(L)) \
-                    and ts[i + L - 1] - ts[i] <= within_us:
-                out.append((conv, tix[i], int(ts[i + L - 1] - ts[i])))
+                    and tix[i + L - 1] - tix[i] == L - 1 and span <= within_us:
+                out.append((conv, tix[i], int(span)))
     return sorted(out)
 
 

@@ -95,6 +95,10 @@ def _check_outputs(out_dir: str, golden: dict):
         read_stream(out_dir, "wdistinct"), golden["wdistinct"],
         ["conv_id", "window_start_us", "n_tools"],
     )
+    assert_stream_equal(
+        read_stream(out_dir, "cep"), golden["cep"],
+        ["conv_id", "turn_idx", "dt_us"],
+    )
 
 
 def test_full_run_matches_oracle(fixture, tmp_path):
@@ -105,6 +109,7 @@ def test_full_run_matches_oracle(fixture, tmp_path):
     assert len(res["epochs"]) == eng.n_input_epochs + 1
     assert len(golden["late"]) > 0, "fixture must exercise the late-drop path"
     assert golden["turns"]["modified"].sum() > 0, "fixture must exercise the scrub path"
+    assert len(golden["cep"]) > 0, "fixture must exercise the CEP match path"
     _check_outputs(out, golden)
     # watermark strictly monotone across markers
     wms = [m["watermark_us"] for m in res["epochs"]]
