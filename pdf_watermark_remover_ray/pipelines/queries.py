@@ -166,6 +166,21 @@ def q_tool_latency_quantiles(sf_dir: str):
                                       qs=(0.5, 0.95), suffix="dt_us")
 
 
+def q_range_join(sf_dir: str):
+    """1:N interval/range join: every (user, tool) pair within the gap —
+    the as-of join's all-matches sibling (stages/join.range_join)."""
+    from ..stages.join import range_join
+
+    return range_join(_transcripts(sf_dir), GAP_US, num_partitions=16)
+
+
+def q_session_labels(sf_dir: str):
+    """Per-turn session ordinal (row→window assignment of session_windows)."""
+    from ..stages.windows import session_labels
+
+    return session_labels(_transcripts(sf_dir), GAP_US, num_partitions=16)
+
+
 def q_cep_funnel(sf_dir: str):
     """CEP contiguous sequence: user → tool → assistant turns back-to-back in
     one conversation within a day (MATCH_RECOGNIZE ``SKIP TO NEXT ROW``)."""
@@ -226,6 +241,8 @@ def queries() -> dict:
         "sliding_counts": q_sliding,
         "session_windows": q_sessions,
         "stream_join": q_join,
+        "range_join": q_range_join,
+        "session_labels": q_session_labels,
         "tool_latency_quantiles": q_tool_latency_quantiles,
         "cep_funnel": q_cep_funnel,
         "cep_tool_bursts": q_cep_tool_bursts,
@@ -243,6 +260,7 @@ def queries() -> dict:
         "events_windowed_stats": relational.events_windowed_stats,
         "events_quantiles": relational.events_quantiles,
         "events_quantiles_cont": relational.events_quantiles_cont,
+        "moving_revenue_sum": relational.moving_revenue_sum,
         "order_priority_rollup": relational.order_priority_rollup,
         "user_event_pivot": relational.user_event_pivot,
         "prev_order_gap": relational.prev_order_gap,
@@ -507,6 +525,26 @@ def oracle_sql() -> dict:
             SELECT tool, quantile_disc(dt_us, 0.5) AS p50_dt_us,
                    quantile_disc(dt_us, 0.95) AS p95_dt_us, count(*) AS n
             FROM m GROUP BY tool""",
+        "range_join": f"""{t}
+            SELECT tt.conv_id, u.turn_idx AS user_turn_idx,
+                   tt.turn_idx AS tool_turn_idx, tt.tool,
+                   epoch_us(tt.ts) - epoch_us(u.ts) AS dt_us
+            FROM (SELECT * FROM transcripts WHERE role = 'tool') tt
+            JOIN (SELECT * FROM transcripts WHERE role = 'user') u USING (conv_id)
+            WHERE u.ts <= tt.ts
+              AND epoch_us(tt.ts) - epoch_us(u.ts) <= {GAP_US}""",
+        "session_labels": f"""{t},
+            flagged AS (
+                SELECT conv_id, turn_idx, ts,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                            OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                            > {GAP_US} THEN 1 ELSE 0 END AS brk
+                FROM transcripts)
+            SELECT conv_id, turn_idx,
+                   CAST(sum(brk) OVER (
+                       PARTITION BY conv_id ORDER BY ts, turn_idx
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM flagged""",
         # dt_us = span (greatest - least over the 3 turns), the engine's
         # non-monotone-safe rule; equals lead(ts,2)-ts on this (monotone) data
         "cep_funnel": f"""{t},
@@ -643,6 +681,14 @@ def oracle_sql() -> dict:
             FROM events
             WHERE event_type IS NOT NULL AND value IS NOT NULL
             GROUP BY event_type""",
+        "moving_revenue_sum": """
+            SELECT o_orderkey, o_custkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+                       AS moving_sum
+            FROM orders""",
         "order_priority_rollup": """
             SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
                    coalesce(o_orderpriority, 'ALL') AS o_orderpriority,

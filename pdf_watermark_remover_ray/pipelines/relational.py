@@ -228,6 +228,30 @@ def running_revenue(sf_dir: str, num_partitions: int = 16):
     return ds.groupby("part").map_groups(cum, batch_format="pandas")
 
 
+def moving_revenue_sum(sf_dir: str, window: int = 3, num_partitions: int = 16):
+    """Analytic moving-window SUM: per customer, the sum of order value over
+    the last ``window`` orders (ROWS ``window-1`` PRECEDING .. CURRENT) in
+    (orderdate, orderkey) order — grouped rolling sum per hash partition.
+    A SUM (not mean) so 2-decimal inputs land on 0.01 multiples in exact
+    arithmetic and the round(2) on both sides can never straddle a
+    half-boundary."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+    ds = add_partition_column(ds, key="o_custkey", num_partitions=num_partitions)
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort")
+        s = df.groupby("o_custkey", sort=False)["o_totalprice"] \
+            .rolling(window, min_periods=1).sum() \
+            .reset_index(level=0, drop=True)
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"].to_numpy(),
+                             "o_custkey": df["o_custkey"].to_numpy(),
+                             "moving_sum": round_half_away(s.to_numpy(), 2)})
+
+    return ds.groupby("part").map_groups(roll, batch_format="pandas")
+
+
 def customers_without_urgent_orders(sf_dir: str, num_partitions: int = 16,
                                     priority: str = "1-URGENT"):
     """ANTI join: customers who never placed an order of the given priority

@@ -81,3 +81,52 @@ def stream_join(ds, gap_us: int, num_partitions: int = 16):
     return partitioned_map(
         ds, lambda g: join_pdf(g, gap_us), key="conv_id", num_partitions=num_partitions
     )
+
+
+def range_join(ds, gap_us: int, num_partitions: int = 16):
+    """1:N RANGE join: EVERY (user, tool) turn pair of one conversation with
+    ``user.ts <= tool.ts <= user.ts + gap_us`` — the as-of join's
+    all-matches sibling (an interval/range join, the second custom-join
+    class the Dataset API lacks).
+
+    Same single conversation-hash shuffle; within a partition the pair
+    enumeration is a per-conversation equi-merge then a vectorized time
+    filter.  The intermediate is the per-conv user×tool cross product —
+    bounded by conversation length (turn counts per conv are small by
+    construction; hot conversations route to reserved partitions), NEVER by
+    partition size.  Output: ``(conv_id, user_turn_idx, tool_turn_idx, tool,
+    dt_us)``, one row per qualifying pair."""
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        from .windows import ts_us_series
+
+        users = df[df["role"] == "user"]
+        tools = df[df["role"] == "tool"]
+        if users.empty or tools.empty:
+            return pd.DataFrame(
+                {"conv_id": pd.Series([], dtype=str),
+                 "user_turn_idx": pd.Series([], dtype=np.int32),
+                 "tool_turn_idx": pd.Series([], dtype=np.int32),
+                 "tool": pd.Series([], dtype=str),
+                 "dt_us": pd.Series([], dtype=np.int64)})
+        u = pd.DataFrame({"conv_id": users["conv_id"].to_numpy(),
+                          "user_turn_idx": users["turn_idx"].to_numpy(np.int32),
+                          "u_ts": ts_us_series(users["ts"])})
+        t = pd.DataFrame({"conv_id": tools["conv_id"].to_numpy(),
+                          "tool_turn_idx": tools["turn_idx"].to_numpy(np.int32),
+                          "tool": tools["tool"].to_numpy(),
+                          "t_ts": ts_us_series(tools["ts"])})
+        m = u.merge(t, on="conv_id")  # per-conv cross product (bounded)
+        dt = m["t_ts"].to_numpy(np.int64) - m["u_ts"].to_numpy(np.int64)
+        keep = (dt >= 0) & (dt <= gap_us)
+        m = m[keep]
+        return pd.DataFrame({
+            "conv_id": m["conv_id"].to_numpy(),
+            "user_turn_idx": m["user_turn_idx"].to_numpy(np.int32),
+            "tool_turn_idx": m["tool_turn_idx"].to_numpy(np.int32),
+            "tool": m["tool"].to_numpy(),
+            "dt_us": dt[keep],
+        })
+
+    return partitioned_map(ds, pairs, key="conv_id",
+                           num_partitions=num_partitions)

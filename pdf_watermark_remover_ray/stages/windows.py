@@ -121,6 +121,41 @@ def sessionize_pdf(df: pd.DataFrame, gap_us: int, key: str = "conv_id") -> pd.Da
     )
 
 
+def session_labels(ds, gap_us: int, key: str = "conv_id",
+                   num_partitions: int = 16):
+    """Per-TURN sessionization: label every turn with its 0-based session
+    ordinal within the conversation (the row→window assignment that
+    :func:`session_windows` aggregates away) — the enrichment a downstream
+    per-session transform joins on without re-deriving the gap logic.
+    Same gaps-and-islands cumsum per hash partition; output
+    ``(conv_id, turn_idx, session_id)``."""
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series([], dtype=str),
+                                 "turn_idx": pd.Series([], dtype=np.int32),
+                                 "session_id": pd.Series([], dtype=np.int64)})
+        df = df.sort_values([key, "ts", "turn_idx"], kind="mergesort")
+        ts = ts_us_series(df["ts"])
+        keys = df[key].to_numpy()
+        new_key = np.empty(len(df), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        gap_break = np.empty(len(df), dtype=bool)
+        gap_break[0] = False
+        gap_break[1:] = ((ts[1:] - ts[:-1]) > gap_us) & ~new_key[1:]
+        # per-conv 0-based ordinal: cumsum of breaks minus the value carried
+        # at each conversation start
+        run = np.cumsum(gap_break)
+        base = pd.Series(np.where(new_key, run, 0)) \
+            .cummax().to_numpy()  # run value at this conv's first row
+        return pd.DataFrame({key: keys,
+                             "turn_idx": df["turn_idx"].to_numpy(np.int32),
+                             "session_id": (run - base).astype(np.int64)})
+
+    return partitioned_map(ds, label, key=key, num_partitions=num_partitions)
+
+
 def session_windows(ds, gap_us: int, key: str = "conv_id", num_partitions: int = 16):
     """Session windows per key: one conv-hash shuffle, vectorized per-partition
     sessionize (SURVEY.md §2.6 A4 / north-rule session windows)."""

@@ -1,0 +1,73 @@
+"""Range join / session labels / moving window sum: oracles + invariants."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from pdf_watermark_remover_ray.pipelines import queries as Q
+from pdf_watermark_remover_ray.sources.transcripts import derive_transcripts
+from pdf_watermark_remover_ray.stages.join import range_join, stream_join
+from pdf_watermark_remover_ray.stages.windows import session_labels, session_windows
+
+GAP_US = Q.GAP_US
+
+
+def _duck(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for tbl in ("events", "orders"):
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{tbl}.parquet')")
+    return con.sql(sql).df()
+
+
+def test_range_join_superset_of_asof(sf_dir):
+    """Every as-of match is a range pair; range pairs all satisfy the gap."""
+    ds = derive_transcripts(sf_dir, num_partitions=4)
+    rj = range_join(ds, GAP_US, num_partitions=4).to_pandas()
+    sj = stream_join(ds, GAP_US, num_partitions=4).to_pandas()
+    key = ["conv_id", "user_turn_idx", "tool_turn_idx"]
+    rset = set(map(tuple, rj[key].itertuples(index=False)))
+    assert len(rj) >= len(sj) > 0
+    for row in sj[key].itertuples(index=False):
+        assert tuple(row) in rset
+    assert ((rj["dt_us"] >= 0) & (rj["dt_us"] <= GAP_US)).all()
+    duck = _duck(sf_dir, Q.oracle_sql()["range_join"])
+    assert len(duck) == len(rj)
+
+
+def test_session_labels_consistent_with_session_windows(sf_dir):
+    """Per-turn labels aggregate back to the session windows: same number of
+    sessions per conversation, same per-session turn counts."""
+    ds = derive_transcripts(sf_dir, num_partitions=4)
+    labels = session_labels(ds, GAP_US, num_partitions=4).to_pandas()
+    wins = session_windows(ds, GAP_US, num_partitions=4).to_pandas()
+    per_conv_sessions = labels.groupby("conv_id")["session_id"].nunique()
+    per_conv_windows = wins.groupby("conv_id").size()
+    assert per_conv_sessions.sort_index().equals(per_conv_windows.sort_index())
+    counts_lbl = labels.groupby(["conv_id", "session_id"]).size() \
+        .reset_index(name="n").sort_values(["conv_id", "session_id"])
+    counts_win = wins.sort_values(["conv_id", "session_start_us"])
+    assert counts_lbl["n"].to_numpy().tolist() == \
+        counts_win["n_turns"].to_numpy().tolist()
+    # labels are 0-based and dense per conversation
+    mx = labels.groupby("conv_id")["session_id"].agg(["min", "max", "nunique"])
+    assert (mx["min"] == 0).all()
+    assert (mx["max"] == mx["nunique"] - 1).all()
+
+
+def test_moving_revenue_sum_bruteforce(sf_dir):
+    got = Q.queries()["moving_revenue_sum"](sf_dir).to_pandas()
+    import pyarrow.parquet as pq
+
+    o = pq.read_table(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate",
+                               "o_totalprice"]).to_pandas()
+    o = o.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    want = o.groupby("o_custkey")["o_totalprice"] \
+        .rolling(3, min_periods=1).sum().reset_index(level=0, drop=True)
+    merged = got.set_index("o_orderkey")
+    o = o.assign(want=np.round(want.to_numpy(), 2)).set_index("o_orderkey")
+    j = merged.join(o[["want"]])
+    assert np.allclose(j["moving_sum"], j["want"])
