@@ -171,9 +171,23 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
         cep = pd.DataFrame({"conv_id": cconv[idx],
                             "turn_idx": ctix[idx].astype(np.int32),
                             "dt_us": dt[idx].astype(np.int64)})
+    # Kleene-plus ("cepk"): shared scan with the batch operator/engine
+    from .stages.cep import kleene_scan
+
+    sp, s, e, en, dtk = kleene_scan(cconv, crole, ctix, cts,
+                                    cfg.cep_within_us,
+                                    user="user", tool="tool",
+                                    assistant="assistant")
+    cepk = pd.DataFrame({"conv_id": cconv[s] if len(s) else
+                         pd.Series([], dtype=str),
+                         "turn_idx": ctix[sp].astype(np.int32) if len(sp) else
+                         pd.Series([], dtype=np.int32),
+                         "n_tools": (e - s + 1).astype(np.int64),
+                         "dt_us": dtk})
     return {
         "turns": live[["conv_id", "turn_idx", "role", "text", "tool", "ts", "modified"]],
         "cep": cep,
+        "cepk": cepk,
         "dedup": dedup,
         "late": late[["conv_id", "turn_idx", "ts_us", "epoch"]],
         "sessions": sessions,

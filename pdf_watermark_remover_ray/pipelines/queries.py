@@ -574,15 +574,21 @@ def oracle_sql() -> dict:
             runs AS (
                 SELECT conv_id, min(turn_idx) AS s, max(turn_idx) AS e,
                        count(*) AS n_tools
-                FROM g WHERE role = 'tool' GROUP BY conv_id, grp)
-            SELECT r.conv_id, u.turn_idx, r.n_tools,
-                   epoch_us(a.ts) - epoch_us(u.ts) AS dt_us
-            FROM runs r
-            JOIN g u ON u.conv_id = r.conv_id AND u.turn_idx = r.s - 1
+                FROM g WHERE role = 'tool' GROUP BY conv_id, grp),
+            spans AS (
+                SELECT r.conv_id, r.s, r.e, r.n_tools,
+                       max(epoch_us(t.ts)) - min(epoch_us(t.ts)) AS dt_us
+                FROM runs r
+                JOIN g t ON t.conv_id = r.conv_id
+                        AND t.turn_idx BETWEEN r.s - 1 AND r.e + 1
+                GROUP BY r.conv_id, r.s, r.e, r.n_tools)
+            SELECT sp.conv_id, u.turn_idx, sp.n_tools, sp.dt_us
+            FROM spans sp
+            JOIN g u ON u.conv_id = sp.conv_id AND u.turn_idx = sp.s - 1
                     AND u.role = 'user'
-            JOIN g a ON a.conv_id = r.conv_id AND a.turn_idx = r.e + 1
+            JOIN g a ON a.conv_id = sp.conv_id AND a.turn_idx = sp.e + 1
                     AND a.role = 'assistant'
-            WHERE epoch_us(a.ts) - epoch_us(u.ts) <= {CEP_WITHIN_US}""",
+            WHERE sp.dt_us <= {CEP_WITHIN_US}""",
         "late_drops": f"""{t},
             e AS (SELECT *, CAST(((event_id // {SCRAMBLE}) * {SCRAMBLE}
                                   + ({SCRAMBLE} - 1 - event_id % {SCRAMBLE})) // {EPOCH_SIZE}

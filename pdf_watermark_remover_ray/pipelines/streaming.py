@@ -172,8 +172,9 @@ class StatePartition:
             "sliding": self._emit_sliding(wm_after_us, epoch),
             "matches": self._emit_matches(wm_after_us, epoch),
             "wdistinct": self._emit_wdistinct(wm_after_us, epoch),
-            "cep": self._fold_emit_cep(live, wm_after_us, epoch),
         }
+        emitted["cep"], emitted["cepk"] = \
+            self._fold_emit_cep(live, wm_after_us, epoch)
         if self.cfg.dedup_stream:
             emitted["dedup"] = self._emit_dedup(epoch, wm_after_us)
         t_emit = time.monotonic()
@@ -394,18 +395,22 @@ class StatePartition:
             {"conv_id": [self._SLIDING_BOUND_KEY], "n": np.array([bound], np.int64)}))
         return self._write("sliding", epoch, out, schema)
 
-    def _fold_emit_cep(self, live: pd.DataFrame, wm_us: int, epoch: int) -> int:
-        """Streaming CEP (``cep`` stream): contiguous role-sequence matches
-        (see StreamConfig.cep_pattern) emitted in the epoch their LAST
-        constituent turn arrives.
+    def _fold_emit_cep(self, live: pd.DataFrame, wm_us: int,
+                       epoch: int) -> tuple[int, int]:
+        """Streaming CEP: TWO pattern streams from ONE shared open-turn
+        buffer — ``cep`` (contiguous role sequence, StreamConfig.cep_pattern)
+        and ``cepk`` (Kleene-plus ``user (tool)+ assistant``), each match
+        emitted in the epoch its LAST constituent turn arrives.
 
         Completion-driven, not watermark-driven: a match over consecutive
-        turn_idx values is decided the moment all L turns are present (turn
-        indices are unique per conversation, so no future arrival can
-        contradict it), and the completion epoch is a pure function of input
-        + epoch slicing — deterministic under kill/resume.  Exactly-once
-        without an emitted-match set: a match is reported iff ≥ 1 of its
-        turns is NEW this epoch, which is true precisely once.
+        turn_idx values is decided the moment all its turns are present
+        (turn indices are unique per conversation, so no future arrival can
+        contradict it — for Kleene, the bracketing user/assistant turns fix
+        the run's extent, so maximality is decided the same way), and the
+        completion epoch is a pure function of input + epoch slicing —
+        deterministic under kill/resume.  Exactly-once without an
+        emitted-match set: a match is reported iff ≥ 1 of its turns is NEW
+        this epoch, which is true precisely once.
 
         Eviction is watermark-driven: a buffered turn with ``ts < wm −
         within`` is dropped because any future (non-late) arrival has ``ts ≥
@@ -413,12 +418,13 @@ class StatePartition:
         exceed the span bound ``max(ts) − min(ts) ≤ within`` (the span rule —
         NOT endpoint difference — is what makes this sound when late-but-
         accepted rows break ts-monotonicity in turn_idx)."""
+        from ..config import ROLE_CODES
+        from ..stages.cep import kleene_scan
+
         pat = self.cfg.cep_codes
         L = len(pat)
         old = self.store.get("cepbuf")
         if len(live):
-            from ..config import ROLE_CODES
-
             code = np.full(len(live), -1, dtype=np.int64)
             role = live["role"].to_numpy()
             for r, c in ROLE_CODES.items():
@@ -439,6 +445,8 @@ class StatePartition:
         ts = buf["ts_us"].to_numpy(np.int64)
         isnew = buf["_new"].to_numpy(bool)
         n = len(buf)
+
+        # -- fixed-sequence stream ("cep")
         out = pd.DataFrame({"conv_id": pd.Series([], dtype=str),
                             "turn_idx": pd.Series([], dtype=np.int32),
                             "dt_us": pd.Series([], dtype=np.int64)})
@@ -462,11 +470,39 @@ class StatePartition:
                     "turn_idx": tix[idx].astype(np.int32),
                     "dt_us": dt[idx].astype(np.int64),
                 }).sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        keep = ts >= wm_us - self.cfg.cep_within_us
-        self.store.put("cepbuf", buf[keep].drop(columns=["_new"]))
         schema = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
                             ("dt_us", pa.int64())])
-        return self._write("cep", epoch, out, schema)
+        n_cep = self._write("cep", epoch, out, schema)
+
+        # -- Kleene-plus stream ("cepk"): same buffer, shared scan with the
+        # batch operator; completion test = any new turn in user..assistant
+        # (prefix-sum range query over the new flags)
+        sp, s, e, en, dtk = kleene_scan(
+            conv, codes, tix, ts, self.cfg.cep_within_us,
+            user=ROLE_CODES["user"], tool=ROLE_CODES["tool"],
+            assistant=ROLE_CODES["assistant"])
+        outk = pd.DataFrame({"conv_id": pd.Series([], dtype=str),
+                             "turn_idx": pd.Series([], dtype=np.int32),
+                             "n_tools": pd.Series([], dtype=np.int64),
+                             "dt_us": pd.Series([], dtype=np.int64)})
+        if len(sp):
+            pnew = np.concatenate([[0], np.cumsum(isnew.astype(np.int64))])
+            anynewk = (pnew[en + 1] - pnew[sp]) > 0
+            idx = np.flatnonzero(anynewk)
+            if len(idx):
+                outk = pd.DataFrame({
+                    "conv_id": conv[s[idx]],
+                    "turn_idx": tix[sp[idx]].astype(np.int32),
+                    "n_tools": (e[idx] - s[idx] + 1).astype(np.int64),
+                    "dt_us": dtk[idx],
+                }).sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        schema_k = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                              ("n_tools", pa.int64()), ("dt_us", pa.int64())])
+        n_cepk = self._write("cepk", epoch, outk, schema_k)
+
+        keep = ts >= wm_us - self.cfg.cep_within_us
+        self.store.put("cepbuf", buf[keep].drop(columns=["_new"]))
+        return n_cep, n_cepk
 
     def _fold_join(self, live: pd.DataFrame) -> None:
         if len(live) == 0:

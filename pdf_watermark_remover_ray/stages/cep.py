@@ -95,47 +95,86 @@ def sequence_matches(ds, pattern: tuple[str, ...], within_us: int,
                            num_partitions=num_partitions)
 
 
+def kleene_scan(conv: np.ndarray, role: np.ndarray, tix: np.ndarray,
+                ts: np.ndarray, within_us: int,
+                user, tool, assistant):
+    """Vectorized ``user (tool)+ assistant`` scan over arrays sorted by
+    (conv, turn_idx) — shared by the batch operator and the streaming
+    engine's ``cepk`` stream (which passes role CODES instead of strings).
+
+    Detects maximal runs of consecutive-``turn_idx`` tool turns bracketed by
+    a contiguous user turn before and assistant turn after, with event-time
+    SPAN ``max(ts) − min(ts)`` over user..assistant ≤ ``within_us`` (span,
+    not endpoint difference — sound under non-monotone ts; see
+    :func:`sequence_matches`).  Explicit turn_idx contiguity makes the scan
+    correct on SPARSE buffers (turns still in flight / late-dropped).
+
+    Returns ``(sp, s, e, en, dt)`` index arrays: bracket user row, run
+    start/end, bracket assistant row, span per surviving match.
+    """
+    n = len(conv)
+    empty = (np.zeros(0, np.int64),) * 4 + (np.zeros(0, np.int64),)
+    if n < 3:
+        return empty
+    tix = tix.astype(np.int64)
+    # run-length encode (conv, role) WITH turn_idx-contiguity breaks
+    change = np.ones(n, dtype=bool)
+    change[1:] = (conv[1:] != conv[:-1]) | (role[1:] != role[:-1]) \
+        | (tix[1:] != tix[:-1] + 1)
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n) - 1  # inclusive
+    is_tool = role[starts] == tool
+    s, e = starts[is_tool], ends[is_tool]
+    ok = (s > 0) & (e + 1 < n)
+    sp = np.maximum(s - 1, 0)
+    en = np.minimum(e + 1, n - 1)
+    ok &= (role[sp] == user) & (conv[sp] == conv[s]) & (tix[sp] == tix[s] - 1)
+    ok &= (role[en] == assistant) & (conv[en] == conv[e]) \
+        & (tix[en] == tix[e] + 1)
+    idx = np.flatnonzero(ok)
+    sp, s, e, en = sp[idx], s[idx], e[idx], en[idx]
+    if len(sp) == 0:
+        return empty
+    # per-match ts span via interleaved reduceat segments [sp, en+1); the
+    # ranges are pairwise disjoint and strictly increasing, so one padded
+    # reduceat serves every match at once
+    bounds = np.empty(2 * len(sp), dtype=np.int64)
+    bounds[0::2] = sp
+    bounds[1::2] = en + 1
+    mx = np.maximum.reduceat(np.append(ts, np.int64(-(1 << 62))), bounds)[0::2]
+    mn = np.minimum.reduceat(np.append(ts, np.int64(1 << 62)), bounds)[0::2]
+    dt = mx - mn
+    keep = dt <= within_us
+    return (sp[keep].astype(np.int64), s[keep].astype(np.int64),
+            e[keep].astype(np.int64), en[keep].astype(np.int64),
+            dt[keep].astype(np.int64))
+
+
 def kleene_matches(ds, within_us: int, num_partitions: int = 16):
     """``user (tool)+ assistant`` — a maximal consecutive tool run preceded
-    by a user turn and followed by an assistant turn, span ≤ ``within_us``.
+    by a user turn and followed by an assistant turn, event-time span ≤
+    ``within_us``.
 
     Returns ``(conv_id, turn_idx, n_tools, dt_us)``: ``turn_idx`` is the
-    opening user turn, ``n_tools`` the run length, ``dt_us = ts[assistant]
-    - ts[user]``.  Maximality makes matches disjoint per run, so the output
-    is deterministic under any partitioning.
+    opening user turn, ``n_tools`` the run length, ``dt_us = max(ts) −
+    min(ts)`` over user..assistant.  Maximality makes matches disjoint per
+    run, so the output is deterministic under any partitioning.
     """
 
     def match_partition(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        n = len(df)
-        if n < 3:
-            return pd.DataFrame(_EMPTY_KLEENE)
         conv = df["conv_id"].to_numpy()
-        role = df["role"].to_numpy()
-        ts = ts_us_series(df["ts"])
-        # run-length encode (conv, role): starts where either changes
-        change = np.ones(n, dtype=bool)
-        change[1:] = (conv[1:] != conv[:-1]) | (role[1:] != role[:-1])
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], n) - 1  # inclusive
-        is_tool = role[starts] == "tool"
-        s, e = starts[is_tool], ends[is_tool]
-        # bracket checks: predecessor is a user turn, successor an assistant
-        # turn, both in the SAME conversation (run starts/ends at a conv
-        # boundary otherwise)
-        ok = (s > 0) & (e + 1 < n)
-        sp = np.maximum(s - 1, 0)
-        en = np.minimum(e + 1, n - 1)
-        ok &= (role[sp] == "user") & (conv[sp] == conv[s])
-        ok &= (role[en] == "assistant") & (conv[en] == conv[e])
-        dt = ts[en] - ts[sp]
-        ok &= dt <= within_us
-        idx = np.flatnonzero(ok)
+        sp, s, e, en, dt = kleene_scan(
+            conv, df["role"].to_numpy(), df["turn_idx"].to_numpy(),
+            ts_us_series(df["ts"]), within_us,
+            user="user", tool="tool", assistant="assistant")
+        if len(sp) == 0:
+            return pd.DataFrame(_EMPTY_KLEENE)
         return pd.DataFrame({
-            "conv_id": conv[s[idx]],
-            "turn_idx": df["turn_idx"].to_numpy()[sp[idx]].astype(np.int32),
-            "n_tools": (e[idx] - s[idx] + 1).astype(np.int64),
-            "dt_us": dt[idx].astype(np.int64),
+            "conv_id": conv[s],
+            "turn_idx": df["turn_idx"].to_numpy()[sp].astype(np.int32),
+            "n_tools": (e - s + 1).astype(np.int64),
+            "dt_us": dt,
         })
 
     return partitioned_map(ds, match_partition, key="conv_id",

@@ -99,6 +99,10 @@ def _check_outputs(out_dir: str, golden: dict):
         read_stream(out_dir, "cep"), golden["cep"],
         ["conv_id", "turn_idx", "dt_us"],
     )
+    assert_stream_equal(
+        read_stream(out_dir, "cepk"), golden["cepk"],
+        ["conv_id", "turn_idx", "n_tools", "dt_us"],
+    )
 
 
 def test_full_run_matches_oracle(fixture, tmp_path):
@@ -110,6 +114,9 @@ def test_full_run_matches_oracle(fixture, tmp_path):
     assert len(golden["late"]) > 0, "fixture must exercise the late-drop path"
     assert golden["turns"]["modified"].sum() > 0, "fixture must exercise the scrub path"
     assert len(golden["cep"]) > 0, "fixture must exercise the CEP match path"
+    assert len(golden["cepk"]) > 0, "fixture must exercise the Kleene CEP path"
+    assert (golden["cepk"]["n_tools"] > 1).any(), \
+        "fixture must contain a multi-tool Kleene run"
     _check_outputs(out, golden)
     # watermark strictly monotone across markers
     wms = [m["watermark_us"] for m in res["epochs"]]
