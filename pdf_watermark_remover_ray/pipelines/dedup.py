@@ -374,6 +374,48 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5,
     return _distributed_verify_pairs(sf_dir, candidates, threshold)
 
 
+def winnow_dup_pairs(sf_dir: str, num_partitions: int = 16,
+                     concurrency: int = 2):
+    """Near-dup candidate pairs by winnowing-sketch collision: documents
+    whose 64-bit min-8-gram-hash sketches (text.Fingerprinter's
+    ``winnow64``) are EQUAL.  A fourth blocking family next to MinHash /
+    SimHash / embedding: one scalar sketch per doc, so the shuffle moves
+    (sketch, doc_id) pairs only — the cheapest possible candidate generator,
+    with MinHash-LSH as the higher-recall path.  Docs shorter than the gram
+    window (sketch 0) are excluded: an empty sketch is no evidence of
+    similarity.  Fully SQL-replayable (same md5-prefix gram hash)."""
+    from .text import Fingerprinter
+
+    ds = _read_docs(sf_dir)
+    sk = ds.map_batches(Fingerprinter, batch_format="pandas", batch_size=4096,
+                        concurrency=concurrency)
+
+    def nonzero(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["winnow64"] != 0]
+        return df[["doc_id", "winnow64"]]
+
+    sk = sk.map_batches(nonzero, batch_format="pandas")
+    sk = add_partition_column(sk, key="winnow64",
+                              num_partitions=num_partitions)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("winnow64", sort=False):
+            if len(g) < 2:
+                continue
+            ids = np.sort(g["doc_id"].to_numpy())
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out.append(pd.DataFrame({
+                "doc_a": ids[ia], "doc_b": ids[ib],
+                "winnow64": np.repeat(g["winnow64"].iloc[0], len(ia))}))
+        return pd.concat(out, ignore_index=True) if out else \
+            pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                          "doc_b": pd.Series([], dtype=np.int64),
+                          "winnow64": pd.Series([], dtype=np.int64)})
+
+    return sk.groupby("part").map_groups(bucket_pairs, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -274,6 +274,7 @@ def queries() -> dict:
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "winnow_dup_pairs": dedup.winnow_dup_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
@@ -844,6 +845,24 @@ def oracle_sql() -> dict:
                             THEN m.mn::HUGEINT - 18446744073709551616::HUGEINT
                             ELSE m.mn::HUGEINT END, 0) AS BIGINT) AS winnow64
             FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id""",
+        "winnow_dup_pairs": """
+            WITH w AS (SELECT doc_id,
+                              unnest(generate_series(1, greatest(length(coalesce(text, '')) - 7, 0))) AS i,
+                              coalesce(text, '') AS t
+                       FROM documents),
+            h AS (SELECT doc_id,
+                         ('0x' || substring(md5(substring(t, i, 8)), 1, 16))::UBIGINT AS hw
+                  FROM w),
+            m AS (SELECT doc_id, min(hw) AS mn FROM h GROUP BY doc_id),
+            s AS (SELECT doc_id,
+                         CAST(CASE WHEN mn >= 9223372036854775808::UBIGINT
+                                   THEN mn::HUGEINT - 18446744073709551616::HUGEINT
+                                   ELSE mn::HUGEINT END AS BIGINT) AS winnow64
+                  FROM m)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.winnow64
+            FROM s a JOIN s b ON a.winnow64 = b.winnow64
+                             AND a.doc_id < b.doc_id
+            WHERE a.winnow64 <> 0""",
         "multimodal_frames": """
             WITH b AS (SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS nb
                        FROM documents),
