@@ -184,6 +184,16 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
           lambda: relational.events_quantiles(sf_dir).materialize())
     timed("ann_topk", lambda: similarity.ann_topk(sf_dir))
     timed("text_stats", lambda: text.text_stats(sf_dir).materialize())
+    from pdf_watermark_remover_ray.pipelines.queries import (
+        q_cep_funnel,
+        q_range_join,
+    )
+
+    timed("cep_funnel", lambda: q_cep_funnel(sf_dir).materialize())
+    timed("range_join", lambda: q_range_join(sf_dir).materialize())
+    timed("quality_filter", lambda: text.quality_filter(sf_dir).materialize())
+    timed("winnow_dup_pairs",
+          lambda: dedup.winnow_dup_pairs(sf_dir).materialize())
 
     ray.shutdown()
     # host-condition stamp: 32-way burn-probe parallel speedup (healthy host
