@@ -287,6 +287,8 @@ def queries() -> dict:
         "text_stats": text.text_stats,
         "token_counts": text.token_counts,
         "quality_filter": text.quality_filter,
+        "top_bigrams": text.top_bigrams,
+        "contamination_flags": text.contamination_flags,
         "bag_dedup": text.bag_dedup,
         "json_extract_events": text.json_extract_events,
         "fingerprints": lambda sf: text.fingerprints(sf).select_columns(
@@ -845,6 +847,24 @@ def oracle_sql() -> dict:
                             THEN m.mn::HUGEINT - 18446744073709551616::HUGEINT
                             ELSE m.mn::HUGEINT END, 0) AS BIGINT) AS winnow64
             FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id""",
+        "top_bigrams": f"""
+            WITH t AS (SELECT {TOKENS_SQL} AS toks FROM documents),
+            b AS (SELECT unnest(list_transform(
+                      generate_series(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                  FROM t WHERE len(toks) >= 2)
+            SELECT bigram, count(*) AS n
+            FROM b GROUP BY bigram
+            ORDER BY n DESC, bigram LIMIT 20""",
+        # per-pattern counts summed: the engine's single alternation pass is
+        # equal because the fixed n-grams cannot overlap each other
+        "contamination_flags": """
+            SELECT doc_id,
+                   CAST({hits} AS BIGINT) AS n_hits,
+                   ({hits}) > 0 AS contaminated
+            FROM documents""".format(hits=" + ".join(
+            f"len(regexp_extract_all(text, '{g}'))"
+            for g in text.CONTAMINATION_NGRAMS)),
         "winnow_dup_pairs": """
             WITH w AS (SELECT doc_id,
                               unnest(generate_series(1, greatest(length(coalesce(text, '')) - 7, 0))) AS i,

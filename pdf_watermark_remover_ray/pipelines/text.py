@@ -252,6 +252,79 @@ def bag_dedup(sf_dir: str, num_partitions: int = 16):
     return ds.groupby("part").map_groups(keep_first, batch_format="pandas")
 
 
+def top_bigrams(sf_dir: str, k: int = 20, num_partitions: int = 16):
+    """Corpus-level n-gram statistics: the ``k`` most frequent word bigrams
+    (ALL occurrences, not per-doc distinct) — the contamination-audit /
+    vocabulary-stats staple.
+
+    Per-batch pre-aggregation (one value_counts over the batch's exploded
+    bigrams) → one groupby-sum shuffle of DISTINCT (bigram, count) partials
+    → per-block local top-k → tiny driver merge.  The shuffle and the
+    driver both scale with the bigram VOCABULARY, never the corpus; ties
+    break deterministically by (count desc, bigram asc)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        grams: list[str] = []
+        for t in df["text"].fillna(""):
+            toks = t.split()
+            grams.extend(toks[i] + " " + toks[i + 1]
+                         for i in range(len(toks) - 1))
+        vc = pd.Series(grams).value_counts() if grams else \
+            pd.Series([], dtype=np.int64)
+        return pa.table({"bigram": pa.array(vc.index.astype(str)),
+                         "partial_n": pa.array(vc.to_numpy(np.int64))})
+
+    counts = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("bigram").aggregate(Sum("partial_n", alias_name="n"))
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "bigram"], ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    merged = counts.map_batches(block_topk, batch_format="pandas").to_pandas()
+    return merged.sort_values(["n", "bigram"], ascending=[False, True],
+                              kind="mergesort").head(k).reset_index(drop=True)
+
+
+# A stand-in benchmark-contamination n-gram set (in production: thousands of
+# eval-set n-grams, broadcast once via ray.put).  Chosen to actually occur
+# in the testdata corpus.
+CONTAMINATION_NGRAMS = ("table hash", "part filter", "slow key")
+
+
+class ContaminationChecker:
+    """Actor-pool stage: flag documents containing any of a broadcast
+    contamination n-gram set.  The combined alternation regex compiles ONCE
+    per actor (construct-once seam); per batch it's one vectorized
+    ``str.count``.  ``n_hits`` counts all (non-overlapping) occurrences
+    across the set — the evidence weight dedup/decontamination filters key
+    on."""
+
+    def __init__(self, ngrams: tuple[str, ...] = CONTAMINATION_NGRAMS) -> None:
+        import re
+
+        self.pattern = re.compile("|".join(re.escape(g) for g in ngrams))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        hits = text.str.count(self.pattern).astype(np.int64)
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
+                             "n_hits": hits.to_numpy(),
+                             "contaminated": (hits > 0).to_numpy()})
+
+
+def contamination_flags(sf_dir: str, concurrency: int = 2):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(ContaminationChecker, batch_format="pandas",
+                          batch_size=4096, concurrency=concurrency)
+
+
 def json_extract_events(sf_dir: str):
     """Typed field extraction from the JSON ``props`` column of events
     (semi-structured ingestion staple): ``(event_id, k)`` with ``k`` the

@@ -70,3 +70,29 @@ def test_json_extract_matches_sql(sf_dir):
     got["k"] = got["k"].astype("int64")
     want["k"] = want["k"].astype("int64")
     _cmp(got, want)
+
+
+def test_top_bigrams_bruteforce(sf_dir):
+    import pyarrow.parquet as pq
+
+    got = T.top_bigrams(sf_dir, k=10)
+    texts = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    grams = []
+    for t in texts:
+        toks = (t or "").split()
+        grams.extend(toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1))
+    vc = pd.Series(grams).value_counts()
+    want = vc.reset_index()
+    want.columns = ["bigram", "n"]
+    want = want.sort_values(["n", "bigram"], ascending=[False, True],
+                            kind="mergesort").head(10).reset_index(drop=True)
+    assert got["bigram"].tolist() == want["bigram"].tolist()
+    assert got["n"].astype(int).tolist() == want["n"].astype(int).tolist()
+
+
+def test_contamination_flags_hits(sf_dir):
+    got = T.contamination_flags(sf_dir).to_pandas()
+    assert got["contaminated"].any() and not got["contaminated"].all()
+    assert (got.loc[got["contaminated"], "n_hits"] > 0).all()
+    assert (got.loc[~got["contaminated"], "n_hits"] == 0).all()
