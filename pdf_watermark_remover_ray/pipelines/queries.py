@@ -288,6 +288,7 @@ def queries() -> dict:
         "token_counts": text.token_counts,
         "quality_filter": text.quality_filter,
         "top_bigrams": text.top_bigrams,
+        "rarest_terms": text.rarest_terms,
         "contamination_flags": text.contamination_flags,
         "bag_dedup": text.bag_dedup,
         "json_extract_events": text.json_extract_events,
@@ -856,6 +857,15 @@ def oracle_sql() -> dict:
             SELECT bigram, count(*) AS n
             FROM b GROUP BY bigram
             ORDER BY n DESC, bigram LIMIT 20""",
+        "rarest_terms": f"""
+            WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+            tok AS (SELECT DISTINCT doc_id, term
+                    FROM (SELECT doc_id, unnest(toks) AS term FROM t)),
+            df AS (SELECT term, count(*) AS doc_freq FROM tok GROUP BY term)
+            SELECT tok.doc_id, tok.term AS rarest_term, df.doc_freq
+            FROM tok JOIN df USING (term)
+            QUALIFY row_number() OVER (PARTITION BY tok.doc_id
+                                       ORDER BY df.doc_freq, tok.term) = 1""",
         # per-pattern counts summed: the engine's single alternation pass is
         # equal because the fixed n-grams cannot overlap each other
         "contamination_flags": """

@@ -325,6 +325,62 @@ def contamination_flags(sf_dir: str, concurrency: int = 2):
                           batch_size=4096, concurrency=concurrency)
 
 
+def rarest_terms(sf_dir: str):
+    """Per-document most-distinctive term: the token with the LOWEST corpus
+    document frequency (ties → lexicographically first) — the integer-exact
+    core of a tf-idf weighting, without the float log that would make the
+    oracle hash fragile.
+
+    Two stages sharing one scan shape: (1) document frequencies — per-batch
+    DISTINCT (doc, term) explode (each doc lives in exactly one batch, so
+    batch-distinct pairs are globally distinct) → one vocabulary-bounded
+    groupby-sum; (2) the df table (vocab-sized) broadcasts ONCE via
+    ``ray.put`` and each batch picks its docs' argmin (df, term) with a
+    sort + grouped-first — the computed-statistic broadcast-join pattern
+    (never a row-level shuffle of the corpus)."""
+    import pyarrow as pa
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def df_partial(df: pd.DataFrame) -> pa.Table:
+        toks = _token_lists(df["text"])
+        ex = toks.explode().dropna()
+        pairs = pd.DataFrame({"doc": ex.index, "term": ex.to_numpy()}) \
+            .drop_duplicates()
+        vc = pairs["term"].value_counts()
+        return pa.table({"term": pa.array(vc.index.astype(str)),
+                         "partial_df": pa.array(vc.to_numpy(np.int64))})
+
+    dfs = ds.map_batches(df_partial, batch_format="pandas") \
+        .groupby("term").aggregate(Sum("partial_df", alias_name="doc_freq")) \
+        .to_pandas()
+    ref = ray.put(pd.Series(dfs["doc_freq"].to_numpy(np.int64),
+                            index=dfs["term"].to_numpy()))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        dfmap = _ray.get(ref)
+        toks = _token_lists(df["text"])
+        ex = toks.explode().dropna()
+        pairs = pd.DataFrame({"doc_id": df["doc_id"].reindex(ex.index).to_numpy(),
+                              "term": ex.to_numpy()}).drop_duplicates()
+        pairs["doc_freq"] = dfmap.reindex(pairs["term"]).to_numpy(np.int64)
+        pairs = pairs.sort_values(["doc_id", "doc_freq", "term"],
+                                  kind="mergesort")
+        first = pairs.groupby("doc_id", sort=False).head(1)
+        return pd.DataFrame({"doc_id": first["doc_id"].to_numpy(),
+                             "rarest_term": first["term"].to_numpy(),
+                             "doc_freq": first["doc_freq"].to_numpy(np.int64)})
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
 def json_extract_events(sf_dir: str):
     """Typed field extraction from the JSON ``props`` column of events
     (semi-structured ingestion staple): ``(event_id, k)`` with ``k`` the
