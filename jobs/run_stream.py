@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dedup-ttl-us", type=int, default=None,
                     help="bound dedup state to an event-time horizon "
                          "(>= --lateness-us; hashes unseen for ttl re-emit)")
+    ap.add_argument("--cep-pattern", default="user,tool,assistant",
+                    help="comma-separated role sequence for the cep stream")
+    ap.add_argument("--cep-within-us", type=int, default=120_000_000,
+                    help="event-time span bound for CEP matches")
     ap.add_argument("--compact", action="store_true",
                     help="compact committed epochs after the run")
     ap.add_argument("--prune-state", action="store_true",
@@ -68,7 +72,9 @@ def main(argv: list[str] | None = None) -> int:
                        join_gap_us=args.join_gap_us,
                        tumbling_us=args.tumbling_us,
                        dedup_stream=not args.no_dedup,
-                       dedup_ttl_us=args.dedup_ttl_us)
+                       dedup_ttl_us=args.dedup_ttl_us,
+                       cep_pattern=tuple(args.cep_pattern.split(",")),
+                       cep_within_us=args.cep_within_us)
     eng = StreamingEngine(paths, args.out, cfg, epoch_files=args.epoch_files,
                           auto_hot_keys=args.auto_hot_keys)
     t0 = time.monotonic()

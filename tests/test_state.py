@@ -84,3 +84,43 @@ def test_restore_chain_missing_head_is_empty(tmp_path):
     got = SortedStateStore.restore_chain(
         lambda e: str(tmp_path / f"missing-{e}.parquet"), 3, GAP)
     assert got.total_rows() == 0
+
+
+def test_cepbuf_delta_chain_roundtrip(tmp_path):
+    """The CEP open-turn buffer delta-snapshots like the join buffers:
+    full@0 + per-epoch deltas restore the exact live buffer at every epoch
+    under the ts >= wm - within eviction threshold."""
+    WITHIN = 200
+    store = SortedStateStore()
+
+    def path(e: int) -> str:
+        return str(tmp_path / f"epoch={e}" / "part-00000.parquet")
+
+    live = {}
+    for e in range(5):
+        n = 30 * (e + 1)
+        ts = np.arange(n, dtype=np.int64) + e * 1_000
+        new = pd.DataFrame({"conv_id": [f"c{e % 3}"] * n,
+                            "turn_idx": np.arange(n, dtype=np.int32),
+                            "n": np.array([e % 3] * n, np.int64),
+                            "ts_us": ts})
+        store.put("cepbuf", pd.concat([store.get("cepbuf"), new],
+                                      ignore_index=True))
+        wm = 800 * e
+        buf = store.get("cepbuf")
+        store.put("cepbuf", buf[buf["ts_us"] >= wm - WITHIN])
+        store.snapshot(path(e), mode="full" if e == 0 else "delta",
+                       delta={"cepbuf": new}, wm_after_us=wm)
+        live[e] = store.get("cepbuf").copy()
+
+    for e in range(5):
+        got = SortedStateStore.restore_chain(path, e, GAP, cep_within_us=WITHIN)
+        pd.testing.assert_frame_equal(
+            got.get("cepbuf").reset_index(drop=True),
+            live[e].reset_index(drop=True), check_dtype=False)
+        # delta files stay O(epoch appends): the epoch-4 delta is smaller
+        # than a full snapshot of the accumulated buffer would be
+    import pyarrow.parquet as pq
+
+    d4 = pq.read_table(path(4)).to_pandas()
+    assert len(d4[d4["kind"] == "cepbuf"]) == 150  # epoch 4's appends only
