@@ -69,6 +69,150 @@ def approx_distinct(ds, group_col: str, value_col: str, k: int = _K) -> pd.DataF
     return pd.DataFrame(rows, columns=[group_col, "approx_distinct"])
 
 
+def approx_quantiles(ds, key: str, value_col: str, qs: tuple[float, ...],
+                     bins: int = 2048, suffix: str = "value") -> pd.DataFrame:
+    """Approximate per-key quantiles via a FIXED-WIDTH histogram sketch —
+    the declared scale path of ``relational.quantile_rollup`` for unbounded
+    or continuous value domains: the shuffle moves at most ``bins`` rows per
+    key regardless of the value domain's cardinality, where the exact
+    value-counts rollup moves O(|distinct values|).
+
+    One cheap min/max pre-pass fixes the bin edges (two tiny aggregates);
+    per-batch partials histogram into ``bins`` buckets; a bounded
+    groupby-sum merges; the quantile interpolates linearly inside its
+    bucket.  Error ≤ one bucket width = (max−min)/bins, asserted in
+    tests/test_properties.py."""
+    from ray.data.aggregate import Max, Min
+
+    rng = ds.groupby(key).aggregate(Min(value_col, alias_name="lo"),
+                                    Max(value_col, alias_name="hi")) \
+        .to_pandas()  # one row per key — bounded by key cardinality
+    import ray as _ray
+
+    edges = _ray.put(pd.DataFrame({
+        key: rng[key].to_numpy(),
+        "lo": rng["lo"].to_numpy(np.float64),
+        "hi": rng["hi"].to_numpy(np.float64)}).set_index(key))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key: t[key].to_pandas(),
+                           "v": t[value_col].to_pandas()}).dropna()
+        e = _ray.get(edges)
+        lo = e["lo"].reindex(df[key]).to_numpy()
+        hi = e["hi"].reindex(df[key]).to_numpy()
+        width = np.where(hi > lo, (hi - lo) / bins, 1.0)
+        b = np.clip(((df["v"].to_numpy(np.float64) - lo) // width)
+                    .astype(np.int64), 0, bins - 1)
+        g = pd.DataFrame({key: df[key].to_numpy(), "bin": b}) \
+            .groupby([key, "bin"], sort=False).size().reset_index(name="partial_n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby([key, "bin"]).aggregate(Sum("partial_n", alias_name="n")) \
+        .to_pandas()  # ≤ bins rows per key
+
+    e = pd.DataFrame({key: rng[key].to_numpy(),
+                      "lo": rng["lo"].to_numpy(np.float64),
+                      "hi": rng["hi"].to_numpy(np.float64)}).set_index(key)
+    rows = []
+    for k_, g in hist.groupby(key, sort=True):
+        g = g.sort_values("bin")
+        lo, hi = float(e.loc[k_, "lo"]), float(e.loc[k_, "hi"])
+        width = (hi - lo) / bins if hi > lo else 1.0
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        binv = g["bin"].to_numpy(np.int64)
+        row = {key: k_, "n": n}
+        for q in qs:
+            target = q * n
+            i = int(np.searchsorted(cum, target))
+            i = min(i, len(binv) - 1)
+            prev = cum[i - 1] if i > 0 else 0
+            inbin = g["n"].to_numpy()[i]
+            frac = (target - prev) / inbin if inbin else 0.0
+            v = lo + (binv[i] + min(max(frac, 0.0), 1.0)) * width
+            row[f"q{int(round(q * 100))}_{suffix}"] = min(v, hi)
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+APPROX_Q_BINS = 256
+
+
+def events_quantiles_approx(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9)):
+    """Histogram-sketch quantiles of events.value per event_type (bins =
+    APPROX_Q_BINS; error ≤ one bucket width).  Deterministic, so the DuckDB
+    oracle replays the identical histogram + interpolation (see
+    approx_quantiles_oracle_sql)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    out = approx_quantiles(ds, "event_type", "value", qs,
+                           bins=APPROX_Q_BINS, suffix="value")
+    for q in qs:
+        c = f"q{int(round(q * 100))}_value"
+        out[c] = round_half_away(out[c].to_numpy(np.float64), 6)
+    return out
+
+
+def approx_quantiles_oracle_sql(qs: tuple[float, ...] = (0.5, 0.9),
+                                bins: int = APPROX_Q_BINS) -> str:
+    """SQL replay of the fixed-width histogram quantile sketch: same bin
+    assignment, same cumulative pick (first bin with cum ≥ q·n), same
+    linear interpolation, identical IEEE operation order."""
+    picks = []
+    for q in qs:
+        col = f"q{int(round(q * 100))}_value"
+        picks.append(f"""
+            p_{col} AS (
+                SELECT event_type, lo, hi, total,
+                       round(least(lo + (bin + least(greatest(
+                           ({q} * total - prev) / n, 0.0), 1.0)) * width, hi),
+                           6) AS {col}
+                FROM c
+                WHERE cum >= {q} * total
+                QUALIFY row_number() OVER (PARTITION BY event_type
+                                           ORDER BY bin) = 1)""")
+    joins = "\n            ".join(
+        f"JOIN p_q{int(round(q * 100))}_value USING (event_type)"
+        for q in qs)
+    cols = ", ".join(f"p_q{int(round(q * 100))}_value.q{int(round(q * 100))}_value"
+                     for q in qs)
+    return f"""
+        WITH rngs AS (
+            SELECT event_type, min(value) AS lo, max(value) AS hi,
+                   count(*) AS total
+            FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY event_type),
+        b AS (
+            SELECT e.event_type,
+                   CAST(least(greatest(floor((e.value - r.lo) /
+                       (CASE WHEN r.hi > r.lo THEN (r.hi - r.lo) / {bins}
+                             ELSE 1.0 END)), 0), {bins - 1}) AS BIGINT) AS bin
+            FROM events e JOIN rngs r USING (event_type)
+            WHERE e.value IS NOT NULL),
+        h AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
+        c0 AS (
+            SELECT h.event_type, h.bin, h.n, r.lo, r.hi, r.total,
+                   CASE WHEN r.hi > r.lo THEN (r.hi - r.lo) / {bins}
+                        ELSE 1.0 END AS width,
+                   sum(h.n) OVER (PARTITION BY h.event_type ORDER BY h.bin
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM h JOIN rngs r USING (event_type)),
+        c AS (
+            SELECT *, coalesce(lag(cum) OVER (PARTITION BY event_type
+                                              ORDER BY bin), 0) AS prev
+            FROM c0),
+        {",".join(picks)}
+        SELECT rngs.event_type, rngs.total AS n, {cols}
+        FROM rngs
+        {joins}"""
+
+
 def approx_distinct_users(sf_dir: str, k: int = 64) -> pd.DataFrame:
     """Approximate distinct user_id per event_type over the events table.
 

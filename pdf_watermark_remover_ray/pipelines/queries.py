@@ -29,6 +29,8 @@ from ..functions.sampling import (
 )
 from ..functions.sketches import (
     approx_distinct_users,
+    approx_quantiles_oracle_sql,
+    events_quantiles_approx,
     heavy_hitter_events,
     heavy_hitters_oracle_sql,
     kmv_oracle_sql,
@@ -266,6 +268,7 @@ def queries() -> dict:
         "prev_order_gap": relational.prev_order_gap,
         "running_revenue": relational.running_revenue,
         "approx_distinct_users": approx_distinct_users,
+        "events_quantiles_approx": events_quantiles_approx,
         "heavy_hitter_events": heavy_hitter_events,
         "sample_documents": sample_documents,
         "split_documents": split_documents,
@@ -785,6 +788,7 @@ def oracle_sql() -> dict:
                                              ELSE 0.0 END), 6) AS quality_score
             FROM base""",
         "approx_distinct_users": kmv_oracle_sql(k=64),
+        "events_quantiles_approx": approx_quantiles_oracle_sql(),
         "heavy_hitter_events": heavy_hitters_oracle_sql(width=8),
         "sample_documents": sample_oracle_sql(),
         "split_documents": split_oracle_sql(),

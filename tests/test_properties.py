@@ -285,3 +285,29 @@ def test_rollup_and_pivot_consistency(sf_dir):
     n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
     wide_cols = [c for c in piv.columns if c.startswith("n_")]
     assert piv[wide_cols].to_numpy().sum() == n_events
+
+
+def test_approx_quantiles_error_bound():
+    """Histogram-sketch quantiles land within one bucket width of the exact
+    interpolated quantile, on a skewed multimodal distribution."""
+    import ray.data
+
+    from pdf_watermark_remover_ray.functions.sketches import approx_quantiles
+
+    rng = np.random.default_rng(31)
+    vals = np.concatenate([rng.normal(10, 1, 4000),
+                           rng.normal(1000, 50, 1000),
+                           rng.exponential(5, 2000)])
+    keys = rng.choice(["a", "b"], size=len(vals))
+    df = pd.DataFrame({"k": keys, "v": vals})
+    bins = 512
+    out = approx_quantiles(ray.data.from_pandas(df).repartition(6),
+                           "k", "v", qs=(0.5, 0.9, 0.99), bins=bins,
+                           suffix="v")
+    for _, row in out.iterrows():
+        sub = df.loc[df["k"] == row["k"], "v"].to_numpy()
+        width = (sub.max() - sub.min()) / bins
+        assert row["n"] == len(sub)
+        for q, c in ((0.5, "q50_v"), (0.9, "q90_v"), (0.99, "q99_v")):
+            exact = np.quantile(sub, q)
+            assert abs(row[c] - exact) <= width + 1e-9, (row["k"], q)
