@@ -111,21 +111,20 @@ def approx_quantiles(ds, key: str, value_col: str, qs: tuple[float, ...],
 
     hist = ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True) \
-        .groupby([key, "bin"]).aggregate(Sum("partial_n", alias_name="n")) \
-        .to_pandas()  # ≤ bins rows per key
+        .groupby([key, "bin"]).aggregate(Sum("partial_n", alias_name="n"))
 
-    e = pd.DataFrame({key: rng[key].to_numpy(),
-                      "lo": rng["lo"].to_numpy(np.float64),
-                      "hi": rng["hi"].to_numpy(np.float64)}).set_index(key)
-    rows = []
-    for k_, g in hist.groupby(key, sort=True):
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        # per-key quantile pick runs DISTRIBUTED (map_groups) so a
+        # high-cardinality key never materializes keys × bins on the driver
+        e = _ray.get(edges)
+        k_ = g[key].iloc[0]
         g = g.sort_values("bin")
         lo, hi = float(e.loc[k_, "lo"]), float(e.loc[k_, "hi"])
         width = (hi - lo) / bins if hi > lo else 1.0
         cum = g["n"].cumsum().to_numpy()
         n = int(cum[-1])
         binv = g["bin"].to_numpy(np.int64)
-        row = {key: k_, "n": n}
+        row = {key: [k_], "n": [n]}
         for q in qs:
             target = q * n
             i = int(np.searchsorted(cum, target))
@@ -134,9 +133,12 @@ def approx_quantiles(ds, key: str, value_col: str, qs: tuple[float, ...],
             inbin = g["n"].to_numpy()[i]
             frac = (target - prev) / inbin if inbin else 0.0
             v = lo + (binv[i] + min(max(frac, 0.0), 1.0)) * width
-            row[f"q{int(round(q * 100))}_{suffix}"] = min(v, hi)
-        rows.append(row)
-    return pd.DataFrame(rows)
+            row[f"q{int(round(q * 100))}_{suffix}"] = [min(v, hi)]
+        return pd.DataFrame(row)
+
+    out = hist.groupby(key).map_groups(select, batch_format="pandas") \
+        .to_pandas()  # one row per key
+    return out.sort_values(key).reset_index(drop=True)
 
 
 APPROX_Q_BINS = 256
