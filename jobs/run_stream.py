@@ -73,7 +73,9 @@ def main(argv: list[str] | None = None) -> int:
                        tumbling_us=args.tumbling_us,
                        dedup_stream=not args.no_dedup,
                        dedup_ttl_us=args.dedup_ttl_us,
-                       cep_pattern=tuple(args.cep_pattern.split(",")),
+                       cep_pattern=tuple(r.strip()
+                                         for r in args.cep_pattern.split(",")
+                                         if r.strip()),
                        cep_within_us=args.cep_within_us)
     eng = StreamingEngine(paths, args.out, cfg, epoch_files=args.epoch_files,
                           auto_hot_keys=args.auto_hot_keys)

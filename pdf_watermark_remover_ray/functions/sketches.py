@@ -101,7 +101,10 @@ def approx_quantiles(ds, key: str, value_col: str, qs: tuple[float, ...],
         lo = e["lo"].reindex(df[key]).to_numpy()
         hi = e["hi"].reindex(df[key]).to_numpy()
         width = np.where(hi > lo, (hi - lo) / bins, 1.0)
-        b = np.clip(((df["v"].to_numpy(np.float64) - lo) // width)
+        # np.floor(a / b), NOT a // b: numpy floor-division is fmod-based
+        # (1.0 // 0.1 == 9) while the SQL oracle computes floor(a / b)
+        # (floor(1.0 / 0.1) == 10) — the replay must share the exact op order
+        b = np.clip(np.floor((df["v"].to_numpy(np.float64) - lo) / width)
                     .astype(np.int64), 0, bins - 1)
         g = pd.DataFrame({key: df[key].to_numpy(), "bin": b}) \
             .groupby([key, "bin"], sort=False).size().reset_index(name="partial_n")

@@ -148,31 +148,20 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
     # CEP: contiguous role-sequence matches over the ACCEPTED (non-late)
     # rows — final union over epochs equals the batch matcher on live rows
     # (a match completes exactly once; eviction provably loses none).
+    from .stages.cep import kleene_scan, sequence_scan
+
     cl = live.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-    L = len(cfg.cep_pattern)
     cconv = cl["conv_id"].to_numpy()
     crole = cl["role"].to_numpy()
     ctix = cl["turn_idx"].to_numpy().astype(np.int64)
     cts = cl["ts_us"].to_numpy(np.int64)
-    cep = pd.DataFrame({"conv_id": pd.Series([], dtype=str),
-                        "turn_idx": pd.Series([], dtype=np.int32),
-                        "dt_us": pd.Series([], dtype=np.int64)})
-    if len(cl) >= L:
-        m = len(cl) - L + 1
-        ok = np.ones(m, dtype=bool)
-        for j, term in enumerate(cfg.cep_pattern):
-            ok &= crole[j:m + j] == term
-        ok &= cconv[:m] == cconv[L - 1:]
-        ok &= ctix[L - 1:] - ctix[:m] == L - 1
-        dt = np.maximum.reduce([cts[j:m + j] for j in range(L)]) \
-            - np.minimum.reduce([cts[j:m + j] for j in range(L)])
-        ok &= dt <= cfg.cep_within_us
-        idx = np.flatnonzero(ok)
-        cep = pd.DataFrame({"conv_id": cconv[idx],
-                            "turn_idx": ctix[idx].astype(np.int32),
-                            "dt_us": dt[idx].astype(np.int64)})
-    # Kleene-plus ("cepk"): shared scan with the batch operator/engine
-    from .stages.cep import kleene_scan
+    idx, dt = sequence_scan(cconv, crole, ctix, cts, cfg.cep_pattern,
+                            cfg.cep_within_us)
+    cep = pd.DataFrame({"conv_id": cconv[idx] if len(idx) else
+                        pd.Series([], dtype=str),
+                        "turn_idx": ctix[idx].astype(np.int32),
+                        "dt_us": dt})
+    # Kleene-plus ("cepk"): the same shared scan module
 
     sp, s, e, en, dtk = kleene_scan(cconv, crole, ctix, cts,
                                     cfg.cep_within_us,

@@ -715,7 +715,9 @@ def oracle_sql() -> dict:
                    count(*) FILTER (event_type = 'purchase') AS n_purchase,
                    count(*) FILTER (event_type = 'signup') AS n_signup,
                    count(*) FILTER (event_type = 'view') AS n_view
-            FROM events GROUP BY user_id""",
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY user_id""",
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text""",

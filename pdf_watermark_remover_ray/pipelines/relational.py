@@ -448,7 +448,9 @@ def user_event_pivot(sf_dir: str):
     aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES]
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
+        # null user_id/event_type rows are excluded (crosstab would drop
+        # them silently anyway) — the oracle SQL filters identically
+        df = t.to_pandas().dropna(subset=["user_id", "event_type"])
         ct = pd.crosstab(df["user_id"], df["event_type"])
         for ty in EVENT_TYPES:
             if ty not in ct.columns:

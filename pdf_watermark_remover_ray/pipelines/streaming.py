@@ -419,10 +419,9 @@ class StatePartition:
         NOT endpoint difference — is what makes this sound when late-but-
         accepted rows break ts-monotonicity in turn_idx)."""
         from ..config import ROLE_CODES
-        from ..stages.cep import kleene_scan
+        from ..stages.cep import kleene_scan, sequence_scan
 
         pat = self.cfg.cep_codes
-        L = len(pat)
         old = self.store.get("cepbuf")
         if len(live):
             code = np.full(len(live), -1, dtype=np.int64)
@@ -444,32 +443,16 @@ class StatePartition:
         tix = buf["turn_idx"].to_numpy().astype(np.int64)
         ts = buf["ts_us"].to_numpy(np.int64)
         isnew = buf["_new"].to_numpy(bool)
-        n = len(buf)
 
-        # -- fixed-sequence stream ("cep")
-        out = pd.DataFrame({"conv_id": pd.Series([], dtype=str),
-                            "turn_idx": pd.Series([], dtype=np.int32),
-                            "dt_us": pd.Series([], dtype=np.int64)})
-        if n >= L:
-            m = n - L + 1
-            ok = np.ones(m, dtype=bool)
-            anynew = np.zeros(m, dtype=bool)
-            for j, term in enumerate(pat):
-                ok &= codes[j:m + j] == term
-                anynew |= isnew[j:m + j]
-            ok &= conv[:m] == conv[L - 1:]
-            ok &= tix[L - 1:] - tix[:m] == L - 1
-            dt = np.maximum.reduce([ts[j:m + j] for j in range(L)]) \
-                - np.minimum.reduce([ts[j:m + j] for j in range(L)])
-            ok &= dt <= self.cfg.cep_within_us
-            ok &= anynew  # completed THIS epoch ⇒ emitted exactly once
-            idx = np.flatnonzero(ok)
-            if len(idx):
-                out = pd.DataFrame({
-                    "conv_id": conv[idx],
-                    "turn_idx": tix[idx].astype(np.int32),
-                    "dt_us": dt[idx].astype(np.int64),
-                }).sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        # -- fixed-sequence stream ("cep"): shared scan; isnew implements
+        # the completed-THIS-epoch ⇒ emitted-exactly-once rule
+        idx, dt = sequence_scan(conv, codes, tix, ts, pat,
+                                self.cfg.cep_within_us, isnew=isnew)
+        out = pd.DataFrame({
+            "conv_id": conv[idx] if len(idx) else pd.Series([], dtype=str),
+            "turn_idx": tix[idx].astype(np.int32),
+            "dt_us": dt,
+        }).sort_values(["conv_id", "turn_idx"], kind="mergesort")
         schema = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
                             ("dt_us", pa.int64())])
         n_cep = self._write("cep", epoch, out, schema)

@@ -384,16 +384,31 @@ def rarest_terms(sf_dir: str):
 def json_extract_events(sf_dir: str):
     """Typed field extraction from the JSON ``props`` column of events
     (semi-structured ingestion staple): ``(event_id, k)`` with ``k`` the
-    integer at ``$.k``, null when absent.  Vectorized regex extract per
-    batch — never a per-row json.loads; the DuckDB oracle uses the real
-    ``json_extract`` so both parsers must agree."""
+    integer at top-level ``$.k``, null when absent or malformed.
+
+    A REAL JSON parse per value (a regex would false-match nested objects
+    and keys inside string values where the oracle's ``json_extract`` is
+    strictly top-level) — the parse is the irreducible cost of the
+    operator; unique ``props`` values are factorized first so it runs once
+    per DISTINCT payload, not per row."""
+    import json
+
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "props"])
 
     def extract(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["props"].fillna("").str.extract(r'"k"\s*:\s*(-?\d+)',
-                                               expand=False)
+        codes, uniq = pd.factorize(df["props"].fillna(""))
+
+        def one(s: str):
+            try:
+                v = json.loads(s).get("k")
+            except (ValueError, AttributeError):
+                return None
+            return int(v) if isinstance(v, int) and not isinstance(v, bool) \
+                else None
+
+        per_uniq = np.array([one(s) for s in uniq], dtype=object)
         return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
-                             "k": k.astype("Int64").to_numpy()})
+                             "k": pd.array(per_uniq[codes], dtype="Int64")})
 
     return ds.map_batches(extract, batch_format="pandas")

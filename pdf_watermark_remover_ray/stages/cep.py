@@ -44,6 +44,45 @@ _EMPTY_KLEENE = {"conv_id": pd.Series([], dtype=str),
                  "dt_us": pd.Series([], dtype=np.int64)}
 
 
+def sequence_scan(conv: np.ndarray, role: np.ndarray, tix: np.ndarray,
+                  ts: np.ndarray, pattern, within_us: int,
+                  isnew: np.ndarray | None = None):
+    """Vectorized contiguous-sequence scan over arrays sorted by (conv,
+    turn_idx) — the ONE implementation behind the batch operator, the
+    streaming engine's ``cep`` stream (which passes role CODES) and the
+    single-process golden, exactly like :func:`kleene_scan`.
+
+    Returns ``(idx, dt)``: start row indices of matches and their event-time
+    SPAN ``max(ts) − min(ts)`` (span, not endpoint difference — sound under
+    non-monotone ts; see :func:`sequence_matches`).  With ``isnew``, only
+    matches containing ≥ 1 new row survive (the streaming exactly-once
+    completion rule)."""
+    L = len(pattern)
+    n = len(conv)
+    if n < L:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    tix = tix.astype(np.int64)
+    m = n - L + 1
+    ok = np.ones(m, dtype=bool)
+    anynew = np.zeros(m, dtype=bool) if isnew is not None else None
+    for j, term in enumerate(pattern):  # loop over the PATTERN, not rows
+        ok &= role[j:m + j] == term
+        if anynew is not None:
+            anynew |= isnew[j:m + j]
+    # rows are sorted (conv, turn_idx), so conv equality at the span ends
+    # ⇒ one conversation; explicit turn_idx contiguity makes the matcher
+    # correct on SPARSE inputs too (e.g. a late-filtered stream)
+    ok &= conv[:m] == conv[L - 1:]
+    ok &= tix[L - 1:] - tix[:m] == L - 1
+    dt = np.maximum.reduce([ts[j:m + j] for j in range(L)]) \
+        - np.minimum.reduce([ts[j:m + j] for j in range(L)])
+    ok &= dt <= within_us
+    if anynew is not None:
+        ok &= anynew
+    idx = np.flatnonzero(ok)
+    return idx.astype(np.int64), dt[idx].astype(np.int64)
+
+
 def sequence_matches(ds, pattern: tuple[str, ...], within_us: int,
                      num_partitions: int = 16):
     """All contiguous occurrences of ``pattern`` (role sequence) inside one
@@ -65,30 +104,16 @@ def sequence_matches(ds, pattern: tuple[str, ...], within_us: int,
 
     def match_partition(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        n = len(df)
-        if n < L:
+        if len(df) < L:
             return pd.DataFrame(_EMPTY_SEQ)
         conv = df["conv_id"].to_numpy()
-        role = df["role"].to_numpy()
-        tix = df["turn_idx"].to_numpy().astype(np.int64)
-        ts = ts_us_series(df["ts"])
-        m = n - L + 1
-        ok = np.ones(m, dtype=bool)
-        for j, term in enumerate(pattern):  # loop over the PATTERN, not rows
-            ok &= role[j:m + j] == term
-        # rows are sorted (conv, turn_idx), so conv equality at the span ends
-        # ⇒ one conversation; explicit turn_idx contiguity makes the matcher
-        # correct on SPARSE inputs too (e.g. a late-filtered stream)
-        ok &= conv[:m] == conv[L - 1:]
-        ok &= tix[L - 1:] - tix[:m] == L - 1
-        dt = np.maximum.reduce([ts[j:m + j] for j in range(L)]) \
-            - np.minimum.reduce([ts[j:m + j] for j in range(L)])
-        ok &= dt <= within_us
-        idx = np.flatnonzero(ok)
+        idx, dt = sequence_scan(conv, df["role"].to_numpy(),
+                                df["turn_idx"].to_numpy(),
+                                ts_us_series(df["ts"]), pattern, within_us)
         return pd.DataFrame({
             "conv_id": conv[idx],
             "turn_idx": df["turn_idx"].to_numpy()[idx].astype(np.int32),
-            "dt_us": dt[idx].astype(np.int64),
+            "dt_us": dt,
         })
 
     return partitioned_map(ds, match_partition, key="conv_id",

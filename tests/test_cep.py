@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import duckdb
 import numpy as np
 import pandas as pd
 
@@ -12,22 +11,12 @@ from pdf_watermark_remover_ray.stages.cep import kleene_matches, sequence_matche
 from pdf_watermark_remover_ray.stages.windows import ts_us_series
 
 
+from conftest import assert_frames_match as _cmp
+from conftest import duck_sql
+
+
 def _duck(sf_dir: str, sql: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
-    )
-    return con.sql(sql).df()
-
-
-def _cmp(ray_df: pd.DataFrame, duck_df: pd.DataFrame):
-    cols = sorted(ray_df.columns)
-    assert sorted(duck_df.columns) == cols, (sorted(duck_df.columns), cols)
-    a = ray_df[cols].sort_values(cols).reset_index(drop=True)
-    b = duck_df[cols].sort_values(cols).reset_index(drop=True)
-    assert len(a) == len(b), (len(a), len(b))
-    for c in cols:
-        assert (a[c].to_numpy().astype(str) == b[c].to_numpy().astype(str)).all(), c
+    return duck_sql(sf_dir, sql, tables=("events",))
 
 
 def test_cep_funnel_matches_sql(sf_dir):

@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import duckdb
 import numpy as np
 import pandas as pd
 
@@ -14,12 +13,11 @@ from pdf_watermark_remover_ray.stages.windows import session_labels, session_win
 GAP_US = Q.GAP_US
 
 
+from conftest import duck_sql
+
+
 def _duck(sf_dir: str, sql: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    for tbl in ("events", "orders"):
-        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{tbl}.parquet')")
-    return con.sql(sql).df()
+    return duck_sql(sf_dir, sql, tables=("events", "orders"))
 
 
 def test_range_join_superset_of_asof(sf_dir):

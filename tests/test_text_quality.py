@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import duckdb
 import numpy as np
 import pandas as pd
 
@@ -10,26 +9,12 @@ from pdf_watermark_remover_ray.pipelines import queries as Q
 from pdf_watermark_remover_ray.pipelines import text as T
 
 
+from conftest import assert_frames_match as _cmp
+from conftest import duck_sql
+
+
 def _duck(sf_dir: str, sql: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    for tbl in ("documents", "events"):
-        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{tbl}.parquet')")
-    return con.sql(sql).df()
-
-
-def _cmp(ray_df: pd.DataFrame, duck_df: pd.DataFrame):
-    cols = sorted(ray_df.columns)
-    assert sorted(duck_df.columns) == cols, (sorted(duck_df.columns), cols)
-    a = ray_df[cols].sort_values(cols).reset_index(drop=True)
-    b = duck_df[cols].sort_values(cols).reset_index(drop=True)
-    assert len(a) == len(b), (len(a), len(b))
-    for c in cols:
-        av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            assert np.allclose(av.astype(float), bv.astype(float)), c
-        else:
-            assert (av.astype(str) == bv.astype(str)).all(), c
+    return duck_sql(sf_dir, sql, tables=("documents", "events"))
 
 
 def test_quality_filter_matches_sql(sf_dir):
