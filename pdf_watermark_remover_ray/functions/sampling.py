@@ -112,3 +112,54 @@ def split_oracle_sql(train_pct: int = 90, val_pct: int = 5) -> str:
                      ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
                      % 100 AS b
               FROM documents)"""
+
+
+def decontaminate_split(sf_dir: str, train_pct: int = 90, val_pct: int = 5,
+                        num_partitions: int = 16):
+    """Exact train-set decontamination: every TRAIN document flagged when its
+    exact text also appears in the TEST split (the leakage check run before
+    any training corpus ships).
+
+    Same id-hash split as :func:`split_documents`; ONE content-keyed shuffle
+    (hash-partition by text, the `exact_dedup` shape) co-locates all copies
+    of a text, so the train-vs-test membership test is a vectorized
+    ``isin`` per partition — no broadcast of the test set (it can be large)
+    and no driver-side materialization."""
+    import pyarrow as pa
+
+    from ..stages.partition import partitioned_map
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        b = _hash_bucket(df["doc_id"])
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "text": df["text"].fillna("").to_numpy(),
+                            "is_test": b >= train_pct + val_pct,
+                            "is_train": b < train_pct})
+        return out[out["is_train"] | out["is_test"]]  # val rows drop here
+
+    ds = ds.map_batches(tag, batch_format="pandas")
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        test_texts = df.loc[df["is_test"].to_numpy(bool), "text"]
+        train = df[df["is_train"].to_numpy(bool)]
+        return pd.DataFrame({
+            "doc_id": train["doc_id"].to_numpy(),
+            "contaminated": train["text"].isin(set(test_texts)).to_numpy()})
+
+    return partitioned_map(ds, flag, key="text",
+                           num_partitions=num_partitions)
+
+
+def decontaminate_oracle_sql(train_pct: int = 90, val_pct: int = 5) -> str:
+    return f"""
+        WITH b AS (SELECT doc_id, coalesce(text, '') AS text,
+                          ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                          % 100 AS bkt
+                   FROM documents)
+        SELECT doc_id,
+               text IN (SELECT text FROM b WHERE bkt >= {train_pct + val_pct})
+               AS contaminated
+        FROM b WHERE bkt < {train_pct}"""

@@ -20,6 +20,8 @@ import pandas as pd
 from ..config import ScrubConfig, StreamConfig
 from ..functions.scrub import scrub_dataset
 from ..functions.sampling import (
+    decontaminate_oracle_sql,
+    decontaminate_split,
     sample_documents,
     sample_oracle_sql,
     split_documents,
@@ -267,12 +269,14 @@ def queries() -> dict:
         "user_event_pivot": relational.user_event_pivot,
         "prev_order_gap": relational.prev_order_gap,
         "running_revenue": relational.running_revenue,
+        "cohort_retention": relational.cohort_retention,
         "approx_distinct_users": approx_distinct_users,
         "events_quantiles_approx": events_quantiles_approx,
         "heavy_hitter_events": heavy_hitter_events,
         "sample_documents": sample_documents,
         "split_documents": split_documents,
         "stratified_sample_documents": stratified_sample_documents,
+        "decontaminate_split": decontaminate_split,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -295,6 +299,8 @@ def queries() -> dict:
         "contamination_flags": text.contamination_flags,
         "bag_dedup": text.bag_dedup,
         "json_extract_events": text.json_extract_events,
+        "source_mix_weights": text.source_mix_weights,
+        "doc_length_buckets": text.doc_length_buckets,
         "fingerprints": lambda sf: text.fingerprints(sf).select_columns(
             ["doc_id", "fingerprint"]),
         "winnow_fingerprints": text.fingerprints,
@@ -718,6 +724,7 @@ def oracle_sql() -> dict:
             FROM events
             WHERE user_id IS NOT NULL AND event_type IS NOT NULL
             GROUP BY user_id""",
+        "cohort_retention": relational.cohort_retention_oracle_sql(),
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text""",
@@ -795,6 +802,9 @@ def oracle_sql() -> dict:
         "sample_documents": sample_oracle_sql(),
         "split_documents": split_oracle_sql(),
         "stratified_sample_documents": stratified_oracle_sql(),
+        "decontaminate_split": decontaminate_oracle_sql(),
+        "source_mix_weights": text.source_mix_weights_oracle_sql(),
+        "doc_length_buckets": text.doc_length_buckets_oracle_sql(),
         "minhash_lsh_pairs": _minhash_sql(threshold=0.5),
         "dedup_clusters": _clusters_sql(threshold=0.5),
         "simhash_pairs": _simhash_sql(max_hamming=3),

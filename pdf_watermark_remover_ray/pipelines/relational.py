@@ -473,3 +473,56 @@ def events_windowed_stats(sf_dir: str, size_us: int = 86_400_000_000):
     for c in ("sum_value", "min_value", "max_value"):
         out[c] = round_half_away(out[c], 2)
     return out
+
+
+def cohort_retention(sf_dir: str, period_us: int = 7 * 86_400_000_000,
+                     num_partitions: int = 16):
+    """Cohort retention matrix (product-analytics staple): users bucketed by
+    the period of their FIRST event; for each (cohort, periods_since) the
+    number of DISTINCT users active in that period.
+
+    ONE row shuffle, no join: hash-partition by ``user_id`` co-locates every
+    user's events, so per partition the first-seen ``min(ts)`` is exact, the
+    (cohort, period, user) cells deduplicate locally, and — because a user
+    lives in exactly one partition — per-partition DISTINCT-user counts per
+    cell SUM to the global distinct count.  The second shuffle then moves
+    only (cohort, period, partial_n) partials (≤ cells × partitions rows,
+    independent of event volume)."""
+    from ..stages.partition import partitioned_map
+    from ..stages.windows import ts_us_series
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().dropna(subset=["user_id"])
+        return pa.table({"user_id": df["user_id"].to_numpy(np.int64),
+                         "ts_us": ts_us_series(df["ts"])})
+
+    ds = ds.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+
+    def cells_partial(df: pd.DataFrame) -> pd.DataFrame:
+        mt = df.groupby("user_id", sort=False)["ts_us"].transform("min")
+        cohort = mt.to_numpy(np.int64) // period_us
+        period = df["ts_us"].to_numpy(np.int64) // period_us - cohort
+        cells = pd.DataFrame({"cohort": cohort, "period": period,
+                              "user_id": df["user_id"].to_numpy(np.int64)}) \
+            .drop_duplicates()
+        g = cells.groupby(["cohort", "period"], sort=False).size() \
+            .reset_index(name="partial_n")
+        return g
+
+    parts = partitioned_map(ds, cells_partial, key="user_id",
+                            num_partitions=num_partitions)
+    return parts.groupby(["cohort", "period"]) \
+        .aggregate(Sum("partial_n", alias_name="n_users"))
+
+
+def cohort_retention_oracle_sql(period_us: int = 7 * 86_400_000_000) -> str:
+    return f"""
+        WITH f AS (SELECT user_id, min(epoch_us(ts)) AS mt
+                   FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+        SELECT f.mt // {period_us} AS cohort,
+               epoch_us(e.ts) // {period_us} - f.mt // {period_us} AS period,
+               count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN f USING (user_id)
+        GROUP BY 1, 2"""

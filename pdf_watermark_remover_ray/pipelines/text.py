@@ -412,3 +412,106 @@ def json_extract_events(sf_dir: str):
                              "k": pd.array(per_uniq[codes], dtype="Int64")})
 
     return ds.map_batches(extract, batch_format="pandas")
+
+
+def source_mix_weights(sf_dir: str):
+    """Domain-mixture statistics (the input to data-mixing weight choices in
+    LLM corpus assembly): per (lang, source) block the document count, the
+    whitespace-token total, its share of the corpus, and the up/down-sampling
+    weight that would flatten the mixture to uniform.
+
+    Per-batch partials → one tiny (lang, source) groupby — the shuffle moves
+    one row per (block, batch).  The share/weight arithmetic runs on the
+    aggregated result (≤ |lang|×|source| rows — driver-safe at any corpus
+    size; the heavy token counting stays distributed)."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["ws"] = df["text"].fillna("").str.split().str.len().astype(np.int64)
+        g = df.groupby(["lang", "source"], sort=False).agg(
+            partial_docs=("ws", "size"), partial_tokens=("ws", "sum")) \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["lang", "source"]).aggregate(
+            Sum("partial_docs", alias_name="n_docs"),
+            Sum("partial_tokens", alias_name="n_tokens")).to_pandas()
+    total = int(agg["n_tokens"].sum())
+    groups = len(agg)
+    share = agg["n_tokens"].to_numpy(np.float64) / total
+    agg["token_share"] = round_half_away(share, 6)
+    # weight that flattens the mixture: uniform target / observed share
+    agg["mix_weight"] = round_half_away((1.0 / groups) / share, 6)
+    return agg.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+def source_mix_weights_oracle_sql() -> str:
+    return """
+        WITH g AS (
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(len(list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                       x -> x <> ''))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang, source)
+        SELECT lang, source, n_docs, n_tokens,
+               round(n_tokens / sum(n_tokens) OVER (), 6) AS token_share,
+               round((1.0 / count(*) OVER ())
+                     / (n_tokens / sum(n_tokens) OVER ()), 6) AS mix_weight
+        FROM g"""
+
+
+def doc_length_buckets(sf_dir: str):
+    """Length-bucket assignment (sequence-length bucketing for batch packing):
+    each document labeled 1-4 by which per-lang n_chars quartile it falls in.
+
+    Two stages, both bounded: the exact per-lang quartile cuts come from the
+    distributed value-counts rollup (shuffle = distinct (lang, n_chars)
+    pairs, NOT rows); the tiny cuts table (3 values per lang) broadcasts via
+    ``ray.put`` and every batch assigns buckets with three vectorized
+    comparisons — value-based bucketing, so no global rank/sort is needed
+    (NTILE's rank semantics would force one)."""
+    import ray
+
+    from .relational import quantile_rollup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    cuts = quantile_rollup(ds, "lang", "n_chars", (0.25, 0.5, 0.75),
+                           suffix="nc").to_pandas()
+    cuts_ref = ray.put({r["lang"]: (r["p25_nc"], r["p50_nc"], r["p75_nc"])
+                        for _, r in cuts.iterrows()})
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cut = ray.get(cuts_ref)
+        c = df["lang"].map(cut)
+        c1 = np.array([v[0] for v in c], dtype=np.int64)
+        c2 = np.array([v[1] for v in c], dtype=np.int64)
+        c3 = np.array([v[2] for v in c], dtype=np.int64)
+        v = df["n_chars"].to_numpy(np.int64)
+        bucket = 1 + (v > c1).astype(np.int64) + (v > c2) + (v > c3)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "lang": df["lang"].to_numpy(),
+                             "bucket": bucket})
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def doc_length_buckets_oracle_sql() -> str:
+    return """
+        WITH c AS (SELECT lang,
+                          quantile_disc(n_chars, 0.25) AS c1,
+                          quantile_disc(n_chars, 0.5) AS c2,
+                          quantile_disc(n_chars, 0.75) AS c3
+                   FROM documents GROUP BY lang)
+        SELECT doc_id, d.lang,
+               1 + (n_chars > c1)::BIGINT + (n_chars > c2)::BIGINT
+                 + (n_chars > c3)::BIGINT AS bucket
+        FROM documents d JOIN c USING (lang)"""

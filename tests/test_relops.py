@@ -69,3 +69,16 @@ def test_moving_revenue_sum_bruteforce(sf_dir):
     o = o.assign(want=np.round(want.to_numpy(), 2)).set_index("o_orderkey")
     j = merged.join(o[["want"]])
     assert np.allclose(j["moving_sum"], j["want"])
+
+
+def test_cohort_retention_matches_sql(sf_dir):
+    from conftest import assert_frames_match
+
+    got = Q.queries()["cohort_retention"](sf_dir).to_pandas()
+    want = _duck(sf_dir, Q.oracle_sql()["cohort_retention"])
+    assert_frames_match(got, want)
+    # period 0 of each cohort counts every user whose first event is in it —
+    # retention periods can never exceed it
+    p0 = got[got["period"] == 0].set_index("cohort")["n_users"]
+    for _, r in got.iterrows():
+        assert r["n_users"] <= p0[r["cohort"]]

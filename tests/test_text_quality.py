@@ -81,3 +81,53 @@ def test_contamination_flags_hits(sf_dir):
     assert got["contaminated"].any() and not got["contaminated"].all()
     assert (got.loc[got["contaminated"], "n_hits"] > 0).all()
     assert (got.loc[~got["contaminated"], "n_hits"] == 0).all()
+
+
+def test_source_mix_weights_matches_sql(sf_dir):
+    got = T.source_mix_weights(sf_dir)
+    want = _duck(sf_dir, Q.oracle_sql()["source_mix_weights"])
+    _cmp(got, want)
+    # weights flatten the mixture: sum(share) == 1, weight*share == 1/G
+    assert abs(got["token_share"].sum() - 1.0) < 1e-4
+    prod = got["mix_weight"] * got["token_share"]
+    assert np.allclose(prod, 1.0 / len(got), atol=1e-4)
+
+
+def test_doc_length_buckets_matches_sql(sf_dir):
+    got = T.doc_length_buckets(sf_dir).to_pandas()
+    want = _duck(sf_dir, Q.oracle_sql()["doc_length_buckets"])
+    _cmp(got, want)
+    # every lang uses all four buckets on a 100-doc-per-lang-ish table and
+    # quartile sizes are balanced within rounding
+    for _, g in got.groupby("lang"):
+        counts = g["bucket"].value_counts()
+        assert set(counts.index) <= {1, 2, 3, 4}
+        assert counts.max() - counts.min() <= max(4, len(g) // 2)
+
+
+def test_decontaminate_split_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_remover_ray.functions.sampling import (
+        _hash_bucket, decontaminate_split)
+
+    # deterministically pick ids per split bucket from the same hash the
+    # operator uses
+    ids = pd.Series(range(1000))
+    b = _hash_bucket(ids)
+    train_ids = ids[b < 90].tolist()
+    test_ids = ids[b >= 95].tolist()
+    assert len(train_ids) >= 3 and len(test_ids) >= 2
+    t = pa.table({
+        "doc_id": pa.array([train_ids[0], train_ids[1], train_ids[2],
+                            test_ids[0], test_ids[1]], pa.int64()),
+        "text": ["leaked text", "clean text", "also leaked",
+                 "leaked text", "also leaked"],
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = decontaminate_split(str(tmp_path), num_partitions=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    flags = out.set_index("doc_id")["contaminated"].to_dict()
+    assert flags == {train_ids[0]: True, train_ids[1]: False,
+                     train_ids[2]: True}
