@@ -194,6 +194,10 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     timed("quality_filter", lambda: text.quality_filter(sf_dir).materialize())
     timed("winnow_dup_pairs",
           lambda: dedup.winnow_dup_pairs(sf_dir).materialize())
+    timed("cohort_retention",
+          lambda: relational.cohort_retention(sf_dir).materialize())
+    timed("doc_length_buckets",
+          lambda: text.doc_length_buckets(sf_dir).materialize())
 
     ray.shutdown()
     # host-condition stamp: 32-way burn-probe parallel speedup (healthy host

@@ -311,3 +311,26 @@ def test_approx_quantiles_error_bound():
         for q, c in ((0.5, "q50_v"), (0.9, "q90_v"), (0.99, "q99_v")):
             exact = np.quantile(sub, q)
             assert abs(row[c] - exact) <= width + 1e-9, (row["k"], q)
+
+
+def test_cohort_and_decontaminate_partition_invariance(sf_dir):
+    """Results of the keyed-co-location ops are pure functions of the data,
+    not of the partition count (the property that makes them safe to re-tune
+    for cluster size)."""
+    import pandas as pd
+
+    from pdf_watermark_remover_ray.functions.sampling import decontaminate_split
+    from pdf_watermark_remover_ray.pipelines.relational import cohort_retention
+
+    def norm(ds):
+        df = ds.to_pandas()
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    a = norm(cohort_retention(sf_dir, num_partitions=2))
+    b = norm(cohort_retention(sf_dir, num_partitions=17))
+    pd.testing.assert_frame_equal(a, b)
+
+    a = norm(decontaminate_split(sf_dir, num_partitions=2))
+    b = norm(decontaminate_split(sf_dir, num_partitions=17))
+    pd.testing.assert_frame_equal(a, b)
