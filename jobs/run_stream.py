@@ -47,6 +47,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated role sequence for the cep stream")
     ap.add_argument("--cep-within-us", type=int, default=120_000_000,
                     help="event-time span bound for CEP matches")
+    ap.add_argument("--wtopk-k", type=int, default=3,
+                    help="k for the per-window top-k tools stream")
     ap.add_argument("--compact", action="store_true",
                     help="compact committed epochs after the run")
     ap.add_argument("--prune-state", action="store_true",
@@ -76,7 +78,8 @@ def main(argv: list[str] | None = None) -> int:
                        cep_pattern=tuple(r.strip()
                                          for r in args.cep_pattern.split(",")
                                          if r.strip()),
-                       cep_within_us=args.cep_within_us)
+                       cep_within_us=args.cep_within_us,
+                       wtopk_k=args.wtopk_k)
     eng = StreamingEngine(paths, args.out, cfg, epoch_files=args.epoch_files,
                           auto_hot_keys=args.auto_hot_keys)
     t0 = time.monotonic()

@@ -108,17 +108,30 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
         .agg(n_turns=("c", "size"), sum_chars=("c", "sum"),
              min_chars=("c", "min"), max_chars=("c", "max"))
     )
-    # windowed COUNT DISTINCT of tools (tool-role turns only)
+    # windowed COUNT DISTINCT + top-k of tools (tool-role turns only) —
+    # both project from the per-(conv, window, tool) count table, exactly
+    # like the engine's shared wtools state
     tl = live[live["role"] == "tool"]
-    wdistinct = (
+    wtool_counts = (
         pd.DataFrame({"conv_id": tl["conv_id"].to_numpy(),
                       "window_start_us": (tl["ts_us"].to_numpy()
                                           // cfg.tumbling_us) * cfg.tumbling_us,
                       "tool": tl["tool"].to_numpy()})
-        .groupby(["conv_id", "window_start_us"], as_index=False)["tool"]
-        .nunique()
-        .rename(columns={"tool": "n_tools"})
+        .groupby(["conv_id", "window_start_us", "tool"], as_index=False)
+        .size().rename(columns={"size": "n"})
     )
+    wdistinct = (
+        wtool_counts.groupby(["conv_id", "window_start_us"], as_index=False)
+        .size().rename(columns={"size": "n_tools"})
+    )
+    wtopk = wtool_counts.sort_values(
+        ["conv_id", "window_start_us", "n", "tool"],
+        ascending=[True, True, False, True], kind="mergesort") \
+        .groupby(["conv_id", "window_start_us"], sort=False) \
+        .head(cfg.wtopk_k).copy()
+    wtopk["rank"] = wtopk.groupby(["conv_id", "window_start_us"],
+                                  sort=False).cumcount().to_numpy() + 1
+    wtopk = wtopk[["conv_id", "window_start_us", "tool", "n", "rank"]]
     # streaming dedup: one winner per distinct scrubbed text — the min
     # (conv_id, turn_idx) within the FIRST epoch containing that text (the
     # engine's arrival-order-free winner rule; null text keys as "" exactly
@@ -183,6 +196,7 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
         "windows": windows,
         "wstats": wstats,
         "wdistinct": wdistinct,
+        "wtopk": wtopk,
         "sliding": sliding,
         "matches": matches,
     }

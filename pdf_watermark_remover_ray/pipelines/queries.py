@@ -270,6 +270,7 @@ def queries() -> dict:
         "prev_order_gap": relational.prev_order_gap,
         "running_revenue": relational.running_revenue,
         "cohort_retention": relational.cohort_retention,
+        "unpivot_user_events": relational.unpivot_user_events,
         "approx_distinct_users": approx_distinct_users,
         "events_quantiles_approx": events_quantiles_approx,
         "heavy_hitter_events": heavy_hitter_events,
@@ -725,6 +726,7 @@ def oracle_sql() -> dict:
             WHERE user_id IS NOT NULL AND event_type IS NOT NULL
             GROUP BY user_id""",
         "cohort_retention": relational.cohort_retention_oracle_sql(),
+        "unpivot_user_events": relational.unpivot_oracle_sql(),
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text""",

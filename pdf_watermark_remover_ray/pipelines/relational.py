@@ -526,3 +526,30 @@ def cohort_retention_oracle_sql(period_us: int = 7 * 86_400_000_000) -> str:
                count(DISTINCT e.user_id) AS n_users
         FROM events e JOIN f USING (user_id)
         GROUP BY 1, 2"""
+
+
+def unpivot_user_events(sf_dir: str):
+    """UNPIVOT (melt): the per-user event-type count matrix back to long
+    (user_id, event_type, n) rows, zero-count cells dropped.  Wide→long is a
+    pure per-batch flat transform — each batch emits ≤ |EVENT_TYPES| rows per
+    input row with NO shuffle at all (the inverse pivot's aggregate already
+    ran)."""
+    wide = user_event_pivot(sf_dir)
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(id_vars=["user_id"],
+                      value_vars=[f"n_{t}" for t in EVENT_TYPES],
+                      var_name="event_type", value_name="n")
+        out = out[out["n"] > 0]
+        out["event_type"] = out["event_type"].str.removeprefix("n_")
+        return out.reset_index(drop=True)
+
+    return wide.map_batches(melt, batch_format="pandas")
+
+
+def unpivot_oracle_sql() -> str:
+    return """
+        SELECT user_id, event_type, count(*) AS n
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY user_id, event_type"""

@@ -159,19 +159,21 @@ class StatePartition:
         self._delta = {}  # per-epoch join-buffer appends (delta snapshot)
         self._fold_sessions(live)
         self._fold_wstats(live)  # one fold feeds BOTH windows and wstats
-        self._fold_wdistinct(live)
+        self._fold_wtools(live)  # one fold feeds BOTH wdistinct and wtopk
         self._fold_sliding(live)
         self._fold_join(live)
         t_fold = time.monotonic()
 
         n_windows, n_wstats = self._emit_tumbling(wm_after_us, epoch)
+        n_wdistinct, n_wtopk = self._emit_wtool_streams(wm_after_us, epoch)
         emitted = {
             "sessions": self._emit_sessions(wm_after_us, epoch),
             "windows": n_windows,
             "wstats": n_wstats,
             "sliding": self._emit_sliding(wm_after_us, epoch),
             "matches": self._emit_matches(wm_after_us, epoch),
-            "wdistinct": self._emit_wdistinct(wm_after_us, epoch),
+            "wdistinct": n_wdistinct,
+            "wtopk": n_wtopk,
         }
         emitted["cep"], emitted["cepk"] = \
             self._fold_emit_cep(live, wm_after_us, epoch)
@@ -275,45 +277,65 @@ class StatePartition:
         n_wstats = self._write("wstats", epoch, stats, stats_schema)
         return n_windows, n_wstats
 
-    def _fold_wdistinct(self, live: pd.DataFrame) -> int:
-        """Windowed COUNT DISTINCT state: the per-(conv, tumbling window)
-        distinct-tool SET folds as set union — one row per (conv, window,
-        tool), deduped on append, so state is bounded by open windows ×
-        tool cardinality and the fold is order-free (any arrival order of
-        the same rows yields the same set).  The count materializes only at
-        emission."""
+    def _fold_wtools(self, live: pd.DataFrame) -> int:
+        """Per-(conv, tumbling window, tool) COUNT state — the decomposable
+        groupby-sum fold is order-free, and state stays one row per distinct
+        (conv, window, tool) regardless of turn volume.  TWO output streams
+        project from this kind at emission: windowed COUNT DISTINCT (row
+        count per window) and windowed top-k tools (count order)."""
         t = live[live["role"] == "tool"]
         if len(t) == 0:
             return 0
         ws = self.cfg.tumbling_spec.assign(t["ts_us"].to_numpy(np.int64))
         new = pd.DataFrame({"conv_id": t["conv_id"].to_numpy(),
                             "window_start_us": ws,
-                            "tool": t["tool"].to_numpy()})
+                            "tool": t["tool"].to_numpy(),
+                            "n": np.ones(len(t), dtype=np.int64)})
         allw = pd.concat([self.store.get("wtools"), new], ignore_index=True)
-        self.store.put("wtools", allw.drop_duplicates(
-            ["conv_id", "window_start_us", "tool"]))
+        self.store.put("wtools", allw.groupby(
+            ["conv_id", "window_start_us", "tool"], sort=False,
+            as_index=False)["n"].sum())
         return len(new)
 
-    def _emit_wdistinct(self, wm_us: int, epoch: int) -> int:
-        """Emit n_tools per closed window (same strict rule as tumbling:
-        ``window_start + size <= wm``); only windows with >= 1 tool-role turn
-        appear (the state holds tool rows only)."""
+    def _emit_wtool_streams(self, wm_us: int, epoch: int) -> tuple[int, int]:
+        """Emit BOTH tool-keyed window streams from one state scan + one
+        eviction (strict rule ``window_start + size <= wm``): ``wdistinct``
+        (n_tools per closed window) and ``wtopk`` (the cfg.wtopk_k most
+        frequent tools per closed window, ties broken by tool name — fully
+        deterministic).  Only windows with >= 1 tool-role turn appear."""
         w = self.store.get("wtools")
         size = self.cfg.tumbling_us
         done_mask = (w["window_start_us"].to_numpy(np.int64, copy=False)
                      + size <= wm_us) if len(w) else np.zeros(0, dtype=bool)
         done = w[done_mask]
         self.store.put("wtools", w[~done_mask])
-        out = done.groupby(["conv_id", "window_start_us"], sort=False,
-                           as_index=False)["tool"].nunique() \
-            .rename(columns={"tool": "n_tools"}) \
+        out = done.groupby(["conv_id", "window_start_us"], sort=False) \
+            .size().reset_index(name="n_tools") \
             .sort_values(["conv_id", "window_start_us"], kind="mergesort")
         out["n_tools"] = out["n_tools"].astype(np.int64) if len(out) else \
             pd.Series([], dtype=np.int64)
         schema = pa.schema([("conv_id", pa.string()),
                             ("window_start_us", pa.int64()),
                             ("n_tools", pa.int64())])
-        return self._write("wdistinct", epoch, out, schema)
+        n_wdistinct = self._write("wdistinct", epoch, out, schema)
+
+        topk = done.sort_values(["conv_id", "window_start_us", "n", "tool"],
+                                ascending=[True, True, False, True],
+                                kind="mergesort")
+        topk = topk.groupby(["conv_id", "window_start_us"], sort=False) \
+            .head(self.cfg.wtopk_k).copy()
+        topk["rank"] = topk.groupby(["conv_id", "window_start_us"],
+                                    sort=False).cumcount().to_numpy() + 1
+        topk["rank"] = topk["rank"].astype(np.int64)
+        topk_schema = pa.schema([("conv_id", pa.string()),
+                                 ("window_start_us", pa.int64()),
+                                 ("tool", pa.string()), ("n", pa.int64()),
+                                 ("rank", pa.int64())])
+        n_wtopk = self._write(
+            "wtopk", epoch,
+            topk[["conv_id", "window_start_us", "tool", "n", "rank"]],
+            topk_schema)
+        return n_wdistinct, n_wtopk
 
     _SLIDING_BOUND_KEY = "sliding_emit_bound"
 

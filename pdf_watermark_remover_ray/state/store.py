@@ -41,10 +41,13 @@ _EMPTY = {
     # "sliding" holds per-(conv, slide-bucket) counts; window_start_us is the
     # BUCKET start (windows are rolled up from buckets at emission time).
     "sliding": {"conv_id": str, "window_start_us": np.int64, "n": np.int64},
-    # per-window COUNT DISTINCT state: one row per (conv, window, tool) seen —
-    # the distinct SET folds as set-union (dedup on append), the count only
-    # materializes at emission.  Bounded by open windows × tool cardinality.
-    "wtools": {"conv_id": str, "window_start_us": np.int64, "tool": str},
+    # per-window per-tool COUNT state: one row per (conv, window, tool) with
+    # its occurrence count — folds by groupby-sum (decomposable), bounded by
+    # open windows × tool cardinality.  TWO output streams project from it:
+    # windowed COUNT DISTINCT (row count per group) and windowed top-k tools
+    # (sort by count within group) — one fold, one eviction.
+    "wtools": {"conv_id": str, "window_start_us": np.int64, "tool": str,
+               "n": np.int64},
     # "meta" holds scalar state (e.g. the sliding emission bound) as rows.
     "meta": {"conv_id": str, "n": np.int64},
     # "seen" is the streaming-dedup hash set (104-bit composite text hash,

@@ -96,6 +96,10 @@ def _check_outputs(out_dir: str, golden: dict):
         ["conv_id", "window_start_us", "n_tools"],
     )
     assert_stream_equal(
+        read_stream(out_dir, "wtopk"), golden["wtopk"],
+        ["conv_id", "window_start_us", "tool", "n", "rank"],
+    )
+    assert_stream_equal(
         read_stream(out_dir, "cep"), golden["cep"],
         ["conv_id", "turn_idx", "dt_us"],
     )
@@ -343,6 +347,7 @@ def test_midfile_failure_all_or_nothing(tmp_path, fixture):
         ("sliding", ["conv_id", "window_start_us", "n_turns"]),
         ("matches", ["conv_id", "user_turn_idx", "tool_turn_idx", "tool", "dt_us"]),
         ("wdistinct", ["conv_id", "window_start_us", "n_tools"]),
+        ("wtopk", ["conv_id", "window_start_us", "tool", "n", "rank"]),
         ("dedup", ["conv_id", "turn_idx"]),
     ]
     for stream, cols in checks:
