@@ -163,3 +163,55 @@ def decontaminate_oracle_sql(train_pct: int = 90, val_pct: int = 5) -> str:
                text IN (SELECT text FROM b WHERE bkt >= {train_pct + val_pct})
                AS contaminated
         FROM b WHERE bkt < {train_pct}"""
+
+
+def mix_rebalanced_documents(sf_dir: str):
+    """APPLY the domain-mixing weights: deterministically down-sample
+    over-represented (lang, source) blocks so the kept corpus moves toward a
+    uniform token mixture — the step that consumes
+    ``text.source_mix_weights``'s output in a real corpus build.
+
+    Per-block keep-rate = min(1, mix_weight); keep decision =
+    ``md5_u64(doc_id) % 1e6 < rate * 1e6`` — the same id-hash discipline as
+    every sampler here (reproducible across runs/partitions, SQL-replayable,
+    integer threshold so there is no float-comparison edge).  The tiny
+    (block → rate) table broadcasts via ``ray.put``; the documents scan
+    filters per batch with two vectorized lookups."""
+    import ray
+
+    from ..pipelines.text import source_mix_weights
+
+    mix = source_mix_weights(sf_dir)
+    thr = {(r["lang"], r["source"]):
+           int(round(min(1.0, r["mix_weight"]) * 1_000_000))
+           for _, r in mix.iterrows()}
+    thr_ref = ray.put(thr)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "source"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        lim = np.array([t[(l, s)] for l, s in
+                        zip(df["lang"].to_numpy(), df["source"].to_numpy())],
+                       dtype=np.int64)
+        h = (md5_u64([str(int(i)) for i in df["doc_id"]])
+             % np.uint64(1_000_000)).astype(np.int64)
+        return df[h < lim]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def mix_rebalanced_oracle_sql() -> str:
+    from ..pipelines.text import source_mix_weights_oracle_sql
+
+    return f"""
+        WITH mix AS ({source_mix_weights_oracle_sql()}),
+        thr AS (SELECT lang, source,
+                       CAST(round(least(1.0, mix_weight) * 1000000, 0)
+                            AS BIGINT) AS lim
+                FROM mix)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN thr USING (lang, source)
+        WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
+              % 1000000 < lim"""

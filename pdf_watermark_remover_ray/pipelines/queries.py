@@ -22,6 +22,8 @@ from ..functions.scrub import scrub_dataset
 from ..functions.sampling import (
     decontaminate_oracle_sql,
     decontaminate_split,
+    mix_rebalanced_documents,
+    mix_rebalanced_oracle_sql,
     sample_documents,
     sample_oracle_sql,
     split_documents,
@@ -278,6 +280,8 @@ def queries() -> dict:
         "split_documents": split_documents,
         "stratified_sample_documents": stratified_sample_documents,
         "decontaminate_split": decontaminate_split,
+        "mix_rebalanced_documents": mix_rebalanced_documents,
+        "user_daily_activity": relational.user_daily_activity,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -805,6 +809,8 @@ def oracle_sql() -> dict:
         "split_documents": split_oracle_sql(),
         "stratified_sample_documents": stratified_oracle_sql(),
         "decontaminate_split": decontaminate_oracle_sql(),
+        "mix_rebalanced_documents": mix_rebalanced_oracle_sql(),
+        "user_daily_activity": relational.user_daily_activity_oracle_sql(),
         "source_mix_weights": text.source_mix_weights_oracle_sql(),
         "doc_length_buckets": text.doc_length_buckets_oracle_sql(),
         "minhash_lsh_pairs": _minhash_sql(threshold=0.5),

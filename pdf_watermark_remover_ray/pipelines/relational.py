@@ -553,3 +553,63 @@ def unpivot_oracle_sql() -> str:
         FROM events
         WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         GROUP BY user_id, event_type"""
+
+
+def user_daily_activity(sf_dir: str, day_us: int = 86_400_000_000,
+                        num_partitions: int = 16):
+    """Gap-filled resampling (time-series densification): per user, the
+    DAILY event count for EVERY day between the user's first and last
+    event — zero-count days included.
+
+    One user-hash partition co-locates each user's events; densification is
+    partition-local and fully vectorized: per-user day spans expand with one
+    ``np.repeat``/``arange`` pair (output bounded by users × active-span
+    days, never touching other partitions), then observed counts merge in.
+    No generate_series-style cross join and no global shuffle beyond the one
+    keyed partition."""
+    from ..stages.partition import partitioned_map
+    from ..stages.windows import ts_us_series
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().dropna(subset=["user_id"])
+        return pa.table({"user_id": df["user_id"].to_numpy(np.int64),
+                         "day": ts_us_series(df["ts"]) // day_us})
+
+    ds = ds.map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
+
+    def densify(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df.groupby(["user_id", "day"], sort=False).size() \
+            .reset_index(name="n_events")
+        span = counts.groupby("user_id", sort=False)["day"] \
+            .agg(["min", "max"]).reset_index()
+        lens = (span["max"] - span["min"] + 1).to_numpy(np.int64)
+        users = np.repeat(span["user_id"].to_numpy(np.int64), lens)
+        # per-user consecutive day ramp: global arange minus each span's
+        # start offset, shifted by the span's first day
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        days = (np.arange(lens.sum(), dtype=np.int64)
+                - np.repeat(offs, lens)
+                + np.repeat(span["min"].to_numpy(np.int64), lens))
+        dense = pd.DataFrame({"user_id": users, "day": days})
+        out = dense.merge(counts, on=["user_id", "day"], how="left")
+        out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
+        return out
+
+    return partitioned_map(ds, densify, key="user_id",
+                           num_partitions=num_partitions)
+
+
+def user_daily_activity_oracle_sql(day_us: int = 86_400_000_000) -> str:
+    return f"""
+        WITH d AS (SELECT user_id, epoch_us(ts) // {day_us} AS day
+                   FROM events WHERE user_id IS NOT NULL),
+        span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                 FROM d GROUP BY user_id),
+        dense AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+                  FROM span),
+        c AS (SELECT user_id, day, count(*) AS n FROM d GROUP BY user_id, day)
+        SELECT dense.user_id, dense.day,
+               coalesce(c.n, 0) AS n_events
+        FROM dense LEFT JOIN c USING (user_id, day)"""

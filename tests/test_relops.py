@@ -82,3 +82,17 @@ def test_cohort_retention_matches_sql(sf_dir):
     p0 = got[got["period"] == 0].set_index("cohort")["n_users"]
     for _, r in got.iterrows():
         assert r["n_users"] <= p0[r["cohort"]]
+
+
+def test_user_daily_activity_matches_sql_and_gapfills(sf_dir):
+    from conftest import assert_frames_match
+
+    got = Q.queries()["user_daily_activity"](sf_dir).to_pandas()
+    want = _duck(sf_dir, Q.oracle_sql()["user_daily_activity"])
+    assert_frames_match(got, want)
+    # densification really fills gaps: every user's day sequence is
+    # contiguous, and at least one zero-count day exists in the fixture
+    for _, g in got.groupby("user_id"):
+        d = np.sort(g["day"].to_numpy())
+        assert (np.diff(d) == 1).all()
+    assert (got["n_events"] == 0).any()

@@ -131,3 +131,19 @@ def test_decontaminate_split_planted(tmp_path):
     flags = out.set_index("doc_id")["contaminated"].to_dict()
     assert flags == {train_ids[0]: True, train_ids[1]: False,
                      train_ids[2]: True}
+
+
+def test_mix_rebalanced_matches_sql_and_flattens(sf_dir):
+    from pdf_watermark_remover_ray.functions.sampling import (
+        mix_rebalanced_documents, mix_rebalanced_oracle_sql)
+
+    got = mix_rebalanced_documents(sf_dir).to_pandas()
+    want = _duck(sf_dir, mix_rebalanced_oracle_sql())
+    _cmp(got, want)
+    # rebalancing narrows the doc-count spread across (lang, source) blocks
+    before = _duck(sf_dir, "SELECT lang, source, count(*) n FROM documents "
+                           "GROUP BY lang, source")["n"]
+    after = got.groupby(["lang", "source"]).size()
+    assert len(got) < len(_duck(sf_dir, "SELECT doc_id FROM documents"))
+    assert (after.max() / max(after.min(), 1)) <= \
+        (before.max() / max(before.min(), 1)) + 1e-9
