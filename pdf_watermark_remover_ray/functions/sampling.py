@@ -182,22 +182,24 @@ def mix_rebalanced_documents(sf_dir: str):
     from ..pipelines.text import source_mix_weights
 
     mix = source_mix_weights(sf_dir)
-    thr = {(r["lang"], r["source"]):
-           int(round(min(1.0, r["mix_weight"]) * 1_000_000))
-           for _, r in mix.iterrows()}
+    thr = mix[["lang", "source"]].copy()
+    thr["lim"] = ((mix["mix_weight"].clip(upper=1.0) * 1_000_000)
+                  .round().astype(np.int64))
     thr_ref = ray.put(thr)
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang", "source"])
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        t = ray.get(thr_ref)
-        lim = np.array([t[(l, s)] for l, s in
-                        zip(df["lang"].to_numpy(), df["source"].to_numpy())],
-                       dtype=np.int64)
-        h = (md5_u64([str(int(i)) for i in df["doc_id"]])
-             % np.uint64(1_000_000)).astype(np.int64)
-        return df[h < lim]
+        # vectorized merge against the tiny broadcast (block -> lim) frame;
+        # mix keys are ''-coalesced, so coalesce here too before joining
+        d = df.copy()
+        d["lang"] = d["lang"].fillna("")
+        d["source"] = d["source"].fillna("")
+        m = d.merge(ray.get(thr_ref), on=["lang", "source"], how="inner")
+        h = _hash_bucket(m["doc_id"], mod=1_000_000)
+        return m.loc[h < m["lim"].to_numpy(np.int64),
+                     ["doc_id", "lang", "source"]]
 
     return ds.map_batches(keep, batch_format="pandas")
 
@@ -211,7 +213,10 @@ def mix_rebalanced_oracle_sql() -> str:
                        CAST(round(least(1.0, mix_weight) * 1000000, 0)
                             AS BIGINT) AS lim
                 FROM mix)
-        SELECT d.doc_id, d.lang, d.source
-        FROM documents d JOIN thr USING (lang, source)
+        SELECT d.doc_id, coalesce(d.lang, '') AS lang,
+               coalesce(d.source, '') AS source
+        FROM documents d
+        JOIN thr ON coalesce(d.lang, '') = thr.lang
+                AND coalesce(d.source, '') = thr.source
         WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
               % 1000000 < lim"""

@@ -16,7 +16,7 @@ import pyarrow as pa
 from .config import StreamConfig
 from .functions.scrub import oracle_scrub_rows
 from .stages.join import join_pdf
-from .stages.windows import sessionize_pdf
+from .stages.windows import sessionize_pdf, wtopk_project
 
 
 def arrival_epochs(table: pa.Table, num_files: int, epoch_files: int) -> np.ndarray:
@@ -124,14 +124,7 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
         wtool_counts.groupby(["conv_id", "window_start_us"], as_index=False)
         .size().rename(columns={"size": "n_tools"})
     )
-    wtopk = wtool_counts.sort_values(
-        ["conv_id", "window_start_us", "n", "tool"],
-        ascending=[True, True, False, True], kind="mergesort") \
-        .groupby(["conv_id", "window_start_us"], sort=False) \
-        .head(cfg.wtopk_k).copy()
-    wtopk["rank"] = wtopk.groupby(["conv_id", "window_start_us"],
-                                  sort=False).cumcount().to_numpy() + 1
-    wtopk = wtopk[["conv_id", "window_start_us", "tool", "n", "rank"]]
+    wtopk = wtopk_project(wtool_counts, cfg.wtopk_k)
     # streaming dedup: one winner per distinct scrubbed text — the min
     # (conv_id, turn_idx) within the FIRST epoch containing that text (the
     # engine's arrival-order-free winner rule; null text keys as "" exactly

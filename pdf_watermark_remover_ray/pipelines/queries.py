@@ -851,8 +851,15 @@ def oracle_sql() -> dict:
                        FROM documents)
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM c GROUP BY canon""",
+        # typed-int extraction ONLY (the engine emits NULL for float/str/bool
+        # k and for malformed JSON — a bare CAST(json_extract(..)) would
+        # coerce "5"/1.5/true and ABORT on malformed payloads)
         "json_extract_events": """
-            SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            SELECT event_id,
+                   CASE WHEN json_valid(props) THEN
+                       CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                            THEN CAST(json_extract(props, '$.k') AS BIGINT) END
+                   END AS k
             FROM events""",
         "fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         # winnow64: min over char-8-gram md5-prefix hashes, signed-int64 view

@@ -59,6 +59,7 @@ from ..config import StreamConfig
 from ..functions.scrub import make_scrub_batch_fn
 from ..sinks.parquet import EpochSink
 from ..stages.partition import partition_table
+from ..stages.windows import wtopk_project
 from ..state.store import SortedStateStore, merge_session_intervals
 
 INF_US = (1 << 62)
@@ -319,22 +320,12 @@ class StatePartition:
                             ("n_tools", pa.int64())])
         n_wdistinct = self._write("wdistinct", epoch, out, schema)
 
-        topk = done.sort_values(["conv_id", "window_start_us", "n", "tool"],
-                                ascending=[True, True, False, True],
-                                kind="mergesort")
-        topk = topk.groupby(["conv_id", "window_start_us"], sort=False) \
-            .head(self.cfg.wtopk_k).copy()
-        topk["rank"] = topk.groupby(["conv_id", "window_start_us"],
-                                    sort=False).cumcount().to_numpy() + 1
-        topk["rank"] = topk["rank"].astype(np.int64)
+        topk = wtopk_project(done, self.cfg.wtopk_k)
         topk_schema = pa.schema([("conv_id", pa.string()),
                                  ("window_start_us", pa.int64()),
                                  ("tool", pa.string()), ("n", pa.int64()),
                                  ("rank", pa.int64())])
-        n_wtopk = self._write(
-            "wtopk", epoch,
-            topk[["conv_id", "window_start_us", "tool", "n", "rank"]],
-            topk_schema)
+        n_wtopk = self._write("wtopk", epoch, topk, topk_schema)
         return n_wdistinct, n_wtopk
 
     _SLIDING_BOUND_KEY = "sliding_emit_bound"

@@ -433,6 +433,11 @@ def source_mix_weights(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
+        # null lang/source keys as "" (the sampler convention here) — a bare
+        # pandas groupby would DROP null-keyed rows while the oracle's GROUP
+        # BY keeps them, skewing every share/weight
+        df["lang"] = df["lang"].fillna("")
+        df["source"] = df["source"].fillna("")
         df["ws"] = df["text"].fillna("").str.split().str.len().astype(np.int64)
         g = df.groupby(["lang", "source"], sort=False).agg(
             partial_docs=("ws", "size"), partial_tokens=("ws", "sum")) \
@@ -456,11 +461,12 @@ def source_mix_weights(sf_dir: str):
 def source_mix_weights_oracle_sql() -> str:
     return """
         WITH g AS (
-            SELECT lang, source, count(*) AS n_docs,
+            SELECT coalesce(lang, '') AS lang, coalesce(source, '') AS source,
+                   count(*) AS n_docs,
                    CAST(sum(len(list_filter(
                        regexp_split_to_array(coalesce(text, ''), '\\s+'),
                        x -> x <> ''))) AS BIGINT) AS n_tokens
-            FROM documents GROUP BY lang, source)
+            FROM documents GROUP BY coalesce(lang, ''), coalesce(source, ''))
         SELECT lang, source, n_docs, n_tokens,
                round(n_tokens / sum(n_tokens) OVER (), 6) AS token_share,
                round((1.0 / count(*) OVER ())
@@ -486,19 +492,20 @@ def doc_length_buckets(sf_dir: str):
                                columns=["doc_id", "lang", "n_chars"])
     cuts = quantile_rollup(ds, "lang", "n_chars", (0.25, 0.5, 0.75),
                            suffix="nc").to_pandas()
-    cuts_ref = ray.put({r["lang"]: (r["p25_nc"], r["p50_nc"], r["p75_nc"])
-                        for _, r in cuts.iterrows()})
+    cuts_ref = ray.put(cuts[["lang", "p25_nc", "p50_nc", "p75_nc"]])
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        cut = ray.get(cuts_ref)
-        c = df["lang"].map(cut)
-        c1 = np.array([v[0] for v in c], dtype=np.int64)
-        c2 = np.array([v[1] for v in c], dtype=np.int64)
-        c3 = np.array([v[2] for v in c], dtype=np.int64)
-        v = df["n_chars"].to_numpy(np.int64)
-        bucket = 1 + (v > c1).astype(np.int64) + (v > c2) + (v > c3)
-        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
-                             "lang": df["lang"].to_numpy(),
+        # inner merge against the tiny broadcast cuts frame: vectorized, and
+        # a lang with no cuts row (null lang never groups) DROPS its rows —
+        # the oracle's JOIN ... USING (lang) semantics, not a crash
+        m = df[["doc_id", "lang", "n_chars"]].merge(
+            ray.get(cuts_ref), on="lang", how="inner")
+        v = m["n_chars"].to_numpy(np.int64)
+        bucket = (1 + (v > m["p25_nc"].to_numpy(np.int64)).astype(np.int64)
+                  + (v > m["p50_nc"].to_numpy(np.int64))
+                  + (v > m["p75_nc"].to_numpy(np.int64)))
+        return pd.DataFrame({"doc_id": m["doc_id"].to_numpy(),
+                             "lang": m["lang"].to_numpy(),
                              "bucket": bucket})
 
     return ds.map_batches(assign, batch_format="pandas")

@@ -187,3 +187,20 @@ def windowed_stats(ds, size_us: int, key: str, value_col: str):
         Min("partial_min", alias_name="min_value"),
         Max("partial_max", alias_name="max_value"),
     )
+
+
+def wtopk_project(counts: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Top-k tools per (conv_id, window_start_us) from a per-tool count
+    table: n desc, tool asc tie-break, dense 1-based rank.
+
+    The ONE place the ranking rule lives — the streaming engine's wtopk
+    close and the single-process replay oracle both call this, so a
+    tie-break tweak cannot drift between them."""
+    out = counts.sort_values(["conv_id", "window_start_us", "n", "tool"],
+                             ascending=[True, True, False, True],
+                             kind="mergesort")
+    out = out.groupby(["conv_id", "window_start_us"], sort=False) \
+        .head(k).copy()
+    out["rank"] = (out.groupby(["conv_id", "window_start_us"], sort=False)
+                   .cumcount().to_numpy() + 1).astype(np.int64)
+    return out[["conv_id", "window_start_us", "tool", "n", "rank"]]

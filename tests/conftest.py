@@ -58,7 +58,8 @@ def assert_frames_match(ray_df, duck_df):
     for c in cols:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            assert np.allclose(av.astype(float), bv.astype(float)), c
+            assert np.allclose(av.astype(float), bv.astype(float),
+                               equal_nan=True), c
         else:
             assert (av.astype(str) == bv.astype(str)).all(), c
 

@@ -147,3 +147,58 @@ def test_mix_rebalanced_matches_sql_and_flattens(sf_dir):
     assert len(got) < len(_duck(sf_dir, "SELECT doc_id FROM documents"))
     assert (after.max() / max(after.min(), 1)) <= \
         (before.max() / max(before.min(), 1)) + 1e-9
+
+
+def test_null_key_and_messy_json_regression(tmp_path):
+    """Data-dependent edges the sf fixtures never hit: null lang/source
+    blocks and non-integer / malformed JSON payloads must keep every engine
+    operator in lockstep with its oracle (drop-vs-crash and coerce-vs-null
+    divergences found by review)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_remover_ray.functions.sampling import (
+        mix_rebalanced_documents, mix_rebalanced_oracle_sql)
+
+    rng = np.random.default_rng(7)
+    n = 60
+    langs = np.array(["en", "fr", None], dtype=object)[rng.integers(0, 3, n)]
+    sources = np.array(["web", None], dtype=object)[rng.integers(0, 2, n)]
+    texts = [" ".join(f"w{rng.integers(0, 9)}" for _ in range(3 + i % 5))
+             for i in range(n)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    ev = pa.table({
+        "event_id": pa.array(np.arange(8, dtype=np.int64)),
+        "props": pa.array(['{"k": 3}', '{"k": 1.5}', '{"k": "5"}',
+                           '{"k": true}', 'not json', None,
+                           '{"x": 2}', '{"k": null}'], pa.string()),
+    })
+    pq.write_table(ev, tmp_path / "events.parquet")
+    d = str(tmp_path)
+
+    got = T.source_mix_weights(d)
+    want = _duck(d, Q.oracle_sql()["source_mix_weights"])
+    assert (got["lang"] == "").any() or (got["source"] == "").any()
+    _cmp(got, want)
+
+    got = mix_rebalanced_documents(d).to_pandas()
+    _cmp(got, _duck(d, mix_rebalanced_oracle_sql()))
+
+    got = T.doc_length_buckets(d).to_pandas()
+    want = _duck(d, Q.oracle_sql()["doc_length_buckets"])
+    assert len(want) < n  # null-lang rows drop (JOIN semantics), not crash
+    _cmp(got, want)
+
+    got = T.json_extract_events(d).to_pandas()
+    want = _duck(d, Q.oracle_sql()["json_extract_events"])
+    got["k"] = got["k"].astype("float64")
+    want["k"] = want["k"].astype("float64")
+    assert got["k"].notna().sum() == 1  # only the true JSON int survives
+    _cmp(got, want)
