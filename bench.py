@@ -186,11 +186,14 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     timed("text_stats", lambda: text.text_stats(sf_dir).materialize())
     from pdf_watermark_remover_ray.pipelines.queries import (
         q_cep_funnel,
+        q_events_orders_asof,
         q_range_join,
     )
 
     timed("cep_funnel", lambda: q_cep_funnel(sf_dir).materialize())
     timed("range_join", lambda: q_range_join(sf_dir).materialize())
+    timed("events_orders_asof",
+          lambda: q_events_orders_asof(sf_dir).materialize())
     timed("quality_filter", lambda: text.quality_filter(sf_dir).materialize())
     timed("winnow_dup_pairs",
           lambda: dedup.winnow_dup_pairs(sf_dir).materialize())

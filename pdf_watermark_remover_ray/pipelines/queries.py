@@ -180,6 +180,39 @@ def q_range_join(sf_dir: str):
     return range_join(_transcripts(sf_dir), GAP_US, num_partitions=16)
 
 
+def q_events_orders_asof(sf_dir: str):
+    """Two-TABLE as-of join: each event enriched with the user's most recent
+    order at-or-before the event time (stages/join.asof_join_tables — the
+    classic slowly-arriving-fact enrichment; stream_join/range_join co-locate
+    one stream, this co-partitions two independent Datasets)."""
+    import ray.data
+
+    from ..stages.join import asof_join_tables
+    from ..stages.windows import ts_us_series
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey",
+                                        "o_orderdate"])
+
+    def pe(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                             "ts_us": ts_us_series(df["ts"]),
+                             "event_id": df["event_id"].to_numpy(np.int64)})
+
+    def po(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["o_custkey"].to_numpy(np.int64),
+                             "ts_us": ts_us_series(df["o_orderdate"]),
+                             "o_orderkey": df["o_orderkey"].to_numpy(np.int64)})
+
+    return asof_join_tables(ev.map_batches(pe, batch_format="pandas"),
+                            od.map_batches(po, batch_format="pandas"),
+                            key="user_id", left_cols=["event_id"],
+                            right_cols=["o_orderkey"],
+                            right_tie="o_orderkey", num_partitions=16)
+
+
 def q_session_labels(sf_dir: str):
     """Per-turn session ordinal (row→window assignment of session_windows)."""
     from ..stages.windows import session_labels
@@ -248,6 +281,7 @@ def queries() -> dict:
         "session_windows": q_sessions,
         "stream_join": q_join,
         "range_join": q_range_join,
+        "events_orders_asof": q_events_orders_asof,
         "session_labels": q_session_labels,
         "tool_latency_quantiles": q_tool_latency_quantiles,
         "cep_funnel": q_cep_funnel,
@@ -551,6 +585,16 @@ def oracle_sql() -> dict:
             JOIN (SELECT * FROM transcripts WHERE role = 'user') u USING (conv_id)
             WHERE u.ts <= tt.ts
               AND epoch_us(tt.ts) - epoch_us(u.ts) <= {GAP_US}""",
+        # two-table as-of: max order date <= event ts, ties to max orderkey
+        # (the engine's merge_asof last-row-in-(ts, tie)-sort-order rule)
+        "events_orders_asof": """
+            SELECT e.user_id, e.event_id, o.o_orderkey,
+                   epoch_us(e.ts) - epoch_us(o.o_orderdate) AS lag_us
+            FROM events e JOIN orders o ON e.user_id = o.o_custkey
+            WHERE o.o_orderdate <= e.ts
+            QUALIFY row_number() OVER (
+                PARTITION BY e.event_id
+                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1""",
         "session_labels": f"""{t},
             flagged AS (
                 SELECT conv_id, turn_idx, ts,

@@ -130,3 +130,84 @@ def range_join(ds, gap_us: int, num_partitions: int = 16):
 
     return partitioned_map(ds, pairs, key="conv_id",
                            num_partitions=num_partitions)
+
+
+ASOF_OUT_META = ("lag_us",)
+
+
+def asof_join_tables(left_ds, right_ds, *, key: str, left_cols: list,
+                     right_cols: list, right_tie: str,
+                     num_partitions: int = 16):
+    """Generic keyed as-of join of TWO independent Datasets (the third
+    custom-join class the Dataset API lacks; stream_join/range_join co-locate
+    one stream).  Each left row matches the single right row of the same
+    ``key`` with the largest ``ts_us <= left.ts_us``; ties on equal right
+    ``ts_us`` resolve to the largest ``right_tie`` (merge_asof takes the last
+    row in sort order — the oracle mirrors with ORDER BY ts DESC, tie DESC).
+    Unmatched left rows drop (inner asof).
+
+    Both inputs must already be projected to ``[key, ts_us(int64), *cols]``.
+    Topology: tag side → union into one unified schema → ONE key-hash
+    shuffle → per-partition vectorized ``pandas.merge_asof``.  At 10^12 rows
+    this moves each side exactly once, co-partitioned by the shared key, and
+    the per-partition join is O(n log n) local sort — no driver
+    materialization, no all-pairs.  Output: ``key, *left_cols, *right_cols,
+    lag_us`` (lag = left.ts_us − matched right.ts_us).
+    """
+    import pyarrow as pa
+
+    from .partition import partitioned_map
+
+    all_cols = list(left_cols) + list(right_cols)
+
+    def unify(side: int, own: list):
+        # ARROW blocks out: pandas blocks would drop the union+groupby
+        # shuffle into Ray's row-wise object-comparison sort path (~100×)
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {key: t[key], "ts_us": t["ts_us"].cast(pa.int64()),
+                    "side": pa.array(np.full(n, side, np.int8))}
+            for c in all_cols:
+                cols[c] = t[c].cast(pa.int64()) if c in own \
+                    else pa.nulls(n, pa.int64())
+            return pa.table(cols)
+        return fn
+
+    u = left_ds.map_batches(unify(0, left_cols), batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .union(right_ds.map_batches(unify(1, right_cols),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True))
+
+    empty = pd.DataFrame({key: pd.Series([], dtype=np.int64),
+                          **{c: pd.Series([], dtype=np.int64)
+                             for c in all_cols},
+                          "lag_us": pd.Series([], dtype=np.int64)})
+
+    def join_part(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["side"] == 0]
+        r = df[df["side"] == 1]
+        if l.empty or r.empty:
+            return empty
+        l = l.sort_values("ts_us", kind="mergesort")[[key, "ts_us"] + left_cols]
+        r = r.sort_values(["ts_us", right_tie], kind="mergesort")[
+            [key, "ts_us"] + right_cols].rename(columns={"ts_us": "r_ts_us"})
+        m = pd.merge_asof(l, r, left_on="ts_us", right_on="r_ts_us", by=key,
+                          direction="backward")
+        m = m.dropna(subset=[right_tie])
+        if m.empty:
+            return empty
+        out = pd.DataFrame({key: m[key].to_numpy(np.int64)})
+        for c in all_cols:
+            # the union promotes each payload column to a nullable type (the
+            # other side carries NA); post-dropna every value is present.
+            # Assign via numpy, NOT a Series — m's index has dropna gaps and
+            # Series assignment would align on it, scrambling rows.
+            out[c] = m[c].to_numpy("float64").astype(np.int64) \
+                if m[c].dtype != np.int64 else m[c].to_numpy()
+        out["lag_us"] = (m["ts_us"].to_numpy(np.int64)
+                         - m["r_ts_us"].to_numpy(np.int64))
+        return out
+
+    return partitioned_map(u, join_part, key=key,
+                           num_partitions=num_partitions)

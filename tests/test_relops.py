@@ -71,6 +71,42 @@ def test_moving_revenue_sum_bruteforce(sf_dir):
     assert np.allclose(j["moving_sum"], j["want"])
 
 
+def test_events_orders_asof_matches_sql(sf_dir):
+    """Two-table as-of join vs the DuckDB QUALIFY row_number oracle, plus the
+    inner-asof invariants (lag non-negative, one row per matched event)."""
+    from conftest import assert_frames_match
+
+    got = Q.queries()["events_orders_asof"](sf_dir).to_pandas()
+    want = _duck(sf_dir, Q.oracle_sql()["events_orders_asof"])
+    assert_frames_match(got, want)
+    assert (got["lag_us"] >= 0).all()
+    assert got["event_id"].is_unique
+
+
+def test_asof_join_tables_tie_break():
+    """Equal right timestamps resolve to the largest tie column (merge_asof
+    last-in-sort-order rule the oracle mirrors with ORDER BY tie DESC)."""
+    import ray.data
+
+    from pdf_watermark_remover_ray.stages.join import asof_join_tables
+
+    left = pd.DataFrame({"k": np.int64([1, 1, 2]),
+                         "ts_us": np.int64([100, 5, 100]),
+                         "lid": np.int64([10, 11, 12])})
+    right = pd.DataFrame({"k": np.int64([1, 1, 1, 2]),
+                          "ts_us": np.int64([50, 50, 200, 90]),
+                          "rid": np.int64([7, 9, 8, 3])})
+    out = asof_join_tables(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        key="k", left_cols=["lid"], right_cols=["rid"], right_tie="rid",
+        num_partitions=3).to_pandas().sort_values("lid")
+    # lid=10 matches ts 50 twice -> tie to rid=9; lid=11 has no match <= 5;
+    # lid=12 matches rid=3
+    assert out["lid"].tolist() == [10, 12]
+    assert out["rid"].tolist() == [9, 3]
+    assert out["lag_us"].tolist() == [50, 10]
+
+
 def test_cohort_retention_matches_sql(sf_dir):
     from conftest import assert_frames_match
 
