@@ -340,6 +340,9 @@ def queries() -> dict:
         "json_extract_events": text.json_extract_events,
         "source_mix_weights": text.source_mix_weights,
         "doc_length_buckets": text.doc_length_buckets,
+        "conversation_docs": lambda sf: text.flatten_conversations(
+            _transcripts(sf)),
+        "pack_sequences": text.pack_sequences,
         "fingerprints": lambda sf: text.fingerprints(sf).select_columns(
             ["doc_id", "fingerprint"]),
         "winnow_fingerprints": text.fingerprints,
@@ -857,6 +860,26 @@ def oracle_sql() -> dict:
         "user_daily_activity": relational.user_daily_activity_oracle_sql(),
         "source_mix_weights": text.source_mix_weights_oracle_sql(),
         "doc_length_buckets": text.doc_length_buckets_oracle_sql(),
+        "conversation_docs": f"""{t}
+            SELECT conv_id, count(*) AS n_turns,
+                   length(string_agg(role || ': ' || coalesce(text, ''),
+                                     chr(10) ORDER BY turn_idx)) AS n_chars,
+                   string_agg(role || ': ' || coalesce(text, ''),
+                              chr(10) ORDER BY turn_idx) AS doc
+            FROM transcripts GROUP BY conv_id""",
+        # concat-then-chunk packing: pack of a doc = global exclusive
+        # prefix-sum of ws_tokens in doc_id order, floor-divided by budget
+        "pack_sequences": f"""
+            WITH tk AS (SELECT doc_id, len({{TOKENS}}) AS ws_tokens
+                        FROM documents),
+            c AS (SELECT doc_id, ws_tokens,
+                         coalesce(sum(ws_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cb
+                  FROM tk)
+            SELECT doc_id, ws_tokens,
+                   CAST(cb // {text.PACK_BUDGET_TOKENS} AS BIGINT) AS pack_id
+            FROM c""".replace("{TOKENS}", TOKENS_SQL),
         "minhash_lsh_pairs": _minhash_sql(threshold=0.5),
         "dedup_clusters": _clusters_sql(threshold=0.5),
         "simhash_pairs": _simhash_sql(max_hamming=3),

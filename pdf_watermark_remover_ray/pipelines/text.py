@@ -522,3 +522,95 @@ def doc_length_buckets_oracle_sql() -> str:
                1 + (n_chars > c1)::BIGINT + (n_chars > c2)::BIGINT
                  + (n_chars > c3)::BIGINT AS bucket
         FROM documents d JOIN c USING (lang)"""
+
+
+def flatten_conversations(ds, num_partitions: int = 16):
+    """Transcript → training document: one row per conversation, turns
+    concatenated as ``role: text`` lines in stable ``turn_idx`` order (the
+    canonical transcript→pretraining-doc step; the reference's per-page →
+    per-document write-back is the same shape, main/remove_watermark.py:131).
+
+    ONE conv_id-hash shuffle co-locates each conversation; the per-partition
+    pandas groupby-join is O(total chars) string concatenation — no
+    driver-side materialization, output is one (bounded) row per conv."""
+    ds = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
+
+    def flat(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        line = df["role"] + ": " + df["text"].fillna("")
+        g = line.groupby(df["conv_id"].to_numpy(), sort=True)
+        doc = g.agg("\n".join)
+        n_turns = g.size()
+        return pd.DataFrame({"conv_id": doc.index,
+                             "n_turns": n_turns.to_numpy(np.int64),
+                             "n_chars": doc.str.len().to_numpy(np.int64),
+                             "doc": doc.to_numpy()})
+
+    from ..stages.partition import partitioned_map
+
+    return partitioned_map(ds, flat, key="conv_id",
+                           num_partitions=num_partitions)
+
+
+PACK_BUDGET_TOKENS = 512
+
+
+def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET_TOKENS,
+                   num_partitions: int = 16):
+    """GPT-style sequence packing: documents concatenated in doc_id order and
+    chunked into fixed token-budget packs — each document belongs to the pack
+    in which it STARTS (pack_id = global exclusive prefix-sum of its tokens,
+    floor-divided by the budget; boundary docs straddle, as in pretraining
+    concat-then-chunk packing).
+
+    Distributed prefix sum over a global order, three bounded steps:
+      1. narrow projection (doc_id, ws_tokens) — the text column is read
+         once and DROPPED before any shuffle; the projection is materialized
+         (2 int64 columns, ~0.1% of corpus bytes at 100 TB);
+      2. per-range-bucket partial sums → a ``num_partitions``-row table on
+         the driver → exclusive scan → broadcast offsets;
+      3. per-bucket map_groups: local exclusive cumsum + bucket offset.
+    Shuffle and driver traffic are both O(ints), never O(text)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "ws_tokens": df["text"].fillna("").str.split().str.len()
+            .to_numpy(np.int64)})
+
+    tok = ds.map_batches(toks, batch_format="pandas").materialize()
+    max_id = int(tok.max("doc_id"))
+    span = max(1, (max_id + num_partitions) // num_partitions)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["doc_id"].to_numpy(np.int64) // span
+        g = pd.Series(df["ws_tokens"].to_numpy(np.int64)).groupby(b).sum()
+        return pd.DataFrame({"bucket": g.index.to_numpy(np.int64),
+                             "partial_toks": g.to_numpy(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    per_bucket = tok.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").aggregate(Sum("partial_toks", alias_name="toks")) \
+        .to_pandas().sort_values("bucket")
+    totals = np.zeros(num_partitions + 1, np.int64)
+    totals[per_bucket["bucket"].to_numpy(np.int64)] = \
+        per_bucket["toks"].to_numpy(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        t = df["ws_tokens"].to_numpy(np.int64)
+        b = int(df["doc_id"].iloc[0]) // span
+        cum_before = offsets[b] + np.cumsum(t) - t
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "ws_tokens": t,
+                             "pack_id": cum_before // budget})
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=df["doc_id"].to_numpy(np.int64) // span)
+
+    return tok.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(assign, batch_format="pandas")

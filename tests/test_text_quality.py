@@ -202,3 +202,42 @@ def test_null_key_and_messy_json_regression(tmp_path):
     want["k"] = want["k"].astype("float64")
     assert got["k"].notna().sum() == 1  # only the true JSON int survives
     _cmp(got, want)
+
+
+def test_conversation_docs_matches_sql(sf_dir):
+    got = Q.queries()["conversation_docs"](sf_dir).to_pandas()
+    want = duck_sql(sf_dir, Q.oracle_sql()["conversation_docs"],
+                    tables=("events",))
+    _cmp(got, want)
+    # doc structure: one line per turn, each starting with its role
+    for _, r in got.iterrows():
+        lines = r["doc"].split("\n")
+        assert len(lines) == r["n_turns"]
+        assert len(r["doc"]) == r["n_chars"]
+        assert all(l.split(":")[0] in ("user", "assistant", "tool")
+                   for l in lines)
+
+
+def test_pack_sequences_matches_sql_and_invariants(sf_dir):
+    got = Q.queries()["pack_sequences"](sf_dir).to_pandas()
+    want = duck_sql(sf_dir, Q.oracle_sql()["pack_sequences"],
+                    tables=("documents",))
+    _cmp(got, want)
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    # packs are contiguous and non-decreasing in doc_id order, starting at 0
+    pid = g["pack_id"].to_numpy()
+    assert pid[0] == 0
+    assert (np.diff(pid) >= 0).all()
+    # a doc belongs to the pack where it STARTS: its exclusive prefix sum
+    # floor-divided by the budget
+    cb = np.cumsum(g["ws_tokens"].to_numpy()) - g["ws_tokens"].to_numpy()
+    assert (pid == cb // T.PACK_BUDGET_TOKENS).all()
+
+
+def test_pack_sequences_partition_invariant(sf_dir):
+    """The distributed prefix sum must not depend on the bucket count."""
+    a = T.pack_sequences(sf_dir, num_partitions=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = T.pack_sequences(sf_dir, num_partitions=16).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
