@@ -220,3 +220,70 @@ def mix_rebalanced_oracle_sql() -> str:
                 AND coalesce(d.source, '') = thr.source
         WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
               % 1000000 < lim"""
+
+
+SHUFFLE_SEED = 42
+
+
+def shuffle_documents(sf_dir: str, seed: int = SHUFFLE_SEED,
+                      num_buckets: int = 16):
+    """Deterministic seeded GLOBAL corpus shuffle: every document gets its
+    position in the md5('seed:doc_id')-hash permutation (the pre-sharding
+    shuffle of a training pipeline; seeded-hash rank, so re-runs and resumed
+    runs produce the identical permutation with zero coordination).
+
+    No global sort operator: md5 hashes are uniform, so the top hash bits
+    give equal-width RANGE buckets — per-bucket counts roll up to a
+    ``num_buckets``-row table, the driver exclusive-scans it, and each
+    bucket enumerates locally at offset + arange.  The shuffle moves
+    (doc_id, h) = 16 bytes/row; text never moves; same distributed
+    prefix-sum shape as text.pack_sequences, with counts not sums."""
+    shift = np.uint64(64 - int(np.log2(num_buckets)))
+    assert (1 << (64 - int(shift))) == num_buckets, "num_buckets: power of 2"
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        h = md5_u64([f"{seed}:{i}" for i in ids])
+        return pd.DataFrame({"doc_id": ids,
+                             "h": h.view(np.int64),  # arrow-safe; same order
+                             "bucket": (h >> shift).astype(np.int64)})
+
+    hd = ds.map_batches(hashed, batch_format="pandas").materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df["bucket"].value_counts()
+        return pd.DataFrame({"bucket": g.index.to_numpy(np.int64),
+                             "partial_n": g.to_numpy(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    per_bucket = hd.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").aggregate(Sum("partial_n", alias_name="n")) \
+        .to_pandas()
+    totals = np.zeros(num_buckets + 1, np.int64)
+    totals[per_bucket["bucket"].to_numpy(np.int64)] = \
+        per_bucket["n"].to_numpy(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+
+    def enumerate_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # the stored int64 is a bit-view; sort in uint64 space (the int64
+        # ORDER would flip for hashes >= 2^63)
+        h = df["h"].to_numpy(np.int64).view(np.uint64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, h))
+        pos = offsets[int(df["bucket"].iloc[0])] + np.arange(len(df))
+        return pd.DataFrame({"doc_id": ids[order], "pos": pos})
+
+    return hd.groupby("bucket").map_groups(enumerate_bucket,
+                                           batch_format="pandas")
+
+
+def shuffle_oracle_sql(seed: int = SHUFFLE_SEED) -> str:
+    return f"""
+        SELECT doc_id,
+               row_number() OVER (ORDER BY
+                   ('0x' || substring(md5('{seed}:' || CAST(doc_id AS VARCHAR)),
+                                      1, 16))::UBIGINT, doc_id) - 1 AS pos
+        FROM documents"""

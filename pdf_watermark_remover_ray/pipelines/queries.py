@@ -26,6 +26,8 @@ from ..functions.sampling import (
     mix_rebalanced_oracle_sql,
     sample_documents,
     sample_oracle_sql,
+    shuffle_documents,
+    shuffle_oracle_sql,
     split_documents,
     split_oracle_sql,
     stratified_oracle_sql,
@@ -312,6 +314,7 @@ def queries() -> dict:
         "heavy_hitter_events": heavy_hitter_events,
         "sample_documents": sample_documents,
         "split_documents": split_documents,
+        "shuffle_documents": shuffle_documents,
         "stratified_sample_documents": stratified_sample_documents,
         "decontaminate_split": decontaminate_split,
         "mix_rebalanced_documents": mix_rebalanced_documents,
@@ -854,6 +857,7 @@ def oracle_sql() -> dict:
         "heavy_hitter_events": heavy_hitters_oracle_sql(width=8),
         "sample_documents": sample_oracle_sql(),
         "split_documents": split_oracle_sql(),
+        "shuffle_documents": shuffle_oracle_sql(),
         "stratified_sample_documents": stratified_oracle_sql(),
         "decontaminate_split": decontaminate_oracle_sql(),
         "mix_rebalanced_documents": mix_rebalanced_oracle_sql(),

@@ -241,3 +241,25 @@ def test_pack_sequences_partition_invariant(sf_dir):
     b = T.pack_sequences(sf_dir, num_partitions=16).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_shuffle_documents_matches_sql_and_is_permutation(sf_dir):
+    from pdf_watermark_remover_ray.functions import sampling as S
+
+    got = Q.queries()["shuffle_documents"](sf_dir).to_pandas()
+    want = duck_sql(sf_dir, Q.oracle_sql()["shuffle_documents"],
+                    tables=("documents",))
+    _cmp(got, want)
+    # a permutation: positions are exactly 0..n-1, doc_ids unique
+    assert sorted(got["pos"].tolist()) == list(range(len(got)))
+    assert got["doc_id"].is_unique
+    # bucket-count invariance: the distributed enumeration must not depend
+    # on how many hash-range buckets carved the prefix counts
+    b4 = S.shuffle_documents(sf_dir, num_buckets=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b16 = got.sort_values("doc_id").reset_index(drop=True)
+    assert b4.equals(b16)
+    # a different seed yields a different permutation
+    other = S.shuffle_documents(sf_dir, seed=7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert not other["pos"].equals(b16["pos"])
