@@ -263,8 +263,9 @@ def shuffle_documents(sf_dir: str, seed: int = SHUFFLE_SEED,
         .groupby("bucket").aggregate(Sum("partial_n", alias_name="n")) \
         .to_pandas()
     totals = np.zeros(num_buckets + 1, np.int64)
-    totals[per_bucket["bucket"].to_numpy(np.int64)] = \
-        per_bucket["n"].to_numpy(np.int64)
+    if len(per_bucket):  # an all-empty aggregate drops its schema
+        totals[per_bucket["bucket"].to_numpy(np.int64)] = \
+            per_bucket["n"].to_numpy(np.int64)
     offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
 
     def enumerate_bucket(df: pd.DataFrame) -> pd.DataFrame:

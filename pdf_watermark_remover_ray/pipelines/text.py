@@ -581,7 +581,13 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET_TOKENS,
             .to_numpy(np.int64)})
 
     tok = ds.map_batches(toks, batch_format="pandas").materialize()
-    max_id = int(tok.max("doc_id"))
+    mx = tok.max("doc_id")
+    if mx is None:  # empty corpus: empty typed result, not a crash
+        return ray.data.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "ws_tokens": pd.Series([], dtype=np.int64),
+            "pack_id": pd.Series([], dtype=np.int64)}))
+    max_id = int(mx)
     span = max(1, (max_id + num_partitions) // num_partitions)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

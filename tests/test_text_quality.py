@@ -263,3 +263,21 @@ def test_shuffle_documents_matches_sql_and_is_permutation(sf_dir):
     other = S.shuffle_documents(sf_dir, seed=7).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert not other["pos"].equals(b16["pos"])
+
+
+def test_pack_and_shuffle_empty_input(tmp_path):
+    """Empty-stream pass-through (P4) for the prefix-sum family."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_remover_ray.functions import sampling as S
+
+    pq.write_table(pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())}),
+                   tmp_path / "documents.parquet")
+    # all-empty Datasets drop their schema on to_pandas (same Ray behavior
+    # q_late documents) — the contract here is "0 rows, no crash"
+    p = T.pack_sequences(str(tmp_path)).to_pandas()
+    assert len(p) == 0
+    s = S.shuffle_documents(str(tmp_path)).to_pandas()
+    assert len(s) == 0
