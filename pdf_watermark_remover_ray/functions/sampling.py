@@ -183,8 +183,11 @@ def mix_rebalanced_documents(sf_dir: str):
 
     mix = source_mix_weights(sf_dir)
     thr = mix[["lang", "source"]].copy()
-    thr["lim"] = ((mix["mix_weight"].clip(upper=1.0) * 1_000_000)
-                  .round().astype(np.int64))
+    # a zero-token block carries mix_weight NULL/NaN; define the policy
+    # explicitly as KEEP (rate 1.0 — no token evidence to downsample on).
+    # The oracle states the same via coalesce(least(1.0, w), 1.0)
+    thr["lim"] = ((mix["mix_weight"].clip(upper=1.0).fillna(1.0)
+                   * 1_000_000).round().astype(np.int64))
     thr_ref = ray.put(thr)
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -210,7 +213,8 @@ def mix_rebalanced_oracle_sql() -> str:
     return f"""
         WITH mix AS ({source_mix_weights_oracle_sql()}),
         thr AS (SELECT lang, source,
-                       CAST(round(least(1.0, mix_weight) * 1000000, 0)
+                       CAST(round(coalesce(least(1.0, mix_weight), 1.0)
+                                  * 1000000, 0)
                             AS BIGINT) AS lim
                 FROM mix)
         SELECT d.doc_id, coalesce(d.lang, '') AS lang,

@@ -768,6 +768,7 @@ def oracle_sql() -> dict:
                    coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
                    count(*) AS n
             FROM orders
+            WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
         "user_event_pivot": """
             SELECT user_id,

@@ -417,8 +417,14 @@ def order_priority_rollup(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
 
     def partial(t: pa.Table) -> pa.Table:
-        g = t.to_pandas().groupby(["o_orderstatus", "o_orderpriority"],
-                                  sort=False).size().reset_index(name="partial_n")
+        # NULL status/priority rows are excluded EXPLICITLY (the oracle
+        # filters identically with IS NOT NULL) — relying on pandas' silent
+        # NULL-key drop would let a null row collide with the 'ALL'
+        # rollup sentinel on the SQL side
+        g = t.to_pandas() \
+            .dropna(subset=["o_orderstatus", "o_orderpriority"]) \
+            .groupby(["o_orderstatus", "o_orderpriority"],
+                     sort=False).size().reset_index(name="partial_n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
     fine = ds.map_batches(partial, batch_format="pyarrow",

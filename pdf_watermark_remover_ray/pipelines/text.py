@@ -225,15 +225,23 @@ def bag_dedup(sf_dir: str, num_partitions: int = 16):
     shuffle shape: vectorized 2×64-bit hash of the canonical form →
     hash-partition groupby → keep min doc_id + copy count.  The per-row
     token sort is inherent to the canonicalization (same cost class as
-    shingling); everything after it is the vectorized dedup path."""
+    shingling); everything after it is the vectorized dedup path.
+
+    Note (same trade-off as exact_dedup): the engine groups by the 2×64-bit
+    hash of the canonical form, the oracle by the canonical string itself —
+    a 128-bit collision would silently merge two distinct bags.  At 2^-64
+    per pair this is accepted for the shuffle width it saves (16 bytes/row
+    vs the full text)."""
     from ..stages.partition import add_partition_column
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        # fillna('') BEFORE the loop: a float-NaN null makes `t or ''`
+        # evaluate to NaN and .split() raise — repo-wide null convention
         canon = pd.Series(
-            [" ".join(sorted((t or "").split())) for t in df["text"]],
+            [" ".join(sorted(t.split())) for t in df["text"].fillna("")],
             index=df.index)
         h1 = pd.util.hash_pandas_object(canon, index=False).to_numpy()
         h2 = pd.util.hash_pandas_object(
@@ -451,10 +459,15 @@ def source_mix_weights(sf_dir: str):
             Sum("partial_tokens", alias_name="n_tokens")).to_pandas()
     total = int(agg["n_tokens"].sum())
     groups = len(agg)
-    share = agg["n_tokens"].to_numpy(np.float64) / total
+    with np.errstate(divide="ignore", invalid="ignore"):
+        share = agg["n_tokens"].to_numpy(np.float64) / total
+        # weight that flattens the mixture: uniform target / observed share.
+        # A zero-token block has share 0 → numpy would emit inf where the SQL
+        # replay's x/0 yields NULL; define the case as NULL on both sides
+        # (NaN here materializes as parquet NULL)
+        weight = np.where(share == 0.0, np.nan, (1.0 / groups) / share)
     agg["token_share"] = round_half_away(share, 6)
-    # weight that flattens the mixture: uniform target / observed share
-    agg["mix_weight"] = round_half_away((1.0 / groups) / share, 6)
+    agg["mix_weight"] = round_half_away(weight, 6)
     return agg.sort_values(["lang", "source"]).reset_index(drop=True)
 
 

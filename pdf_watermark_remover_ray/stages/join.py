@@ -155,8 +155,9 @@ def asof_join_tables(left_ds, right_ds, *, key: str, left_cols: list,
     lag_us`` (lag = left.ts_us − matched right.ts_us).
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    from .partition import partitioned_map
+    from .partition import add_partition_column
 
     all_cols = list(left_cols) + list(right_cols)
 
@@ -179,16 +180,30 @@ def asof_join_tables(left_ds, right_ds, *, key: str, left_cols: list,
                                     batch_format="pyarrow",
                                     zero_copy_batch=True))
 
-    empty = pd.DataFrame({key: pd.Series([], dtype=np.int64),
-                          **{c: pd.Series([], dtype=np.int64)
-                             for c in all_cols},
-                          "lag_us": pd.Series([], dtype=np.int64)})
+    # payload columns ride through pandas as nullable Int64 (NOT float64 —
+    # the union's null promotion would otherwise round-trip int64 payloads
+    # through float64 and silently corrupt values ≥ 2^53)
+    _TYPES = {pa.int64(): pd.Int64Dtype()}
 
-    def join_part(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["side"] == 0]
-        r = df[df["side"] == 1]
+    def join_part(t: pa.Table) -> pa.Table:
+        def empty() -> pa.Table:
+            return pa.table(
+                {key: pa.array([], t.schema.field(key).type),
+                 **{c: pa.array([], pa.int64()) for c in all_cols},
+                 "lag_us": pa.array([], pa.int64())})
+
+        l = t.filter(pc.equal(t["side"], 0)) \
+            .select([key, "ts_us"] + left_cols).to_pandas(
+                types_mapper=_TYPES.get)
+        r = t.filter(pc.equal(t["side"], 1)) \
+            .select([key, "ts_us"] + right_cols).to_pandas(
+                types_mapper=_TYPES.get)
         if l.empty or r.empty:
-            return empty
+            return empty()
+        # merge_asof's "on" key must be a plain numpy dtype; it is never
+        # null (both sides project a real timestamp), so the cast is exact
+        l["ts_us"] = l["ts_us"].astype(np.int64)
+        r["ts_us"] = r["ts_us"].astype(np.int64)
         l = l.sort_values("ts_us", kind="mergesort")[[key, "ts_us"] + left_cols]
         r = r.sort_values(["ts_us", right_tie], kind="mergesort")[
             [key, "ts_us"] + right_cols].rename(columns={"ts_us": "r_ts_us"})
@@ -196,18 +211,14 @@ def asof_join_tables(left_ds, right_ds, *, key: str, left_cols: list,
                           direction="backward")
         m = m.dropna(subset=[right_tie])
         if m.empty:
-            return empty
-        out = pd.DataFrame({key: m[key].to_numpy(np.int64)})
+            return empty()
+        cols = {key: pa.Array.from_pandas(m[key])}
         for c in all_cols:
-            # the union promotes each payload column to a nullable type (the
-            # other side carries NA); post-dropna every value is present.
-            # Assign via numpy, NOT a Series — m's index has dropna gaps and
-            # Series assignment would align on it, scrambling rows.
-            out[c] = m[c].to_numpy("float64").astype(np.int64) \
-                if m[c].dtype != np.int64 else m[c].to_numpy()
-        out["lag_us"] = (m["ts_us"].to_numpy(np.int64)
-                         - m["r_ts_us"].to_numpy(np.int64))
-        return out
+            # Int64 extension → arrow int64 (nulls preserved, values exact)
+            cols[c] = pa.Array.from_pandas(m[c]).cast(pa.int64())
+        cols["lag_us"] = pa.array(m["ts_us"].to_numpy(np.int64)
+                                  - m["r_ts_us"].to_numpy(np.int64))
+        return pa.table(cols)
 
-    return partitioned_map(u, join_part, key=key,
-                           num_partitions=num_partitions)
+    u = add_partition_column(u, key=key, num_partitions=num_partitions)
+    return u.groupby("part").map_groups(join_part, batch_format="pyarrow")

@@ -107,6 +107,29 @@ def test_asof_join_tables_tie_break():
     assert out["lag_us"].tolist() == [50, 10]
 
 
+def test_asof_join_tables_large_int64_payload_exact():
+    """Payload values at/above 2^53 survive the join bit-exactly — the
+    union's null promotion must NOT round-trip int64 through float64
+    (2^53 + 1 is the first integer float64 cannot represent)."""
+    import ray.data
+
+    from pdf_watermark_remover_ray.stages.join import asof_join_tables
+
+    big = np.int64(2**53 + 1)
+    left = pd.DataFrame({"k": np.int64([1, 1]),
+                         "ts_us": np.int64([100, 200]),
+                         "lid": np.int64([big, big + 2])})
+    right = pd.DataFrame({"k": np.int64([1]),
+                          "ts_us": np.int64([50]),
+                          "rid": np.int64([big + 4])})
+    out = asof_join_tables(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        key="k", left_cols=["lid"], right_cols=["rid"], right_tie="rid",
+        num_partitions=2).to_pandas().sort_values("lid")
+    assert out["lid"].tolist() == [int(big), int(big) + 2]
+    assert out["rid"].tolist() == [int(big) + 4, int(big) + 4]
+
+
 def test_cohort_retention_matches_sql(sf_dir):
     from conftest import assert_frames_match
 

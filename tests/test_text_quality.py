@@ -166,6 +166,14 @@ def test_null_key_and_messy_json_regression(tmp_path):
     sources = np.array(["web", None], dtype=object)[rng.integers(0, 2, n)]
     texts = [" ".join(f"w{rng.integers(0, 9)}" for _ in range(3 + i % 5))
              for i in range(n)]
+    # planted zero-token block: every doc in (zz, pad) is empty/whitespace —
+    # its mix share is 0 and mix_weight must come out NULL/NaN on BOTH sides
+    # (engine inf vs oracle NULL was a live divergence), and the whole block
+    # must drop from the rebalanced output
+    langs = np.concatenate([langs, np.array(["zz"] * 4, dtype=object)])
+    sources = np.concatenate([sources, np.array(["pad"] * 4, dtype=object)])
+    texts = texts + ["", "   ", "", "\t"]
+    n += 4
     t = pa.table({
         "doc_id": pa.array(np.arange(n, dtype=np.int64)),
         "lang": pa.array(langs, pa.string()),
@@ -186,9 +194,13 @@ def test_null_key_and_messy_json_regression(tmp_path):
     got = T.source_mix_weights(d)
     want = _duck(d, Q.oracle_sql()["source_mix_weights"])
     assert (got["lang"] == "").any() or (got["source"] == "").any()
+    zz = got[(got["lang"] == "zz") & (got["source"] == "pad")]
+    assert len(zz) == 1 and zz["mix_weight"].isna().all()
     _cmp(got, want)
 
     got = mix_rebalanced_documents(d).to_pandas()
+    # zero-token block: keep-rate defined as 1.0 on both sides — all 4 stay
+    assert ((got["lang"] == "zz") & (got["source"] == "pad")).sum() == 4
     _cmp(got, _duck(d, mix_rebalanced_oracle_sql()))
 
     got = T.doc_length_buckets(d).to_pandas()
