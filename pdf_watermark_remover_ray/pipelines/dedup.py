@@ -217,19 +217,49 @@ def _block_pair_sims(ids: np.ndarray, texts: list[str]) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi], "sim": sim})
 
 
-def _cap_block(g: pd.DataFrame, block, max_block_docs: int) -> pd.DataFrame:
-    """Bound an oversized block to the lowest doc_ids with a LOGGED drop —
-    never a silent truncation (runs inside the map_groups worker; the
-    warning lands in the worker log and Ray's driver log mirror)."""
+def _cap_block(g: pd.DataFrame, block, max_block_docs: int,
+               op: str = "ngram_jaccard_pairs") -> pd.DataFrame:
+    """Bound an oversized block/bucket to the lowest doc_ids with a LOGGED
+    drop — never a silent truncation (runs inside the map_groups worker; the
+    warning lands in the worker log and Ray's driver log mirror).
+
+    Shared by the n-gram blocker AND the LSH bucket pairers: a degenerate
+    bucket (e.g. a boilerplate-heavy corpus, or every empty doc sharing the
+    filler signature) would otherwise make ``triu_indices`` quadratic in a
+    single task."""
     if len(g) <= max_block_docs:
         return g
     import logging
 
     logging.getLogger(__name__).warning(
-        "ngram_jaccard_pairs: block %r has %d docs > cap %d; scoring only the "
+        "%s: block %r has %d docs > cap %d; scoring only the "
         "%d lowest doc_ids — pairs involving the dropped docs are NOT scored",
-        block, len(g), max_block_docs, max_block_docs)
+        op, block, len(g), max_block_docs, max_block_docs)
     return g.nsmallest(max_block_docs, "doc_id")
+
+
+def _dedup_pairs(pairs_ds, extra_cols: tuple[str, ...] = (),
+                 num_partitions: int = 16):
+    """Cluster-side candidate-pair dedup: ONE hash shuffle keyed by the
+    canonical pair key, then ``drop_duplicates`` inside each partition.
+    Identical pairs (emitted by several bands/buckets) hash to the same
+    partition, so the per-partition drop is globally exact — the full
+    (pre-dedup) candidate list never lands on the driver."""
+    cols = ["doc_a", "doc_b", *extra_cols]
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        pk = pd.util.hash_pandas_object(
+            df["doc_a"].astype(np.int64) * np.int64(1_000_003)
+            ^ df["doc_b"].astype(np.int64), index=False).to_numpy()
+        df = df[cols].copy()
+        df["pair_part"] = (pk % num_partitions).astype(np.int32)
+        return df
+
+    def drop(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[cols]
+
+    return pairs_ds.map_batches(add_key, batch_format="pandas") \
+        .groupby("pair_part").map_groups(drop, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.2, num_partitions: int = 16,
@@ -339,11 +369,14 @@ class MinHasher:
 
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5,
-                      concurrency=(2, 16)):
+                      concurrency=(2, 16), max_bucket_docs: int = 2_000):
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
     Pipeline: map_batches(MinHasher) → groupby(band_id, band_hash) → candidate
-    pairs per bucket → dedup pairs → verify.  Only band rows shuffle; texts are
+    pairs per bucket (capped at ``max_bucket_docs`` docs per bucket, LOGGED
+    drop — a degenerate bucket must not go quadratic in one task) →
+    cluster-side pair dedup (hash-partitioned, never a driver-wide
+    drop_duplicates) → distributed verify.  Only band rows shuffle; texts are
     re-read for the (small) candidate set.  The signature stage is the compute
     bottleneck → autoscaling actor pool (min, max) sizes itself to the host
     instead of pinning a fixed worker count."""
@@ -353,9 +386,10 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5,
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+        for key, g in df.groupby(["band_id", "band_hash"], sort=False):
             if len(g) < 2:
                 continue
+            g = _cap_block(g, key, max_bucket_docs, op="minhash_lsh_pairs")
             ids = np.sort(g["doc_id"].to_numpy())
             ia, ib = np.triu_indices(len(ids), k=1)
             out.append(pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}))
@@ -366,16 +400,19 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5,
     # ONE hash shuffle into P partitions keyed by the bucket, then vectorized
     # bucket pairing per partition — not one map_groups task per tiny bucket.
     bands = add_partition_column(bands, key="band_hash", num_partitions=16)
-    candidates = bands.groupby("part") \
-        .map_groups(bucket_pairs, batch_format="pandas").to_pandas() \
-        .drop_duplicates(["doc_a", "doc_b"])
-    # candidates is id pairs only (small, bounded by bucket collisions);
+    cand_ds = bands.groupby("part") \
+        .map_groups(bucket_pairs, batch_format="pandas")
+    candidates = _dedup_pairs(cand_ds).to_pandas()
+    if not len(candidates.columns):  # all-empty map_groups drops the schema
+        candidates = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                   "doc_b": pd.Series([], dtype=np.int64)})
+    # candidates is DEDUPED id pairs only (small: bucket-capped collisions);
     # verification is fully distributed — texts never reach the driver.
     return _distributed_verify_pairs(sf_dir, candidates, threshold)
 
 
 def winnow_dup_pairs(sf_dir: str, num_partitions: int = 16,
-                     concurrency: int = 2):
+                     concurrency: int = 2, max_bucket_docs: int = 2_000):
     """Near-dup candidate pairs by winnowing-sketch collision: documents
     whose 64-bit min-8-gram-hash sketches (text.Fingerprinter's
     ``winnow64``) are EQUAL.  A fourth blocking family next to MinHash /
@@ -400,9 +437,10 @@ def winnow_dup_pairs(sf_dir: str, num_partitions: int = 16,
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for _, g in df.groupby("winnow64", sort=False):
+        for key, g in df.groupby("winnow64", sort=False):
             if len(g) < 2:
                 continue
+            g = _cap_block(g, key, max_bucket_docs, op="winnow_dup_pairs")
             ids = np.sort(g["doc_id"].to_numpy())
             ia, ib = np.triu_indices(len(ids), k=1)
             out.append(pd.DataFrame({
@@ -451,9 +489,12 @@ class SimHasher:
                              "simhash": out.astype(np.int64)})
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3, concurrency=(2, 16)):
+def simhash_pairs(sf_dir: str, max_hamming: int = 3, concurrency=(2, 16),
+                  max_bucket_docs: int = 2_000):
     """Near-dup pairs with simhash Hamming distance ≤ k via 4-band blocking
-    (a pair within Hamming ≤ 3 must agree exactly on ≥ 1 of 4 16-bit bands)."""
+    (a pair within Hamming ≤ 3 must agree exactly on ≥ 1 of 4 16-bit bands).
+    Oversized band buckets cap at ``max_bucket_docs`` (LOGGED drop) and the
+    cross-band pair dedup runs cluster-side, hash-partitioned by pair key."""
     ds = _read_docs(sf_dir)
     sigs = ds.map_batches(SimHasher, batch_format="pandas", batch_size=4096,
                           concurrency=concurrency)
@@ -474,9 +515,10 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, concurrency=(2, 16)):
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for _, g in df.groupby(["band_id", "band_key"], sort=False):
+        for key, g in df.groupby(["band_id", "band_key"], sort=False):
             if len(g) < 2:
                 continue
+            g = _cap_block(g, key, max_bucket_docs, op="simhash_pairs")
             g = g.sort_values("doc_id")
             ids = g["doc_id"].to_numpy()
             hs = g["simhash"].to_numpy(np.int64).astype(np.uint64)
@@ -492,9 +534,16 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, concurrency=(2, 16)):
                           "hamming": pd.Series([], dtype=np.int64)})
 
     bands = add_partition_column(bands, key="band_key", num_partitions=16)
-    pairs = bands.groupby("part") \
-        .map_groups(bucket_pairs, batch_format="pandas").to_pandas()
-    return pairs.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+    pairs_ds = bands.groupby("part") \
+        .map_groups(bucket_pairs, batch_format="pandas")
+    # a pair can surface from up to 4 bands: dedup cluster-side (pair-key
+    # hash partitions), never a driver-wide drop_duplicates
+    pairs = _dedup_pairs(pairs_ds, extra_cols=("hamming",)).to_pandas()
+    if not len(pairs.columns):  # all-empty map_groups drops the schema
+        pairs = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                              "doc_b": pd.Series([], dtype=np.int64),
+                              "hamming": pd.Series([], dtype=np.int64)})
+    return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -298,6 +298,42 @@ def test_ngram_hot_block_bounded(tmp_path):
         assert len(out2) == 0
 
 
+def test_lsh_giant_bucket_bounded(tmp_path):
+    """A degenerate LSH bucket (every empty doc shares the filler minhash
+    signature, so ALL of them land in ONE bucket in ALL 16 bands) completes
+    in bounded time under the bucket cap, emits only capped-id pairs, and
+    the cross-band dedup collapses the 16× repeated pairs to one each."""
+    import time
+
+    from pdf_watermark_remover_ray.pipelines.dedup import (minhash_lsh_pairs,
+                                                           simhash_pairs)
+
+    n = 10_000
+    d = tmp_path / "giant"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array([""] * n)}),
+        str(d / "documents.parquet"))
+    t0 = time.monotonic()
+    out = minhash_lsh_pairs(str(d), threshold=0.5, max_bucket_docs=40)
+    assert time.monotonic() - t0 < 120
+    # 40 kept ids -> 780 canonical pairs, each verified (empty-vs-empty
+    # Jaccard = 1.0) and emitted exactly ONCE despite 16 band collisions
+    assert len(out) == 40 * 39 // 2
+    assert out["doc_a"].max() < 40 and out["doc_b"].max() < 40
+    assert (out["jaccard"] == 1.0).all()
+    assert not out.duplicated(["doc_a", "doc_b"]).any()
+
+    # simhash: empty docs all hash to 0 -> one giant bucket per band
+    t0 = time.monotonic()
+    sp = simhash_pairs(str(d), max_bucket_docs=40)
+    assert time.monotonic() - t0 < 120
+    assert len(sp) == 40 * 39 // 2
+    assert not sp.duplicated(["doc_a", "doc_b"]).any()
+    assert (sp["hamming"] == 0).all()
+
+
 def test_cap_block_logs_drop(caplog):
     """The over-cap drop is logged, never silent."""
     import logging
