@@ -101,6 +101,15 @@ class StatePartition:
         else:
             self.store = SortedStateStore()
         self._delta: dict[str, pd.DataFrame] = {}
+        # Exact-mode (ttl=None) dedup seen-set index: (h1, h2) → ts high
+        # mark.  Membership and mark advance are O(epoch delta) dict ops —
+        # NOT an O(|seen|) frame re-merge per close, which would make close
+        # time grow with every distinct text ever seen.  The store frame is
+        # re-materialized from this dict only at full-snapshot epochs; delta
+        # snapshots carry the epoch's touched rows, so the restore chain
+        # reconstructs identical state either way.  TTL mode keeps the
+        # frame-merge path (its seen-set is bounded by the ttl horizon).
+        self._seen_index: dict[tuple[int, int], int] | None = None
 
     def ping(self) -> int:
         """Cheap readiness probe — the engine warms the pool right after
@@ -182,6 +191,8 @@ class StatePartition:
             emitted["dedup"] = self._emit_dedup(epoch, wm_after_us)
         t_emit = time.monotonic()
         mode = "full" if epoch % self.cfg.snapshot_full_every == 0 else "delta"
+        if mode == "full":
+            self._sync_seen_frame()  # exact-mode dedup index → store frame
         self.store.snapshot(self.sink.staging_state_path(epoch, self.pid),
                             mode=mode, delta=self._delta,
                             wm_after_us=wm_after_us)
@@ -189,10 +200,15 @@ class StatePartition:
         # north rule's per-partition lag signal; a partition whose max ts
         # trails the global watermark is skew-starved or behind)
         pmax = int(live["ts_us"].max()) if len(live) else None
+        # exact-mode dedup keeps its live seen-set in the dict index; the
+        # store frame only syncs at full snapshots — report the live count
+        state_rows = int(self.store.total_rows())
+        if self._seen_index is not None:
+            state_rows += len(self._seen_index) - len(self.store.get("seen"))
         return {
             "partition": self.pid,
             "rows": int(len(tbl)),
-            "state_rows": int(self.store.total_rows()),
+            "state_rows": state_rows,
             "max_ts_us": pmax,
             "emitted": {k: int(v) for k, v in emitted.items()},
             "close_s": round(time.monotonic() - t0, 4),
@@ -528,6 +544,34 @@ class StatePartition:
         pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
         return len(df)
 
+    def _seen_idx(self) -> dict[tuple[int, int], int]:
+        """Lazy-build the exact-mode seen index from the store frame (cold
+        start: empty; after restore: the chain's groupby-maxed marks) —
+        O(|seen|) ONCE per actor lifetime, then O(delta) per epoch."""
+        if self._seen_index is None:
+            seen = self.store.get("seen")
+            self._seen_index = {
+                (int(a), int(b)): int(t)
+                for a, b, t in zip(seen["h1"].to_numpy(np.int64),
+                                   seen["h2"].to_numpy(np.int64),
+                                   seen["ts_us"].to_numpy(np.int64))}
+        return self._seen_index
+
+    def _sync_seen_frame(self) -> None:
+        """Materialize the exact-mode dict index back into the store frame —
+        called ONLY before a full snapshot (cost amortized over the delta
+        chain), so full snapshots always serialize the complete seen-set."""
+        if self._seen_index is None:
+            return
+        idx = self._seen_index
+        if len(idx):
+            ks = np.array(list(idx.keys()), dtype=np.int64)
+            self.store.put("seen", pd.DataFrame({
+                "h1": ks[:, 0], "h2": ks[:, 1],
+                "ts_us": np.fromiter(idx.values(), dtype=np.int64,
+                                     count=len(idx))}))
+        # empty dict: frame is already empty (nothing was ever inserted)
+
     def _emit_dedup(self, epoch: int, wm_after_us: int) -> int:
         """Streaming dedup: emit the winner row of every text hash not in the
         seen-set (not watermark-driven — first sight is final).
@@ -537,7 +581,8 @@ class StatePartition:
         winner is the min ``(conv_id, turn_idx)`` occurrence.  The seen-set
         keeps each hash's event-time HIGH MARK: exact mode (ttl=None) never
         evicts — O(distinct texts) per partition, horizontally sharded by
-        text hash; TTL mode forgets hashes unseen for ``dedup_ttl_us`` of
+        text hash, maintained INCREMENTALLY (dict index, O(epoch delta) per
+        close — see ``_seen_idx``); TTL mode forgets hashes unseen for ``dedup_ttl_us`` of
         event time at each close (their next occurrence re-emits), bounding
         state to one dedup horizon.  Delta snapshots carry the epoch's new /
         ts-advanced rows; restore groupby-maxes the chain (exact because
@@ -551,24 +596,42 @@ class StatePartition:
               else schema.empty_table().to_pandas())
         ttl = self.cfg.dedup_ttl_us
         if len(df):
-            seen = self.store.get("seen")
             # per-hash epoch rollup: winner (min conv, turn) + ts high mark
             df = df.sort_values(["h1", "h2", "conv_id", "turn_idx"],
                                 kind="mergesort")
             mx = df.groupby(["h1", "h2"], sort=False, as_index=False)["ts_us"].max()
             df = df.drop_duplicates(["h1", "h2"])
-            if len(seen):
-                m = df.merge(seen[["h1", "h2"]], on=["h1", "h2"],
-                             how="left", indicator=True)
-                df = m[m["_merge"] == "left_only"].drop(columns=["_merge"])
-            # advance high marks (new hashes insert, re-seen hashes max up);
             # the delta carries every hash touched this epoch so a restored
             # chain reconstructs the identical marks
             self._delta["seen"] = mx
-            merged = pd.concat([seen, mx], ignore_index=True)
-            merged = merged.groupby(["h1", "h2"], sort=False, as_index=False) \
-                ["ts_us"].max()
-            self.store.put("seen", merged)
+            if ttl is None:
+                # exact mode: incremental dict index — membership test plus
+                # mark advance cost O(epoch delta), independent of |seen|
+                idx = self._seen_idx()
+                h1s = mx["h1"].to_numpy(np.int64)
+                h2s = mx["h2"].to_numpy(np.int64)
+                tss = mx["ts_us"].to_numpy(np.int64)
+                fresh = np.empty(len(mx), dtype=bool)
+                for i in range(len(mx)):
+                    k = (int(h1s[i]), int(h2s[i]))
+                    prev = idx.get(k)
+                    fresh[i] = prev is None
+                    if prev is None or tss[i] > prev:
+                        idx[k] = int(tss[i])
+                # mx and df share (h1,h2) order (both derive from the same
+                # sorted frame), so the fresh mask aligns positionally
+                df = df[fresh]
+            else:
+                seen = self.store.get("seen")
+                if len(seen):
+                    m = df.merge(seen[["h1", "h2"]], on=["h1", "h2"],
+                                 how="left", indicator=True)
+                    df = m[m["_merge"] == "left_only"].drop(columns=["_merge"])
+                # advance high marks (new hashes insert, re-seen max up)
+                merged = pd.concat([seen, mx], ignore_index=True)
+                merged = merged.groupby(["h1", "h2"], sort=False,
+                                        as_index=False)["ts_us"].max()
+                self.store.put("seen", merged)
         if ttl is not None:
             # evict EVERY close (even with no dedup rows this epoch) — the
             # restore path applies this threshold unconditionally, so the
