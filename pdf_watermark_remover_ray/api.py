@@ -55,25 +55,44 @@ def scrub_file(
     :46-47,166-175 — here an ``os.replace`` so a crash never leaves a partial
     output).  Returns True on success, False on failure (never raises —
     failure isolation is the caller's contract, :197-202).
+
+    The write STREAMS: scrubbed blocks flow through ``iter_batches`` into a
+    ``ParquetWriter`` row-group at a time, so driver memory is O(one batch)
+    even when a user points this desktop-seam API at a file far larger than
+    the driver's heap (the single-file output contract forces a single
+    writer; a concat of all blocks would force the whole table).  The
+    engine's scale sink remains the partitioned `sinks.parquet.EpochSink`.
     """
+    writer = None
     try:
         output_path = resolve_output_path(input_path, output_path)
         ds = ray.data.read_parquet(input_path)
         cfg = ScrubConfig(name_pattern=name_pattern, footer_pattern=footer_pattern,
                           use_footer=bool(footer_pattern))
         out = scrub_dataset(ds, cfg, text_col=text_col)
-        table = out.to_arrow_refs()
-        import pyarrow as pa
-
-        import ray as _ray
-
-        tbl = pa.concat_tables([t for t in _ray.get(table)])
         staging = output_path + ".staging"
         os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
-        pq.write_table(tbl, staging)
+        for batch in out.iter_batches(batch_format="pyarrow",
+                                      batch_size=65_536):
+            if writer is None:
+                writer = pq.ParquetWriter(staging, batch.schema)
+            writer.write_table(batch)
+        if writer is None:  # empty input: publish an empty table, same schema
+            import pyarrow as pa
+
+            empty = pa.schema(out.schema().base_schema).empty_table()
+            pq.write_table(empty, staging)
+        else:
+            writer.close()
+            writer = None
         os.replace(staging, output_path)
         return True
     except Exception:
+        if writer is not None:
+            try:
+                writer.close()
+            except Exception:
+                pass
         return False
 
 

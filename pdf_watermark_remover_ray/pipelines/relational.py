@@ -70,26 +70,71 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1995-09-01"):
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
-def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10,
+                  broadcast_threshold: int = 5_000_000):
     """Revenue top-k open orders for one market segment (TPC-H Q3 shape).
 
     customer is the small side → broadcast key set; orders⋈lineitem is
     large⋈large → ``Dataset.join`` hash shuffle.
-    """
+
+    The segment key set is ~1/5 of all customers — at extreme scale the
+    broadcast itself becomes multi-GB, so above ``broadcast_threshold`` keys
+    the semijoin falls back to a ``Dataset.join`` hash shuffle instead of a
+    per-batch ``np.isin`` against a broadcast array.  Both paths produce the
+    identical filtered orders stream (oracle-tested either side of the
+    threshold)."""
     # segment predicate pushed INTO the customer scan (row-group pruning at
-    # the read); the tiny key set broadcasts once
+    # the read)
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"],
         filter=pc.equal(pc.field("c_mktsegment"), segment))
-    keys_ref = ray.put(cust.to_pandas()["c_custkey"].to_numpy(np.int64))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    if cust.count() <= broadcast_threshold:
+        # the tiny key set broadcasts once
+        keys_ref = ray.put(cust.to_pandas()["c_custkey"].to_numpy(np.int64))
 
-    def filter_orders(t: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = np.isin(t["o_custkey"].to_numpy(zero_copy_only=False), keys)
-        return t.filter(pa.array(mask)).select(["o_orderkey", "o_orderdate"])
+        def filter_orders(t: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            mask = np.isin(t["o_custkey"].to_numpy(zero_copy_only=False), keys)
+            return t.filter(pa.array(mask)).select(["o_orderkey", "o_orderdate"])
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(filter_orders, batch_format="pyarrow", zero_copy_batch=True)
+        orders = orders.map_batches(filter_orders, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    else:
+        # big key set: hash-shuffle semijoin expressed as tag-union-partition
+        # (the repo's keyed co-location shape, stages/join.py) rather than a
+        # second JoinOperator — two hash-shuffle joins in one plan spawn
+        # 2×num_partitions aggregator actors and starve each other on small
+        # CPU counts, while this path shares the groupby machinery the rest
+        # of the engine uses.  c_custkey is unique, so the semijoin emits
+        # each order at most once.
+        def unify_orders(t: pa.Table) -> pa.Table:
+            return pa.table({"custkey": t["o_custkey"].cast(pa.int64()),
+                             "side": pa.array(np.zeros(len(t), np.int8)),
+                             "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                             "o_orderdate": t["o_orderdate"]})
+
+        def unify_cust(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table({"custkey": t["c_custkey"].cast(pa.int64()),
+                             "side": pa.array(np.ones(n, np.int8)),
+                             "o_orderkey": pa.nulls(n, pa.int64()),
+                             "o_orderdate": pa.nulls(n, pa.timestamp("us"))})
+
+        u = orders.map_batches(unify_orders, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+            .union(cust.map_batches(unify_cust, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+        u = add_partition_column(u, key="custkey", num_partitions=16)
+
+        def semi(df: pd.DataFrame) -> pd.DataFrame:
+            keys = df.loc[df["side"] == 1, "custkey"].unique()
+            o = df[(df["side"] == 0) & df["custkey"].isin(keys)]
+            return pd.DataFrame({
+                "o_orderkey": o["o_orderkey"].to_numpy(np.int64),
+                "o_orderdate": o["o_orderdate"].to_numpy()})
+
+        orders = u.groupby("part").map_groups(semi, batch_format="pandas")
 
     def li_partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -133,15 +178,24 @@ def q5_revenue_by_nation(sf_dir: str):
     order-date filter through a broadcast orderkey range lookup."""
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    sup_nation = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
-    lookup_ref = ray.put(
-        dict(zip(sup_nation["s_suppkey"].to_numpy(), sup_nation["n_name"].to_numpy()))
-    )
+    sup_nation = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey") \
+        .sort_values("s_suppkey")
+    # broadcast SORTED parallel arrays: the per-batch lookup is a vectorized
+    # searchsorted (no per-row Python dict .map over the full lineitem scan)
+    lookup_ref = ray.put((sup_nation["s_suppkey"].to_numpy(np.int64),
+                          sup_nation["n_name"].to_numpy()))
 
     def partial(t: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
+        keys, names = ray.get(lookup_ref)
         df = t.to_pandas()
-        df["n_name"] = df["l_suppkey"].map(lookup)
+        if len(keys) == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue": pa.array([], pa.float64())})
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        pos = np.searchsorted(keys, sk).clip(max=len(keys) - 1)
+        hit = keys[pos] == sk  # inner-join semantics: unknown suppkeys drop
+        df = df[hit]
+        df["n_name"] = names[pos[hit]]
         df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
         g = df.groupby("n_name", sort=False)["revenue"].sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)

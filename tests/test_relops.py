@@ -130,6 +130,22 @@ def test_asof_join_tables_large_int64_payload_exact():
     assert out["rid"].tolist() == [int(big) + 4, int(big) + 4]
 
 
+def test_q3_join_fallback_matches_broadcast(sf_dir):
+    """Both sides of the q3 broadcast-size guard produce identical oracle
+    results: threshold 0 forces the Dataset.join semijoin path, the default
+    threshold takes the broadcast np.isin path."""
+    from conftest import assert_frames_match
+
+    from pdf_watermark_remover_ray.pipelines.relational import q3_top_orders
+
+    want = duck_sql(sf_dir, Q.oracle_sql()["q3_top_orders"],
+                    tables=("customer", "orders", "lineitem"))
+    got_join = q3_top_orders(sf_dir, broadcast_threshold=0)
+    assert_frames_match(got_join, want)
+    got_bcast = q3_top_orders(sf_dir)
+    assert_frames_match(got_bcast, want)
+
+
 def test_cohort_retention_matches_sql(sf_dir):
     from conftest import assert_frames_match
 
