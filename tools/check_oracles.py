@@ -3,10 +3,17 @@ and its oracle_sql() side-by-side on one sf_dir; compare row count, schema
 (column names) and an order-insensitive value hash.
 
 Usage: PYTHONPATH=/root/repo python tools/check_oracles.py [sf_dir] [name...]
+       PYTHONPATH=/root/repo python tools/check_oracles.py --fast
+
+``--fast``: run ALL queries at sf0.001 in one process and write the results
+to CORRECTNESS_LOCAL.json (same per-query shape as the driver's
+CORRECTNESS_r{N}.json) — insurance so a time-budgeted driver run can never
+leave part of the registry unattested.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -48,9 +55,10 @@ def value_hash(df: pd.DataFrame) -> int:
     return int(pd.util.hash_pandas_object(df.astype(str), index=False).sum())
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+def main(record_path: str | None = None) -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     import __ray_entry__ as e
 
     qs, oracles = e.queries(), e.oracle_sql()
@@ -59,6 +67,7 @@ def main() -> int:
               "lineitem", "events", "documents", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -68,10 +77,17 @@ def main() -> int:
         except Exception as ex:
             failures.append(name)
             print(f"ERROR {name}: {type(ex).__name__}: {ex}")
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"{type(ex).__name__}: {ex}"}
             continue
         el = time.monotonic() - t0
         if name not in oracles:
             print(f"rows-only {name}: {len(got)} rows ({el:.1f}s)")
+            record[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": int(len(got)),
+                            "oracle_rows": None, "err": "no_oracle"}
             continue
         want = canon(con.sql(oracles[name]).df())
         ok_rows = len(got) == len(want)
@@ -80,6 +96,11 @@ def main() -> int:
         status = "OK  " if (ok_rows and ok_schema and ok_hash) else "FAIL"
         print(f"{status} {name}: rows {len(got)}/{len(want)} schema={ok_schema} "
               f"hash={ok_hash} ({el:.1f}s)")
+        record[name] = {"rows_match": bool(ok_rows),
+                        "schema_match": bool(ok_schema),
+                        "hash_match": bool(ok_hash),
+                        "spark_rows": int(len(got)),
+                        "oracle_rows": int(len(want)), "err": None}
         if status == "FAIL":
             failures.append(name)
             if not ok_schema:
@@ -91,17 +112,26 @@ def main() -> int:
                 print(pd.concat([got[neq].head(3), want[neq].head(3)],
                                 keys=["got", "want"]))
     print("FAILURES:", failures or "none")
+    if record_path:
+        with open(record_path, "w") as f:
+            json.dump(record, f, indent=2)
+        print(f"wrote {record_path} ({len(record)} entries)")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
+    import os
+
     import ray
 
+    fast = "--fast" in sys.argv
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    rc = main()
+    rec = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json") if fast else None
+    rc = main(record_path=rec)
     ray.shutdown()
     sys.exit(rc)
