@@ -101,28 +101,41 @@ def process_folder(
     output_folder: str,
     name_pattern: str,
     footer_pattern: str = "DOCUMENT NON APPLICABLE",
+    recursive: bool = False,
 ) -> tuple[bool, list[str]]:
     """Scrub every ``.parquet`` file in a folder (reference:
     ``process_folder``, watermark_processor.py:204-288).
 
     Mirrors the reference exactly: create the output folder (:222-232),
-    enumerate by suffix predicate (:235 — non-recursive), empty-source guard
-    (:238-241), per-file processing that CONTINUES on failure and accumulates
-    ``failed_files`` (:243-262), and a final all-succeeded boolean (:264-281).
-    Returns ``(all_succeeded, failed_files)``.
+    enumerate by suffix predicate (:235 — non-recursive BY DEFAULT, matching
+    the reference; ``recursive=True`` walks subdirectories and mirrors the
+    relative layout under ``output_folder``), empty-source guard (:238-241),
+    per-file processing that CONTINUES on failure and accumulates
+    ``failed_files`` (:243-262), and a final all-succeeded boolean
+    (:264-281).  Returns ``(all_succeeded, failed_files)`` — failed names
+    are folder-relative paths.
     """
     try:
         os.makedirs(output_folder, exist_ok=True)
     except OSError:
         return False, []
-    files = [f for f in os.listdir(input_folder) if f.lower().endswith(".parquet")]
+    if recursive:
+        files = [os.path.relpath(os.path.join(root, f), input_folder)
+                 for root, _, names in os.walk(input_folder)
+                 for f in names if f.lower().endswith(".parquet")]
+        files.sort()
+    else:
+        files = sorted(f for f in os.listdir(input_folder)
+                       if f.lower().endswith(".parquet"))
     if not files:
         return False, []
     failed: list[str] = []
     for fname in files:
+        out_path = os.path.join(output_folder, fname)
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
         ok = scrub_file(
             os.path.join(input_folder, fname),
-            os.path.join(output_folder, fname),
+            out_path,
             name_pattern,
             footer_pattern,
         )

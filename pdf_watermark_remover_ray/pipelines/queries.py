@@ -215,6 +215,41 @@ def q_events_orders_asof(sf_dir: str):
                             right_tie="o_orderkey", num_partitions=16)
 
 
+def q_orders_events_asof_fwd(sf_dir: str):
+    """FORWARD as-of: each order enriched with the customer's FIRST event
+    at-or-after the order date (the lead-looking sibling of
+    events_orders_asof — "what did the customer do after buying"; ties on
+    equal event ts go to the smallest event_id, merge_asof's
+    first-row-in-sort-order rule)."""
+    import ray.data
+
+    from ..stages.join import asof_join_tables
+    from ..stages.windows import ts_us_series
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey",
+                                        "o_orderdate"])
+
+    def pe(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                             "ts_us": ts_us_series(df["ts"]),
+                             "event_id": df["event_id"].to_numpy(np.int64)})
+
+    def po(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["o_custkey"].to_numpy(np.int64),
+                             "ts_us": ts_us_series(df["o_orderdate"]),
+                             "o_orderkey": df["o_orderkey"].to_numpy(np.int64)})
+
+    return asof_join_tables(od.map_batches(po, batch_format="pandas"),
+                            ev.map_batches(pe, batch_format="pandas"),
+                            key="user_id", left_cols=["o_orderkey"],
+                            right_cols=["event_id"],
+                            right_tie="event_id", num_partitions=16,
+                            direction="forward")
+
+
 def q_session_labels(sf_dir: str):
     """Per-turn session ordinal (row→window assignment of session_windows)."""
     from ..stages.windows import session_labels
@@ -284,6 +319,7 @@ def queries() -> dict:
         "stream_join": q_join,
         "range_join": q_range_join,
         "events_orders_asof": q_events_orders_asof,
+        "orders_events_asof_fwd": q_orders_events_asof_fwd,
         "session_labels": q_session_labels,
         "tool_latency_quantiles": q_tool_latency_quantiles,
         "cep_funnel": q_cep_funnel,
@@ -294,6 +330,7 @@ def queries() -> dict:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
         "q5_revenue_by_nation": relational.q5_revenue_by_nation,
+        "q7_volume_shipping": relational.q7_volume_shipping,
         "topk_orders_per_customer": relational.topk_orders_per_customer,
         "customers_without_urgent_orders":
             relational.customers_without_urgent_orders,
@@ -304,6 +341,7 @@ def queries() -> dict:
         "events_quantiles_cont": relational.events_quantiles_cont,
         "moving_revenue_sum": relational.moving_revenue_sum,
         "order_priority_rollup": relational.order_priority_rollup,
+        "order_priority_cube": relational.order_priority_cube,
         "user_event_pivot": relational.user_event_pivot,
         "prev_order_gap": relational.prev_order_gap,
         "running_revenue": relational.running_revenue,
@@ -332,12 +370,14 @@ def queries() -> dict:
         "ann_topk_lsh": similarity.ann_topk_lsh,
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "ann_topk_ivf_clustered": similarity.ann_topk_ivf_clustered,
+        "label_centroids": similarity.label_centroids,
         # text analysis
         "text_stats": text.text_stats,
         "token_counts": text.token_counts,
         "quality_filter": text.quality_filter,
         "top_bigrams": text.top_bigrams,
         "rarest_terms": text.rarest_terms,
+        "tfidf_top_terms": text.tfidf_top_terms,
         "contamination_flags": text.contamination_flags,
         "bag_dedup": text.bag_dedup,
         "json_extract_events": text.json_extract_events,
@@ -601,6 +641,16 @@ def oracle_sql() -> dict:
             QUALIFY row_number() OVER (
                 PARTITION BY e.event_id
                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1""",
+        # forward as-of: min event ts >= order date, ties to MIN event_id
+        # (merge_asof first-row-in-(ts, tie)-sort-order rule)
+        "orders_events_asof_fwd": """
+            SELECT o.o_custkey AS user_id, o.o_orderkey, e.event_id,
+                   epoch_us(e.ts) - epoch_us(o.o_orderdate) AS lag_us
+            FROM orders o JOIN events e ON e.user_id = o.o_custkey
+            WHERE e.ts >= o.o_orderdate
+            QUALIFY row_number() OVER (
+                PARTITION BY o.o_orderkey
+                ORDER BY e.ts ASC, e.event_id ASC) = 1""",
         "session_labels": f"""{t},
             flagged AS (
                 SELECT conv_id, turn_idx, ts,
@@ -770,6 +820,14 @@ def oracle_sql() -> dict:
             FROM orders
             WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "order_priority_cube": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*) AS n
+            FROM orders
+            WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "q7_volume_shipping": relational.q7_volume_shipping_oracle_sql(),
         "user_event_pivot": """
             SELECT user_id,
                    count(*) FILTER (event_type = 'click') AS n_click,
@@ -810,6 +868,7 @@ def oracle_sql() -> dict:
             FROM ed a JOIN ed b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.emb, b.emb) >= 0.30""",
+        "label_centroids": similarity.label_centroids_oracle_sql(),
         "ann_topk": """
             WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                         FROM embeddings),
@@ -863,6 +922,7 @@ def oracle_sql() -> dict:
         "decontaminate_split": decontaminate_oracle_sql(),
         "mix_rebalanced_documents": mix_rebalanced_oracle_sql(),
         "user_daily_activity": relational.user_daily_activity_oracle_sql(),
+        "tfidf_top_terms": text.tfidf_top_terms_oracle_sql(),
         "source_mix_weights": text.source_mix_weights_oracle_sql(),
         "doc_length_buckets": text.doc_length_buckets_oracle_sql(),
         "conversation_docs": f"""{t}

@@ -207,6 +207,126 @@ def q5_revenue_by_nation(sf_dir: str):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def q7_volume_shipping(sf_dir: str,
+                       date_lo: str = "1995-01-01", date_hi: str = "1996-12-31"):
+    """Bilateral shipping volume (TPC-H Q7 shape): revenue between two
+    nations by (supplier nation, customer nation, ship year).  The nation
+    pair is DERIVED deterministically — the two smallest ``n_nationkey``
+    with at least one supplier AND one customer — so the query is
+    meaningful at every scale factor (a fixed pair can be supplier-empty at
+    tiny sf); the oracle derives the identical pair in SQL.
+
+    Topology: both nation maps are COMPUTED-DIMENSION broadcasts
+    (supplier→nation and customer→nation, each pre-filtered to the two
+    nations of interest, shipped once via ``ray.put`` and probed with a
+    vectorized searchsorted per batch); lineitem pre-filters on shipdate
+    AND supplier nation before the single large hash join against the
+    (customer-nation-filtered) orders stream, so the join's left side is
+    already the ~2/|nations| sliver.  The final aggregate is a per-batch
+    partial → 2×2×|years| groupby.  At a scale where customer outgrows
+    broadcast, swap the customer probe for the q3-style union semijoin —
+    same downstream shape."""
+    nations = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    both = nations[nations["n_nationkey"].isin(sup["s_nationkey"])
+                   & nations["n_nationkey"].isin(cust["c_nationkey"])]
+    nations = both.sort_values("n_nationkey").head(2)
+
+    sup = sup.merge(nations, left_on="s_nationkey", right_on="n_nationkey") \
+        .sort_values("s_suppkey")
+    cust = cust.merge(nations, left_on="c_nationkey", right_on="n_nationkey") \
+        .sort_values("c_custkey")
+    sup_ref = ray.put((sup["s_suppkey"].to_numpy(np.int64),
+                       sup["n_name"].to_numpy()))
+    cust_ref = ray.put((cust["c_custkey"].to_numpy(np.int64),
+                        cust["n_name"].to_numpy()))
+
+    def probe(ref, keys_np):
+        keys, names = ray.get(ref)
+        if len(keys) == 0:
+            return (np.zeros(len(keys_np), dtype=bool),
+                    np.empty(len(keys_np), object))
+        pos = np.searchsorted(keys, keys_np).clip(max=len(keys) - 1)
+        hit = keys[pos] == keys_np
+        return hit, names[pos]
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        hit, names = probe(cust_ref, df["o_custkey"].to_numpy(np.int64))
+        df = df[hit]
+        return pa.table({"o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64)),
+                         "cust_nation": pa.array(names[hit].astype(str))})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    def li_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less_equal(t["l_shipdate"], pa.scalar(hi))))
+        df = t.to_pandas()
+        hit, names = probe(sup_ref, df["l_suppkey"].to_numpy(np.int64))
+        df = df[hit]
+        year = df["l_shipdate"].dt.year.to_numpy(np.int64)
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        return pa.table({"l_orderkey": pa.array(df["l_orderkey"].to_numpy(np.int64)),
+                         "supp_nation": pa.array(names[hit].astype(str)),
+                         "l_year": pa.array(year),
+                         "revenue": pa.array(rev)})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"]) \
+        .map_batches(li_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["supp_nation"] != df["cust_nation"]]  # cross pairs only
+        g = df.groupby(["supp_nation", "cust_nation", "l_year"], sort=False) \
+            ["revenue"].sum().reset_index(name="partial_rev")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = joined.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby(["supp_nation", "cust_nation", "l_year"]) \
+        .aggregate(Sum("partial_rev", alias_name="revenue")).to_pandas()
+    if not len(out.columns):  # all-empty aggregate drops its schema
+        return pd.DataFrame({"supp_nation": pd.Series([], dtype=str),
+                             "cust_nation": pd.Series([], dtype=str),
+                             "l_year": pd.Series([], dtype=np.int64),
+                             "revenue": pd.Series([], dtype=float)})
+    out["revenue"] = round_half_away(out["revenue"], 2)
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+
+
+def q7_volume_shipping_oracle_sql() -> str:
+    return """
+        WITH pick AS (
+            SELECT n_nationkey, n_name FROM nation
+            WHERE n_nationkey IN (SELECT DISTINCT s_nationkey FROM supplier)
+              AND n_nationkey IN (SELECT DISTINCT c_nationkey FROM customer)
+            ORDER BY n_nationkey LIMIT 2)
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN pick n1 ON n1.n_nationkey = s_nationkey
+        JOIN pick n2 ON n2.n_nationkey = c_nationkey
+        WHERE n1.n_name <> n2.n_name
+          AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)"""
+
+
 def topk_orders_per_customer(sf_dir: str, k: int = 2):
     """Per-customer top-k orders by totalprice — the grouped top-k pattern:
     hash-partition on the key, vectorized per-partition head-k (no per-key
@@ -491,6 +611,39 @@ def order_priority_rollup(sf_dir: str):
                           "o_orderpriority": [ROLLUP_ALL],
                           "n": [fine["n"].sum()]})
     out = pd.concat([fine, by_status, total], ignore_index=True)
+    return out[["o_orderstatus", "o_orderpriority", "n"]] \
+        .sort_values(["o_orderstatus", "o_orderpriority"]).reset_index(drop=True)
+
+
+def order_priority_cube(sf_dir: str):
+    """GROUP BY CUBE (o_orderstatus, o_orderpriority) counts — all FOUR
+    grouping sets from ONE scan: the finest aggregate runs distributed
+    (per-batch partials → small groupby), and the three coarser levels
+    (by-status, by-priority, grand total) are derived from its few-dozen
+    rows driver-side — bounded by the grouping domain, never row count.
+    Extends :func:`order_priority_rollup` with the cross marginal a ROLLUP
+    cannot produce; same ``'ALL'`` sentinel and NULL-filter discipline."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas() \
+            .dropna(subset=["o_orderstatus", "o_orderpriority"]) \
+            .groupby(["o_orderstatus", "o_orderpriority"],
+                     sort=False).size().reset_index(name="partial_n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["o_orderstatus", "o_orderpriority"]) \
+        .aggregate(Sum("partial_n", alias_name="n")).to_pandas()
+    by_status = fine.groupby("o_orderstatus", as_index=False)["n"].sum()
+    by_status["o_orderpriority"] = ROLLUP_ALL
+    by_prio = fine.groupby("o_orderpriority", as_index=False)["n"].sum()
+    by_prio["o_orderstatus"] = ROLLUP_ALL
+    total = pd.DataFrame({"o_orderstatus": [ROLLUP_ALL],
+                          "o_orderpriority": [ROLLUP_ALL],
+                          "n": [fine["n"].sum()]})
+    out = pd.concat([fine, by_status, by_prio, total], ignore_index=True)
     return out[["o_orderstatus", "o_orderpriority", "n"]] \
         .sort_values(["o_orderstatus", "o_orderpriority"]).reset_index(drop=True)
 

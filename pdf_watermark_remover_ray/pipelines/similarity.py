@@ -344,3 +344,51 @@ def ann_topk_lsh(sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 6
     out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["cos_sim"] = round_half_away(out["cos_sim"], 4)
     return out[["query_id", "vec_id", "cos_sim"]]
+
+
+def label_centroids(sf_dir: str):
+    """Per-label embedding centroid, long format ``(label, dim, c)`` — the
+    vector AGGREGATE the ANN/IVF family builds on (k-means assignment steps,
+    cluster summaries, prototype vectors for dedup blocking).
+
+    Per-batch per-label partial sums (one C-level groupby over the stacked
+    float64 matrix) → a ``(label, dim)`` groupby of partials — the shuffle
+    moves |labels| × dim rows per batch, never the vectors themselves.  The
+    mean is derived driver-side from exact sum/count partials (≤ |labels| ×
+    dim rows at any corpus size)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding", "label"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df = df[df["embedding"].notna()]
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy(np.int64)
+        codes, uniq = pd.factorize(lab)
+        sums = pd.DataFrame(m).groupby(codes, sort=False).sum()
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        L, D = sums.shape
+        return pa.table({
+            "label": pa.array(np.repeat(uniq[sums.index.to_numpy()], D)),
+            "dim": pa.array(np.tile(np.arange(1, D + 1, dtype=np.int64), L)),
+            "partial_sum": pa.array(sums.to_numpy().ravel()),
+            "partial_n": pa.array(np.repeat(counts[sums.index.to_numpy()], D)),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pandas", batch_size=4096) \
+        .groupby(["label", "dim"]).aggregate(
+            Sum("partial_sum", alias_name="s"),
+            Sum("partial_n", alias_name="n")).to_pandas()
+    agg["c"] = round_half_away(agg["s"].to_numpy(np.float64)
+                               / agg["n"].to_numpy(np.float64), 6)
+    return agg[["label", "dim", "c"]].sort_values(["label", "dim"]) \
+        .reset_index(drop=True)
+
+
+def label_centroids_oracle_sql() -> str:
+    return """
+        SELECT label, CAST(i AS BIGINT) AS dim,
+               round(avg(embedding[i]), 6) AS c
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        GROUP BY label, i"""

@@ -389,6 +389,94 @@ def rarest_terms(sf_dir: str):
     return ds.map_batches(pick, batch_format="pandas")
 
 
+def tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Per-document top-``k`` tf-idf terms (the keyword-extraction staple on
+    the way to sparse retrieval / BM25): for each doc the ``k`` terms ranked
+    by term frequency desc, then document frequency asc, then term asc — an
+    INTEGER-EXACT ordering (ties in the float tf-idf score cannot make the
+    oracle hash fragile) — with the float score ``tf · ln(N/df)`` emitted as
+    a value column (rounded, computed identically in SQL).
+
+    Same two-stage shape as :func:`rarest_terms`: (1) per-batch distinct
+    (doc, term, tf) partials → vocabulary-bounded df groupby; (2) the df
+    table broadcasts once via ``ray.put``; each batch ranks its own docs'
+    terms with one sort + grouped head-k.  The corpus text never shuffles."""
+    import pyarrow as pa
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def df_partial(df: pd.DataFrame) -> pa.Table:
+        toks = _token_lists(df["text"])
+        ex = toks.explode().dropna()
+        pairs = pd.DataFrame({"doc": ex.index, "term": ex.to_numpy()}) \
+            .drop_duplicates()
+        vc = pairs["term"].value_counts()
+        return pa.table({"term": pa.array(vc.index.astype(str)),
+                         "partial_df": pa.array(vc.to_numpy(np.int64))})
+
+    dfs = ds.map_batches(df_partial, batch_format="pandas") \
+        .groupby("term").aggregate(Sum("partial_df", alias_name="doc_freq")) \
+        .to_pandas()
+    n_docs = int(ds.count())
+    ref = ray.put(pd.Series(dfs["doc_freq"].to_numpy(np.int64),
+                            index=dfs["term"].to_numpy()))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        dfmap = _ray.get(ref)
+        toks = _token_lists(df["text"])
+        ex = toks.explode().dropna()
+        pairs = pd.DataFrame({"doc_id": df["doc_id"].reindex(ex.index).to_numpy(),
+                              "term": ex.to_numpy()})
+        tf = pairs.groupby(["doc_id", "term"], sort=False).size() \
+            .reset_index(name="tf")
+        tf["doc_freq"] = dfmap.reindex(tf["term"]).to_numpy(np.int64)
+        tf = tf.sort_values(["doc_id", "tf", "doc_freq", "term"],
+                            ascending=[True, False, True, True],
+                            kind="mergesort")
+        top = tf.groupby("doc_id", sort=False).head(k).copy()
+        top["rank"] = top.groupby("doc_id", sort=False).cumcount() + 1
+        score = top["tf"].to_numpy(np.int64) \
+            * np.log(n_docs / top["doc_freq"].to_numpy(np.float64))
+        return pd.DataFrame({"doc_id": top["doc_id"].to_numpy(np.int64),
+                             "rank": top["rank"].to_numpy(np.int64),
+                             "term": top["term"].to_numpy(),
+                             "tf": top["tf"].to_numpy(np.int64),
+                             "doc_freq": top["doc_freq"].to_numpy(np.int64),
+                             "tfidf": round_half_away(score, 6)})
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+def tfidf_top_terms_oracle_sql(k: int = 3) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                x -> x <> '')) AS term
+            FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq
+                  FROM toks GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        ranked AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, dfreq.doc_freq ASC, tf.term ASC)
+                       AS rank,
+                   round(tf.tf * ln(n.n_docs / dfreq.doc_freq), 6) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        SELECT doc_id, rank, term, tf, doc_freq, tfidf
+        FROM ranked WHERE rank <= {k}"""
+
+
 def json_extract_events(sf_dir: str):
     """Typed field extraction from the JSON ``props`` column of events
     (semi-structured ingestion staple): ``(event_id, k)`` with ``k`` the

@@ -137,13 +137,18 @@ ASOF_OUT_META = ("lag_us",)
 
 def asof_join_tables(left_ds, right_ds, *, key: str, left_cols: list,
                      right_cols: list, right_tie: str,
-                     num_partitions: int = 16):
+                     num_partitions: int = 16, direction: str = "backward"):
     """Generic keyed as-of join of TWO independent Datasets (the third
     custom-join class the Dataset API lacks; stream_join/range_join co-locate
-    one stream).  Each left row matches the single right row of the same
-    ``key`` with the largest ``ts_us <= left.ts_us``; ties on equal right
-    ``ts_us`` resolve to the largest ``right_tie`` (merge_asof takes the last
-    row in sort order — the oracle mirrors with ORDER BY ts DESC, tie DESC).
+    one stream).  ``direction="backward"`` (default): each left row matches
+    the single right row of the same ``key`` with the largest ``ts_us <=
+    left.ts_us``; ties on equal right ``ts_us`` resolve to the largest
+    ``right_tie`` (merge_asof takes the last row in sort order — the oracle
+    mirrors with ORDER BY ts DESC, tie DESC).  ``direction="forward"``: the
+    smallest ``ts_us >= left.ts_us``, ties to the SMALLEST ``right_tie``
+    (merge_asof takes the first row in sort order — oracle ORDER BY ts ASC,
+    tie ASC); ``lag_us`` is then ``matched right.ts_us − left.ts_us`` so it
+    stays non-negative in both directions.
     Unmatched left rows drop (inner asof).
 
     Both inputs must already be projected to ``[key, ts_us(int64), *cols]``.
@@ -159,6 +164,8 @@ def asof_join_tables(left_ds, right_ds, *, key: str, left_cols: list,
 
     from .partition import add_partition_column
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     all_cols = list(left_cols) + list(right_cols)
 
     def unify(side: int, own: list):
@@ -208,7 +215,7 @@ def asof_join_tables(left_ds, right_ds, *, key: str, left_cols: list,
         r = r.sort_values(["ts_us", right_tie], kind="mergesort")[
             [key, "ts_us"] + right_cols].rename(columns={"ts_us": "r_ts_us"})
         m = pd.merge_asof(l, r, left_on="ts_us", right_on="r_ts_us", by=key,
-                          direction="backward")
+                          direction=direction)
         m = m.dropna(subset=[right_tie])
         if m.empty:
             return empty()
@@ -216,8 +223,9 @@ def asof_join_tables(left_ds, right_ds, *, key: str, left_cols: list,
         for c in all_cols:
             # Int64 extension → arrow int64 (nulls preserved, values exact)
             cols[c] = pa.Array.from_pandas(m[c]).cast(pa.int64())
-        cols["lag_us"] = pa.array(m["ts_us"].to_numpy(np.int64)
-                                  - m["r_ts_us"].to_numpy(np.int64))
+        lag = (m["ts_us"].to_numpy(np.int64)
+               - m["r_ts_us"].to_numpy(np.int64))
+        cols["lag_us"] = pa.array(-lag if direction == "forward" else lag)
         return pa.table(cols)
 
     u = add_partition_column(u, key=key, num_partitions=num_partitions)

@@ -1,0 +1,140 @@
+"""Round-3 operator additions vs DuckDB + planted cases: tfidf_top_terms,
+order_priority_cube, q7_volume_shipping, forward as-of, label_centroids,
+recursive process_folder."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from conftest import assert_frames_match, duck_sql
+
+from pdf_watermark_remover_ray.pipelines import queries as Q
+
+
+def test_tfidf_top_terms_matches_sql(sf_dir):
+    from pdf_watermark_remover_ray.pipelines.text import tfidf_top_terms
+
+    got = tfidf_top_terms(sf_dir).to_pandas()
+    want = duck_sql(sf_dir, Q.oracle_sql()["tfidf_top_terms"],
+                    tables=("documents",))
+    assert_frames_match(got, want)
+    # rank is dense 1..k per doc; scores are non-negative (df <= N)
+    assert set(got["rank"].unique()) <= {1, 2, 3}
+    assert (got["tfidf"] >= 0).all()
+    assert (got.groupby("doc_id")["rank"].min() == 1).all()
+
+
+def test_order_priority_cube_matches_sql(sf_dir):
+    from pdf_watermark_remover_ray.pipelines.relational import (
+        order_priority_cube, order_priority_rollup)
+
+    got = order_priority_cube(sf_dir)
+    want = duck_sql(sf_dir, Q.oracle_sql()["order_priority_cube"],
+                    tables=("orders",))
+    assert_frames_match(got, want)
+    # the cube strictly extends the rollup by the by-priority marginal
+    roll = order_priority_rollup(sf_dir)
+    assert len(got) == len(roll) + got["o_orderpriority"].nunique() - 1
+
+
+def test_q7_volume_shipping_matches_sql(sf_dir):
+    from pdf_watermark_remover_ray.pipelines.relational import q7_volume_shipping
+
+    got = q7_volume_shipping(sf_dir)
+    want = duck_sql(sf_dir, Q.oracle_sql()["q7_volume_shipping"],
+                    tables=("lineitem", "orders", "supplier", "customer",
+                            "nation"))
+    assert_frames_match(got, want)
+    # both directions of the nation pair appear
+    assert got["supp_nation"].nunique() == 2
+
+
+def test_asof_forward_direction_planted():
+    """Forward as-of picks the smallest right ts >= left ts; equal-ts ties
+    go to the SMALLEST tie id (first-in-sort-order), lag stays >= 0."""
+    import ray.data
+
+    from pdf_watermark_remover_ray.stages.join import asof_join_tables
+
+    left = pd.DataFrame({"k": np.int64([1, 1, 2]),
+                         "ts_us": np.int64([100, 260, 100]),
+                         "lid": np.int64([10, 11, 12])})
+    right = pd.DataFrame({"k": np.int64([1, 1, 1, 2]),
+                          "ts_us": np.int64([150, 150, 250, 90]),
+                          "rid": np.int64([7, 9, 8, 3])})
+    out = asof_join_tables(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        key="k", left_cols=["lid"], right_cols=["rid"], right_tie="rid",
+        num_partitions=3, direction="forward").to_pandas().sort_values("lid")
+    # lid=10 -> ts 150 tie to rid=7 (smallest); lid=11 -> nothing >= 260;
+    # lid=12 -> nothing >= 100 for k=2
+    assert out["lid"].tolist() == [10]
+    assert out["rid"].tolist() == [7]
+    assert out["lag_us"].tolist() == [50]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join_tables(ray.data.from_pandas(left),
+                         ray.data.from_pandas(right), key="k",
+                         left_cols=["lid"], right_cols=["rid"],
+                         right_tie="rid", direction="nearest")
+
+
+def test_orders_events_asof_fwd_matches_sql(sf_dir):
+    got = Q.queries()["orders_events_asof_fwd"](sf_dir).to_pandas()
+    want = duck_sql(sf_dir, Q.oracle_sql()["orders_events_asof_fwd"],
+                    tables=("orders", "events"))
+    assert_frames_match(got, want)
+    assert (got["lag_us"] >= 0).all()
+    assert got["o_orderkey"].is_unique
+
+
+def test_label_centroids_matches_sql_and_bruteforce(sf_dir):
+    from pdf_watermark_remover_ray.pipelines.similarity import label_centroids
+
+    got = label_centroids(sf_dir)
+    want = duck_sql(sf_dir, Q.oracle_sql()["label_centroids"],
+                    tables=("embeddings",))
+    assert_frames_match(got, want)
+    # brute-force check of one label against numpy
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    lab0 = emb[emb["label"] == emb["label"].iloc[0]]
+    m = np.stack(lab0["embedding"].to_numpy()).astype(np.float64).mean(axis=0)
+    g0 = got[got["label"] == emb["label"].iloc[0]].sort_values("dim")
+    assert np.allclose(g0["c"].to_numpy(), np.round(m, 6), atol=1e-6)
+
+
+def test_process_folder_recursive(tmp_path):
+    from pdf_watermark_remover_ray.api import process_folder
+
+    t = pa.table({"conv_id": pa.array(["c1"] * 2),
+                  "turn_idx": pa.array([0, 1], pa.int32()),
+                  "role": pa.array(["user", "assistant"]),
+                  "text": pa.array(["hello WM_NAME", "world"]),
+                  "tool": pa.array([None, None], pa.string()),
+                  "ts": pa.array([pd.Timestamp("2024-01-01"),
+                                  pd.Timestamp("2024-01-01 00:01")])})
+    src = tmp_path / "in"
+    (src / "sub").mkdir(parents=True)
+    pq.write_table(t, src / "top.parquet")
+    pq.write_table(t, src / "sub" / "nested.parquet")
+    dst = tmp_path / "out"
+
+    # default (reference semantics): non-recursive — nested file untouched
+    ok, failed = process_folder(str(src), str(dst), "WM_NAME")
+    assert ok and not failed
+    assert (dst / "top.parquet").exists()
+    assert not (dst / "sub" / "nested.parquet").exists()
+
+    dst2 = tmp_path / "out2"
+    ok, failed = process_folder(str(src), str(dst2), "WM_NAME",
+                                recursive=True)
+    assert ok and not failed
+    assert (dst2 / "top.parquet").exists()
+    assert (dst2 / "sub" / "nested.parquet").exists()
+    out = pq.read_table(dst2 / "sub" / "nested.parquet").to_pandas()
+    assert "WM_NAME" not in " ".join(out["text"].fillna(""))
