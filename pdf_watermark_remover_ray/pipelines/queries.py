@@ -266,6 +266,16 @@ def q_cep_funnel(sf_dir: str):
                             num_partitions=16)
 
 
+def q_cep_timeouts(sf_dir: str):
+    """CEP NEGATION: user turns with no assistant reply within a day —
+    absence/timeout detection, the pattern class a positive matcher can't
+    express (stages/cep.absence_matches)."""
+    from ..stages.cep import absence_matches
+
+    return absence_matches(_transcripts(sf_dir), CEP_WITHIN_US,
+                           num_partitions=16)
+
+
 def q_cep_tool_bursts(sf_dir: str):
     """CEP Kleene-plus: user (tool)+ assistant — maximal consecutive tool
     runs bracketed by a user and an assistant turn."""
@@ -324,6 +334,7 @@ def queries() -> dict:
         "tool_latency_quantiles": q_tool_latency_quantiles,
         "cep_funnel": q_cep_funnel,
         "cep_tool_bursts": q_cep_tool_bursts,
+        "cep_timeouts": q_cep_timeouts,
         "late_drops": q_late,
         "streaming_e2e": q_streaming_e2e,
         # relational family
@@ -707,6 +718,17 @@ def oracle_sql() -> dict:
             JOIN g a ON a.conv_id = sp.conv_id AND a.turn_idx = sp.e + 1
                     AND a.role = 'assistant'
             WHERE sp.dt_us <= {CEP_WITHIN_US}""",
+        # CEP negation: user turn with NO assistant at-or-after it within the
+        # window (time-based, not adjacency-based)
+        "cep_timeouts": f"""{t}
+            SELECT u.conv_id, u.turn_idx,
+                   epoch_us(u.ts) + {CEP_WITHIN_US} AS deadline_us
+            FROM transcripts u
+            WHERE u.role = 'user' AND NOT EXISTS (
+                SELECT 1 FROM transcripts a
+                WHERE a.conv_id = u.conv_id AND a.role = 'assistant'
+                  AND a.ts >= u.ts
+                  AND epoch_us(a.ts) - epoch_us(u.ts) <= {CEP_WITHIN_US})""",
         "late_drops": f"""{t},
             e AS (SELECT *, CAST(((event_id // {SCRAMBLE}) * {SCRAMBLE}
                                   + ({SCRAMBLE} - 1 - event_id % {SCRAMBLE})) // {EPOCH_SIZE}

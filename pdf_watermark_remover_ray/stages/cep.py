@@ -120,6 +120,61 @@ def sequence_matches(ds, pattern: tuple[str, ...], within_us: int,
                            num_partitions=num_partitions)
 
 
+_EMPTY_ABSENCE = {"conv_id": pd.Series([], dtype=str),
+                  "turn_idx": pd.Series([], dtype=np.int32),
+                  "deadline_us": pd.Series([], dtype=np.int64)}
+
+
+def absence_matches(ds, within_us: int, num_partitions: int = 16,
+                    trigger: str = "user", expected: str = "assistant"):
+    """NEGATION pattern (CEP absence / timeout detection): every ``trigger``
+    turn with NO ``expected`` turn in the same conversation at-or-after its
+    event time within ``within_us`` — the MATCH_RECOGNIZE class a positive
+    sequence matcher cannot express (``A NOT followed-by B within T``), and
+    the alerting primitive of a conversation-SLA pipeline ("user asked,
+    nothing answered for T").
+
+    Time-based, not adjacency-based: any same-conv ``expected`` turn with
+    ``ts ∈ [trigger.ts, trigger.ts + within]`` clears the trigger (turn
+    contiguity is irrelevant to a timeout).  Vectorized per conv-hash
+    partition as a FORWARD merge_asof (next expected-turn ts at-or-after
+    each trigger ts) + one threshold compare — O(n log n) local sort, no
+    per-row Python, same single conv shuffle every keyed stage reuses.
+    Returns ``(conv_id, turn_idx, deadline_us)`` with ``deadline_us =
+    trigger ts + within`` (the instant a streaming engine's watermark would
+    fire the timeout)."""
+
+    def match_partition(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[df["role"] == trigger]
+        if not len(u):
+            return pd.DataFrame(_EMPTY_ABSENCE)
+        lu = pd.DataFrame({"conv_id": u["conv_id"].to_numpy(),
+                           "ts_us": ts_us_series(u["ts"]),
+                           "turn_idx": u["turn_idx"].to_numpy(np.int32)}) \
+            .sort_values("ts_us", kind="mergesort")
+        a = df[df["role"] == expected]
+        if len(a):
+            ra = pd.DataFrame({"conv_id": a["conv_id"].to_numpy(),
+                               "a_ts_us": ts_us_series(a["ts"])}) \
+                .sort_values("a_ts_us", kind="mergesort")
+            m = pd.merge_asof(lu, ra, left_on="ts_us", right_on="a_ts_us",
+                              by="conv_id", direction="forward")
+            timeout = m["a_ts_us"].isna().to_numpy() \
+                | (m["a_ts_us"].to_numpy() - m["ts_us"].to_numpy()
+                   > within_us)
+        else:
+            m, timeout = lu, np.ones(len(lu), dtype=bool)
+        out = m[timeout]
+        return pd.DataFrame({
+            "conv_id": out["conv_id"].to_numpy(),
+            "turn_idx": out["turn_idx"].to_numpy(np.int32),
+            "deadline_us": (out["ts_us"].to_numpy(np.int64) + within_us),
+        })
+
+    return partitioned_map(ds, match_partition, key="conv_id",
+                           num_partitions=num_partitions)
+
+
 def kleene_scan(conv: np.ndarray, role: np.ndarray, tix: np.ndarray,
                 ts: np.ndarray, within_us: int,
                 user, tool, assistant):

@@ -90,3 +90,34 @@ def test_cep_kleene_maximality():
     r = got.iloc[0]
     assert (r["conv_id"], int(r["turn_idx"]), int(r["n_tools"])) == ("a", 0, 3)
     assert int(r["dt_us"]) == 4 * 60_000_000
+
+
+def test_cep_timeouts_matches_sql_and_planted(sf_dir):
+    """Negation pattern vs the NOT EXISTS oracle, plus a planted conv:
+    an in-window assistant clears the trigger, an out-of-window one
+    doesn't, a cross-conversation assistant never clears."""
+    import ray.data
+
+    from pdf_watermark_remover_ray.stages.cep import absence_matches
+
+    got = Q.queries()["cep_timeouts"](sf_dir).to_pandas()
+    want = duck_sql(sf_dir, Q.oracle_sql()["cep_timeouts"])
+    _cmp(got, want)
+
+    base = pd.Timestamp("2024-01-01").value // 1000
+    W = 1_000_000  # 1 s window
+    df = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c1", "c1", "c2", "c3"],
+        "turn_idx": np.int32([0, 1, 2, 3, 0, 0]),
+        "role": ["user", "assistant", "user", "assistant", "user", "assistant"],
+        # u0 cleared by a@+0.5s; u2 NOT cleared (next a at +2s); c2's user
+        # never cleared (c3's assistant is another conversation)
+        "ts": pd.to_datetime([base, base + 500_000, base + 1_000_000,
+                              base + 3_000_000, base, base],
+                             unit="us"),
+    })
+    out = absence_matches(ray.data.from_pandas(df), W, num_partitions=2) \
+        .to_pandas().sort_values(["conv_id", "turn_idx"])
+    assert list(zip(out["conv_id"], out["turn_idx"])) == [("c1", 2), ("c2", 0)]
+    assert (out["deadline_us"].to_numpy()
+            == np.array([base + 1_000_000 + W, base + W])).all()
