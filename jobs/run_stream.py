@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="event-time span bound for CEP matches")
     ap.add_argument("--wtopk-k", type=int, default=3,
                     help="k for the per-window top-k tools stream")
+    ap.add_argument("--timeout-within-us", type=int, default=30_000_000,
+                    help="CEP-negation window: a user turn with no "
+                         "assistant within this event-time span fires a "
+                         "row on the timeouts stream")
     ap.add_argument("--compact", action="store_true",
                     help="compact committed epochs after the run")
     ap.add_argument("--prune-state", action="store_true",
@@ -79,7 +83,8 @@ def main(argv: list[str] | None = None) -> int:
                                          for r in args.cep_pattern.split(",")
                                          if r.strip()),
                        cep_within_us=args.cep_within_us,
-                       wtopk_k=args.wtopk_k)
+                       wtopk_k=args.wtopk_k,
+                       timeout_within_us=args.timeout_within_us)
     eng = StreamingEngine(paths, args.out, cfg, epoch_files=args.epoch_files,
                           auto_hot_keys=args.auto_hot_keys)
     t0 = time.monotonic()

@@ -152,6 +152,11 @@ class StreamConfig:
     # A match is emitted in the epoch its last-arriving constituent lands.
     cep_pattern: tuple[str, ...] = ("user", "tool", "assistant")
     cep_within_us: int = 120_000_000
+    # CEP NEGATION (timeouts stream): a "user" turn with no "assistant" turn
+    # in the same conversation at EVENT time ∈ [trigger, trigger + within]
+    # fires when the watermark passes the deadline.  Time-based, not
+    # adjacency-based (a timeout does not care about turn contiguity).
+    timeout_within_us: int = 30_000_000
     # windowed top-k: the k most frequent tools per (conv, tumbling window)
     # emitted on the ``wtopk`` stream (ties broken by tool name).
     wtopk_k: int = 3
@@ -179,6 +184,7 @@ class StreamConfig:
                 and all(r in ("user", "assistant", "tool")
                         for r in self.cep_pattern),
             "cep_within_us must be > 0": self.cep_within_us > 0,
+            "timeout_within_us must be > 0": self.timeout_within_us > 0,
             "wtopk_k must be >= 1": self.wtopk_k >= 1,
         }
         bad = [msg for msg, ok in checks.items() if not ok]

@@ -179,10 +179,37 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
                          pd.Series([], dtype=np.int32),
                          "n_tools": (e - s + 1).astype(np.int64),
                          "dt_us": dtk})
+    # CEP negation ("timeouts"): live user turns with no live assistant ts
+    # in [trigger, trigger + within].  On bounded input every uncleared
+    # trigger fires by the end — the engine's final flush closes with
+    # wm = ∞ because no clearing turn can ever arrive after the last file.
+    w = cfg.timeout_within_us
+    tu = live[live["role"] == "user"]
+    ta = live[live["role"] == "assistant"]
+    lt = pd.DataFrame({"conv_id": tu["conv_id"].to_numpy(),
+                       "turn_idx": tu["turn_idx"].to_numpy(np.int32),
+                       "ts_us": tu["ts_us"].to_numpy(np.int64)}) \
+        .sort_values("ts_us", kind="mergesort")
+    if len(lt) and len(ta):
+        rt = pd.DataFrame({"conv_id": ta["conv_id"].to_numpy(),
+                           "a_ts_us": ta["ts_us"].to_numpy(np.int64)}) \
+            .sort_values("a_ts_us", kind="mergesort")
+        mm = pd.merge_asof(lt, rt, left_on="ts_us", right_on="a_ts_us",
+                           by="conv_id", direction="forward")
+        cleared = mm["a_ts_us"].notna().to_numpy() \
+            & (mm["a_ts_us"].to_numpy() - mm["ts_us"].to_numpy() <= w)
+        lt = mm[~cleared]
+    timeouts = pd.DataFrame({
+        "conv_id": lt["conv_id"].to_numpy(),
+        "turn_idx": lt["turn_idx"].to_numpy(np.int32) if len(lt)
+        else pd.Series([], dtype=np.int32),
+        "deadline_us": (lt["ts_us"].to_numpy(np.int64) + w) if len(lt)
+        else pd.Series([], dtype=np.int64)})
     return {
         "turns": live[["conv_id", "turn_idx", "role", "text", "tool", "ts", "modified"]],
         "cep": cep,
         "cepk": cepk,
+        "timeouts": timeouts,
         "dedup": dedup,
         "late": late[["conv_id", "turn_idx", "ts_us", "epoch"]],
         "sessions": sessions,

@@ -172,6 +172,7 @@ class StatePartition:
         self._fold_wtools(live)  # one fold feeds BOTH wdistinct and wtopk
         self._fold_sliding(live)
         self._fold_join(live)
+        self._fold_timeouts(live)
         t_fold = time.monotonic()
 
         n_windows, n_wstats = self._emit_tumbling(wm_after_us, epoch)
@@ -184,6 +185,7 @@ class StatePartition:
             "matches": self._emit_matches(wm_after_us, epoch),
             "wdistinct": n_wdistinct,
             "wtopk": n_wtopk,
+            "timeouts": self._emit_timeouts(wm_after_us, epoch),
         }
         emitted["cep"], emitted["cepk"] = \
             self._fold_emit_cep(live, wm_after_us, epoch)
@@ -537,6 +539,28 @@ class StatePartition:
             self.store.put("tools", pd.concat([self.store.get("tools"), nt],
                                               ignore_index=True))
 
+    def _fold_timeouts(self, live: pd.DataFrame) -> None:
+        """CEP negation state: new "user" turns become pending triggers; new
+        "assistant" turns append to the reply-time buffer.  Clearing and
+        firing both happen at close (:meth:`_emit_timeouts`), so the fold is
+        a pure append — retry-idempotent like every other fold (the epoch
+        buffer dedups by source key before this runs)."""
+        if len(live) == 0:
+            return
+        u = live[live["role"] == "user"]
+        if len(u):
+            np_ = pd.DataFrame({"conv_id": u["conv_id"].to_numpy(),
+                                "turn_idx": u["turn_idx"].to_numpy(np.int32),
+                                "ts_us": u["ts_us"].to_numpy(np.int64)})
+            self.store.put("pend", pd.concat([self.store.get("pend"), np_],
+                                             ignore_index=True))
+        a = live[live["role"] == "assistant"]
+        if len(a):
+            na = pd.DataFrame({"conv_id": a["conv_id"].to_numpy(),
+                               "ts_us": a["ts_us"].to_numpy(np.int64)})
+            self.store.put("arep", pd.concat([self.store.get("arep"), na],
+                                             ignore_index=True))
+
     # -- emissions ---------------------------------------------------------
 
     def _write(self, stream: str, epoch: int, df: pd.DataFrame, schema: pa.Schema) -> int:
@@ -646,6 +670,53 @@ class StatePartition:
                           "turn_idx": pd.Series([], dtype=np.int32)})
         return self._write("dedup", epoch, out, pa.schema(
             [("conv_id", pa.string()), ("turn_idx", pa.int32())]))
+
+    _TIMEOUT_SCHEMA = pa.schema([("conv_id", pa.string()),
+                                 ("turn_idx", pa.int32()),
+                                 ("deadline_us", pa.int64())])
+
+    def _emit_timeouts(self, wm_us: int, epoch: int) -> int:
+        """Fire the CEP-negation timeouts the watermark has sealed.
+
+        Clear first: a pending trigger with ANY buffered expected-turn ts in
+        ``[trigger, trigger + within]`` is satisfied and silently dropped
+        (vectorized forward merge_asof, the batch matcher's kernel).  Then
+        fire: survivors whose ``deadline = ts + within`` lies strictly below
+        the watermark can never be cleared anymore — a clearing turn would
+        have ts ≤ deadline < wm and be late-dropped at route time — so
+        emission is exactly-once and arrival-order-free.  Reply buffer
+        evicts below the watermark (a future trigger's ts is ≥ wm, so its
+        window can only need replies with ts ≥ wm)."""
+        within = self.cfg.timeout_within_us
+        pend = self.store.get("pend")
+        arep = self.store.get("arep")
+        out = pd.DataFrame({"conv_id": pd.Series([], dtype=str),
+                            "turn_idx": pd.Series([], dtype=np.int32),
+                            "deadline_us": pd.Series([], dtype=np.int64)})
+        if len(pend):
+            if len(arep):
+                lu = pend.sort_values("ts_us", kind="mergesort")
+                ra = arep.sort_values("ts_us", kind="mergesort") \
+                    .rename(columns={"ts_us": "a_ts_us"})
+                m = pd.merge_asof(lu, ra, left_on="ts_us",
+                                  right_on="a_ts_us", by="conv_id",
+                                  direction="forward")
+                cleared = m["a_ts_us"].notna().to_numpy() \
+                    & (m["a_ts_us"].to_numpy() - m["ts_us"].to_numpy()
+                       <= within)
+                pend = m.loc[~cleared, ["conv_id", "turn_idx", "ts_us"]]
+            fire = pend["ts_us"].to_numpy(np.int64) + within < wm_us
+            fired = pend[fire]
+            self.store.put("pend", pend[~fire])
+            out = pd.DataFrame({
+                "conv_id": fired["conv_id"].to_numpy(),
+                "turn_idx": fired["turn_idx"].to_numpy(np.int32),
+                "deadline_us": fired["ts_us"].to_numpy(np.int64) + within,
+            }).sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        if len(arep):
+            self.store.put("arep", arep[arep["ts_us"].to_numpy(np.int64)
+                                        >= wm_us])
+        return self._write("timeouts", epoch, out, self._TIMEOUT_SCHEMA)
 
     def _emit_sessions(self, wm_us: int, epoch: int) -> int:
         s = self.store.get("sessions")

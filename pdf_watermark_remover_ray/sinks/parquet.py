@@ -32,7 +32,7 @@ import json
 import os
 
 STREAMS = ("turns", "sessions", "matches", "windows", "wstats", "sliding",
-           "wdistinct", "wtopk", "late", "dedup", "cep", "cepk")
+           "wdistinct", "wtopk", "late", "dedup", "cep", "cepk", "timeouts")
 
 
 class EpochSink:

@@ -63,6 +63,13 @@ _EMPTY = {
     # delta-snapshots exactly like the join buffers.
     "cepbuf": {"conv_id": str, "turn_idx": np.int32, "n": np.int64,
                "ts_us": np.int64},
+    # CEP NEGATION (timeout) state: "pend" = trigger turns awaiting an
+    # expected turn (removed when cleared or fired — bounded by triggers
+    # inside one timeout horizon); "arep" = expected-turn event times within
+    # the horizon (pure ts-threshold eviction: keep ts >= wm).  Both are
+    # bounded open-state kinds → full-snapshot every epoch like sessions.
+    "pend": {"conv_id": str, "turn_idx": np.int32, "ts_us": np.int64},
+    "arep": {"conv_id": str, "ts_us": np.int64},
 }
 
 _SORT_KEYS = {
@@ -75,6 +82,8 @@ _SORT_KEYS = {
     "meta": ["conv_id"],
     "seen": ["h1", "h2"],
     "cepbuf": ["conv_id", "turn_idx"],
+    "pend": ["conv_id", "ts_us", "turn_idx"],
+    "arep": ["conv_id", "ts_us"],
 }
 
 # Superset schema used by the single-file snapshot.
@@ -121,7 +130,7 @@ class SortedStateStore:
     # the chain's per-hash ts marks and (TTL mode) applies the wm − ttl
     # eviction — see restore_chain.  Exact mode (ttl=None) never evicts.
     _BULKY = ("users", "tools", "seen", "cepbuf")
-    _OPEN = ("sessions", "wstats", "sliding", "wtools", "meta")
+    _OPEN = ("sessions", "wstats", "sliding", "wtools", "meta", "pend", "arep")
 
     def snapshot(self, path: str, mode: str = "full",
                  delta: dict[str, pd.DataFrame] | None = None,

@@ -107,6 +107,10 @@ def _check_outputs(out_dir: str, golden: dict):
         read_stream(out_dir, "cepk"), golden["cepk"],
         ["conv_id", "turn_idx", "n_tools", "dt_us"],
     )
+    assert_stream_equal(
+        read_stream(out_dir, "timeouts"), golden["timeouts"],
+        ["conv_id", "turn_idx", "deadline_us"],
+    )
 
 
 def test_full_run_matches_oracle(fixture, tmp_path):
