@@ -315,6 +315,30 @@ def q_streaming_e2e(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_partitioned_roundtrip(sf_dir: str, langs=("en", "fr")):
+    """Resumable batch sink round-trip: documents written hive-partitioned
+    by lang (per-partition _SUCCESS commit markers), then read back with
+    PHYSICAL pruning — only the requested lang directories are opened
+    (sinks/batch.write_partitioned / read_partitioned)."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from ..sinks.batch import read_partitioned, write_partitioned
+
+    work = tempfile.mkdtemp(prefix="pwr_part_")
+    try:
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "lang"])
+        write_partitioned(ds, work, by="lang")
+        out = read_partitioned(work, "lang", values=langs) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return out[["doc_id", "lang"]]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def queries() -> dict:
     return {
         # transcript / streaming family
@@ -368,6 +392,7 @@ def queries() -> dict:
         "decontaminate_split": decontaminate_split,
         "mix_rebalanced_documents": mix_rebalanced_documents,
         "user_daily_activity": relational.user_daily_activity,
+        "partitioned_roundtrip": q_partitioned_roundtrip,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -944,6 +969,9 @@ def oracle_sql() -> dict:
         "decontaminate_split": decontaminate_oracle_sql(),
         "mix_rebalanced_documents": mix_rebalanced_oracle_sql(),
         "user_daily_activity": relational.user_daily_activity_oracle_sql(),
+        "partitioned_roundtrip": """
+            SELECT doc_id, coalesce(lang, '') AS lang
+            FROM documents WHERE coalesce(lang, '') IN ('en', 'fr')""",
         "tfidf_top_terms": text.tfidf_top_terms_oracle_sql(),
         "source_mix_weights": text.source_mix_weights_oracle_sql(),
         "doc_length_buckets": text.doc_length_buckets_oracle_sql(),

@@ -1,84 +1,119 @@
-"""Resumable partitioned Parquet output for BATCH pipelines.
+"""Resumable partitioned BATCH sink (the batch counterpart of
+:mod:`.parquet`'s epoch sink, and the "resumable output" discipline a
+100 TB run needs: one directory per key partition, a write-once ``_SUCCESS``
+marker per partition, and a resume that SKIPS finished partitions entirely).
 
-The streaming engine's epoch sink already gives exactly-once output for the
-stream; this is the batch analog the 100 TB brief asks for ("write
-partitioned Parquet — one directory per input shard / key range — so a
-failed run can skip finished partitions; never one giant file"):
+Layout::
 
-- the Dataset is hash-partitioned on a key column (or an explicit partition
-  column already present);
-- each partition writes ``part={p}/data.parquet`` through a staging name,
-  then an atomic rename publishes it — presence of the final file IS the
-  done marker (the reference's write-once marker idiom,
-  ``ui/dialog_windows.py:31-35``);
-- a rerun lists the finished partitions, prunes them from the Dataset with a
-  vectorized filter, and writes only the missing ones.
+    out/
+      {by}={value}/part-00000.parquet   (hive-style, prunable at read)
+      {by}={value}/_SUCCESS             (the commit point, written LAST)
 
-Writes happen INSIDE map_groups workers (cluster-side); the driver only sees
-per-partition row counts.
+Write topology: distinct keys come from a tiny per-batch-partial aggregate;
+already-committed keys are dropped BEFORE the shuffle (a resumed run moves
+only the unfinished partitions' rows); each pending partition is then one
+``groupby(by).map_groups`` task that writes its own directory — staging file
+→ ``os.replace`` → marker, so a crash mid-write never leaves a partition
+that claims to be complete.  Readers prune physically: only the requested
+``{by}={value}`` directories are opened.
 """
 
 from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
-from ..stages.partition import add_partition_column
+import ray
+import ray.data
 
 
-def _final_path(out_dir: str, part: int) -> str:
-    return os.path.join(out_dir, f"part={part}", "data.parquet")
+def _part_dir(out_dir: str, by: str, value) -> str:
+    return os.path.join(out_dir, f"{by}={value}")
 
 
-def finished_partitions(out_dir: str) -> set[int]:
+def _marker(out_dir: str, by: str, value) -> str:
+    return os.path.join(_part_dir(out_dir, by, value), "_SUCCESS")
+
+
+def committed_keys(out_dir: str, by: str) -> set:
+    """Keys whose partition directory carries the ``_SUCCESS`` marker."""
     if not os.path.isdir(out_dir):
         return set()
-    done = set()
-    for d in os.listdir(out_dir):
-        if d.startswith("part=") and os.path.exists(
-                os.path.join(out_dir, d, "data.parquet")):
-            done.add(int(d.split("=", 1)[1]))
-    return done
+    out = set()
+    prefix = f"{by}="
+    for name in os.listdir(out_dir):
+        if name.startswith(prefix) and \
+                os.path.exists(os.path.join(out_dir, name, "_SUCCESS")):
+            out.add(name[len(prefix):])
+    return out
 
 
-def write_partitioned(ds, out_dir: str, key: str = "conv_id",
-                      num_partitions: int = 64) -> dict:
-    """Write ``ds`` as ``out_dir/part={p}/data.parquet`` (one file per hash
-    partition of ``key``), skipping partitions already published by an
-    earlier (possibly crashed) run.  Returns
-    ``{"written": {part: rows}, "skipped": [parts]}``."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+def write_partitioned(ds, out_dir: str, by: str = "lang") -> dict:
+    """Write ``ds`` as hive-partitioned parquet with per-partition commit
+    markers; SKIP partitions already committed (resume).  ``by`` values are
+    coalesced to ``""`` (null-safe, matches the samplers' convention) and
+    rendered into directory names — callers with arbitrary-string keys
+    should pre-sanitize.  Returns ``{key: rows_written}`` for THIS run
+    (committed-and-skipped partitions are absent)."""
+    from ray.data.aggregate import Sum
 
     os.makedirs(out_dir, exist_ok=True)
-    done = finished_partitions(out_dir)
-    ds = add_partition_column(ds, key=key, num_partitions=num_partitions)
-    if done:
-        done_arr = np.fromiter(done, dtype=np.int64)
+    done = committed_keys(out_dir, by)
 
-        def prune(t: pa.Table) -> pa.Table:
-            mask = ~np.isin(t["part"].to_numpy(zero_copy_only=False), done_arr)
-            return t.filter(pa.array(mask))
+    def key_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[by].fillna("").value_counts()
+        return pd.DataFrame({by: vc.index.astype(str),
+                             "partial_n": vc.to_numpy(np.int64)})
 
-        ds = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+    keys = ds.map_batches(key_partial, batch_format="pandas") \
+        .groupby(by).aggregate(Sum("partial_n", alias_name="n")).to_pandas()
+    pending = sorted(set(keys[by].astype(str)) - done)
+    if not pending:
+        return {}
+    pending_set = set(pending)
+
+    def drop_done(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[by] = df[by].fillna("")
+        return df[df[by].astype(str).isin(pending_set)]
+
+    ds = ds.map_batches(drop_done, batch_format="pandas")
 
     def write_group(df: pd.DataFrame) -> pd.DataFrame:
-        part = int(df["part"].iloc[0])
-        final = _final_path(out_dir, part)
-        os.makedirs(os.path.dirname(final), exist_ok=True)
+        value = str(df[by].iloc[0])
+        d = _part_dir(out_dir, by, value)
+        os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, "part-00000.parquet")
         staging = final + ".staging"
-        body = df.drop(columns=["part"]).sort_values(
-            [c for c in (key,) if c in df.columns], kind="mergesort")
-        pq.write_table(pa.Table.from_pandas(body, preserve_index=False), staging)
-        os.replace(staging, final)  # atomic publish == done marker
-        return pd.DataFrame({"part": [part], "rows": [len(df)]})
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), staging)
+        os.replace(staging, final)
+        with open(_marker(out_dir, by, value), "w") as f:
+            f.write("")  # marker IS the commit point, written last
+        return pd.DataFrame({by: [value], "rows": [np.int64(len(df))]})
 
-    written = ds.groupby("part").map_groups(write_group, batch_format="pandas") \
+    written = ds.groupby(by).map_groups(write_group, batch_format="pandas") \
         .to_pandas()
-    return {
-        "written": {int(r["part"]): int(r["rows"]) for _, r in written.iterrows()}
-        if len(written.columns) else {},
-        "skipped": sorted(done),
-    }
+    if not len(written.columns):
+        return {}
+    return dict(zip(written[by].astype(str), written["rows"].astype(int)))
+
+
+def read_partitioned(out_dir: str, by: str, values=None):
+    """Read back with PHYSICAL pruning: only the requested ``{by}={value}``
+    directories' files are opened (none of the others' bytes move).  Only
+    committed partitions are visible — an uncommitted (crashed) partition
+    directory is ignored."""
+    keys = sorted(committed_keys(out_dir, by))
+    if values is not None:
+        want = {str(v) for v in values}
+        keys = [k for k in keys if k in want]
+    files = [os.path.join(_part_dir(out_dir, by, k), "part-00000.parquet")
+             for k in keys]
+    if not files:
+        raise FileNotFoundError(
+            f"no committed partitions for {by} in {out_dir}")
+    return ray.data.read_parquet(files)

@@ -138,3 +138,43 @@ def test_process_folder_recursive(tmp_path):
     assert (dst2 / "sub" / "nested.parquet").exists()
     out = pq.read_table(dst2 / "sub" / "nested.parquet").to_pandas()
     assert "WM_NAME" not in " ".join(out["text"].fillna(""))
+
+
+def test_partitioned_sink_resume_and_pruning(sf_dir, tmp_path):
+    """write_partitioned commits per-partition _SUCCESS markers; a resumed
+    run skips committed partitions and rewrites ONLY missing ones; read-back
+    opens only requested (committed) directories."""
+    import os
+
+    import ray.data
+
+    from pdf_watermark_remover_ray.sinks.batch import (committed_keys,
+                                                       read_partitioned,
+                                                       write_partitioned)
+
+    out = str(tmp_path / "part_out")
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    first = write_partitioned(ds, out, by="lang")
+    assert set(first) == committed_keys(out, "lang") and len(first) >= 2
+
+    # simulate a crashed partition: kill one marker (+ its data)
+    victim = sorted(first)[0]
+    os.remove(f"{out}/lang={victim}/_SUCCESS")
+    os.remove(f"{out}/lang={victim}/part-00000.parquet")
+    second = write_partitioned(ds, out, by="lang")
+    assert set(second) == {victim}  # ONLY the uncommitted partition rewrote
+
+    # full resume: nothing pending
+    assert write_partitioned(ds, out, by="lang") == {}
+
+    # pruned read returns exactly the requested partitions' rows
+    got = read_partitioned(out, "lang", values=[victim]).to_pandas()
+    want = ds.to_pandas()
+    want = want[want["lang"].fillna("") == victim]
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+    got = Q.queries()["partitioned_roundtrip"](sf_dir)
+    want = duck_sql(sf_dir, Q.oracle_sql()["partitioned_roundtrip"],
+                    tables=("documents",))
+    assert_frames_match(got, want)
