@@ -414,6 +414,7 @@ def queries() -> dict:
         "top_bigrams": text.top_bigrams,
         "rarest_terms": text.rarest_terms,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "unigram_surprisal": text.unigram_surprisal,
         "contamination_flags": text.contamination_flags,
         "bag_dedup": text.bag_dedup,
         "json_extract_events": text.json_extract_events,
@@ -973,6 +974,7 @@ def oracle_sql() -> dict:
             SELECT doc_id, coalesce(lang, '') AS lang
             FROM documents WHERE coalesce(lang, '') IN ('en', 'fr')""",
         "tfidf_top_terms": text.tfidf_top_terms_oracle_sql(),
+        "unigram_surprisal": text.unigram_surprisal_oracle_sql(),
         "source_mix_weights": text.source_mix_weights_oracle_sql(),
         "doc_length_buckets": text.doc_length_buckets_oracle_sql(),
         "conversation_docs": f"""{t}

@@ -477,6 +477,78 @@ def tfidf_top_terms_oracle_sql(k: int = 3) -> str:
         FROM ranked WHERE rank <= {k}"""
 
 
+def unigram_surprisal(sf_dir: str):
+    """Per-document mean unigram surprisal ``-mean(ln(count(tok)/total))``
+    — the corpus-LM perplexity proxy used as a quality / outlier signal in
+    training-data filtering (a document of globally-rare tokens scores
+    high; boilerplate scores low).
+
+    Same computed-statistic broadcast shape as :func:`rarest_terms`: the
+    vocabulary-bounded unigram count table aggregates once (shuffle moves
+    one row per distinct token per batch), broadcasts via ``ray.put``, and
+    every batch scores its own docs with one reindex + grouped mean.  Docs
+    with no tokens are absent (no LM evidence), matching the oracle join."""
+    import pyarrow as pa
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def cnt_partial(df: pd.DataFrame) -> pa.Table:
+        toks = _token_lists(df["text"])
+        ex = toks.explode().dropna()
+        vc = ex.value_counts()
+        return pa.table({"term": pa.array(vc.index.astype(str)),
+                         "partial_n": pa.array(vc.to_numpy(np.int64))})
+
+    cnts = ds.map_batches(cnt_partial, batch_format="pandas") \
+        .groupby("term").aggregate(Sum("partial_n", alias_name="n")) \
+        .to_pandas()
+    total = int(cnts["n"].sum())
+    ref = ray.put(pd.Series(cnts["n"].to_numpy(np.int64),
+                            index=cnts["term"].to_numpy()))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        cmap = _ray.get(ref)
+        toks = _token_lists(df["text"])
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "n_tokens": pd.Series([], dtype=np.int64),
+                                 "surprisal": pd.Series([], dtype=float)})
+        logp = np.log(cmap.reindex(ex.to_numpy()).to_numpy(np.float64)
+                      / total)
+        g = pd.DataFrame({"doc_id": df["doc_id"].reindex(ex.index).to_numpy(),
+                          "logp": logp}) \
+            .groupby("doc_id", sort=False)["logp"].agg(["size", "mean"]) \
+            .reset_index()
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "n_tokens": g["size"].to_numpy(np.int64),
+                             "surprisal": round_half_away(-g["mean"], 6)})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def unigram_surprisal_oracle_sql() -> str:
+    return """
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                x -> x <> '')) AS term
+            FROM documents),
+        cnt AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+        tot AS (SELECT count(*) AS t FROM toks)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(-avg(ln(cnt.n / tot.t)), 6) AS surprisal
+        FROM toks JOIN cnt USING (term) CROSS JOIN tot
+        GROUP BY doc_id"""
+
+
 def json_extract_events(sf_dir: str):
     """Typed field extraction from the JSON ``props`` column of events
     (semi-structured ingestion staple): ``(event_id, k)`` with ``k`` the

