@@ -319,20 +319,21 @@ def q_partitioned_roundtrip(sf_dir: str, langs=("en", "fr")):
     """Resumable batch sink round-trip: documents written hive-partitioned
     by lang (per-partition _SUCCESS commit markers), then read back with
     PHYSICAL pruning — only the requested lang directories are opened
-    (sinks/batch.write_partitioned / read_partitioned)."""
+    (sinks/batch.write_hive_partitioned / read_hive_partitioned)."""
     import shutil
     import tempfile
 
     import ray.data
 
-    from ..sinks.batch import read_partitioned, write_partitioned
+    from ..sinks.batch import (read_hive_partitioned,
+                               write_hive_partitioned)
 
     work = tempfile.mkdtemp(prefix="pwr_part_")
     try:
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                    columns=["doc_id", "lang"])
-        write_partitioned(ds, work, by="lang")
-        out = read_partitioned(work, "lang", values=langs) \
+        write_hive_partitioned(ds, work, by="lang")
+        out = read_hive_partitioned(work, "lang", values=langs) \
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         return out[["doc_id", "lang"]]
     finally:

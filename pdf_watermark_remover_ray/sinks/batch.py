@@ -1,29 +1,97 @@
-"""Resumable partitioned BATCH sink (the batch counterpart of
-:mod:`.parquet`'s epoch sink, and the "resumable output" discipline a
-100 TB run needs: one directory per key partition, a write-once ``_SUCCESS``
-marker per partition, and a resume that SKIPS finished partitions entirely).
+"""Resumable partitioned Parquet output for BATCH pipelines.
 
-Layout::
+The streaming engine's epoch sink already gives exactly-once output for the
+stream; this is the batch analog the 100 TB brief asks for ("write
+partitioned Parquet — one directory per input shard / key range — so a
+failed run can skip finished partitions; never one giant file"):
 
-    out/
-      {by}={value}/part-00000.parquet   (hive-style, prunable at read)
-      {by}={value}/_SUCCESS             (the commit point, written LAST)
+- the Dataset is hash-partitioned on a key column (or an explicit partition
+  column already present);
+- each partition writes ``part={p}/data.parquet`` through a staging name,
+  then an atomic rename publishes it — presence of the final file IS the
+  done marker (the reference's write-once marker idiom,
+  ``ui/dialog_windows.py:31-35``);
+- a rerun lists the finished partitions, prunes them from the Dataset with a
+  vectorized filter, and writes only the missing ones.
 
-Write topology: distinct keys come from a tiny per-batch-partial aggregate;
-already-committed keys are dropped BEFORE the shuffle (a resumed run moves
-only the unfinished partitions' rows); each pending partition is then one
-``groupby(by).map_groups`` task that writes its own directory — staging file
-→ ``os.replace`` → marker, so a crash mid-write never leaves a partition
-that claims to be complete.  Readers prune physically: only the requested
-``{by}={value}`` directories are opened.
+Writes happen INSIDE map_groups workers (cluster-side); the driver only sees
+per-partition row counts.
 """
 
 from __future__ import annotations
 
 import os
 
-import numpy as np
 import pandas as pd
+
+from ..stages.partition import add_partition_column
+
+
+def _final_path(out_dir: str, part: int) -> str:
+    return os.path.join(out_dir, f"part={part}", "data.parquet")
+
+
+def finished_partitions(out_dir: str) -> set[int]:
+    if not os.path.isdir(out_dir):
+        return set()
+    done = set()
+    for d in os.listdir(out_dir):
+        if d.startswith("part=") and os.path.exists(
+                os.path.join(out_dir, d, "data.parquet")):
+            done.add(int(d.split("=", 1)[1]))
+    return done
+
+
+def write_partitioned(ds, out_dir: str, key: str = "conv_id",
+                      num_partitions: int = 64) -> dict:
+    """Write ``ds`` as ``out_dir/part={p}/data.parquet`` (one file per hash
+    partition of ``key``), skipping partitions already published by an
+    earlier (possibly crashed) run.  Returns
+    ``{"written": {part: rows}, "skipped": [parts]}``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = finished_partitions(out_dir)
+    ds = add_partition_column(ds, key=key, num_partitions=num_partitions)
+    if done:
+        done_arr = np.fromiter(done, dtype=np.int64)
+
+        def prune(t: pa.Table) -> pa.Table:
+            mask = ~np.isin(t["part"].to_numpy(zero_copy_only=False), done_arr)
+            return t.filter(pa.array(mask))
+
+        ds = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+
+    def write_group(df: pd.DataFrame) -> pd.DataFrame:
+        part = int(df["part"].iloc[0])
+        final = _final_path(out_dir, part)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        staging = final + ".staging"
+        body = df.drop(columns=["part"]).sort_values(
+            [c for c in (key,) if c in df.columns], kind="mergesort")
+        pq.write_table(pa.Table.from_pandas(body, preserve_index=False), staging)
+        os.replace(staging, final)  # atomic publish == done marker
+        return pd.DataFrame({"part": [part], "rows": [len(df)]})
+
+    written = ds.groupby("part").map_groups(write_group, batch_format="pandas") \
+        .to_pandas()
+    return {
+        "written": {int(r["part"]): int(r["rows"]) for _, r in written.iterrows()}
+        if len(written.columns) else {},
+        "skipped": sorted(done),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Hive-style KEY-VALUE partitioning (the second layout the brief asks for:
+# one directory per key range, prunable at read).  The hash-shard sink above
+# bounds partition count; this one follows a semantic column, carries a
+# separate _SUCCESS marker per partition (an empty partition is still
+# committable), and pairs with a pruned reader.
+# ---------------------------------------------------------------------------
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -52,7 +120,7 @@ def committed_keys(out_dir: str, by: str) -> set:
     return out
 
 
-def write_partitioned(ds, out_dir: str, by: str = "lang") -> dict:
+def write_hive_partitioned(ds, out_dir: str, by: str = "lang") -> dict:
     """Write ``ds`` as hive-partitioned parquet with per-partition commit
     markers; SKIP partitions already committed (resume).  ``by`` values are
     coalesced to ``""`` (null-safe, matches the samplers' convention) and
@@ -102,7 +170,7 @@ def write_partitioned(ds, out_dir: str, by: str = "lang") -> dict:
     return dict(zip(written[by].astype(str), written["rows"].astype(int)))
 
 
-def read_partitioned(out_dir: str, by: str, values=None):
+def read_hive_partitioned(out_dir: str, by: str, values=None):
     """Read back with PHYSICAL pruning: only the requested ``{by}={value}``
     directories' files are opened (none of the others' bytes move).  Only
     committed partitions are visible — an uncommitted (crashed) partition

@@ -141,35 +141,34 @@ def test_process_folder_recursive(tmp_path):
 
 
 def test_partitioned_sink_resume_and_pruning(sf_dir, tmp_path):
-    """write_partitioned commits per-partition _SUCCESS markers; a resumed
+    """write_hive_partitioned commits per-partition _SUCCESS markers; a resumed
     run skips committed partitions and rewrites ONLY missing ones; read-back
     opens only requested (committed) directories."""
     import os
 
     import ray.data
 
-    from pdf_watermark_remover_ray.sinks.batch import (committed_keys,
-                                                       read_partitioned,
-                                                       write_partitioned)
+    from pdf_watermark_remover_ray.sinks.batch import (
+        committed_keys, read_hive_partitioned, write_hive_partitioned)
 
     out = str(tmp_path / "part_out")
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang"])
-    first = write_partitioned(ds, out, by="lang")
+    first = write_hive_partitioned(ds, out, by="lang")
     assert set(first) == committed_keys(out, "lang") and len(first) >= 2
 
     # simulate a crashed partition: kill one marker (+ its data)
     victim = sorted(first)[0]
     os.remove(f"{out}/lang={victim}/_SUCCESS")
     os.remove(f"{out}/lang={victim}/part-00000.parquet")
-    second = write_partitioned(ds, out, by="lang")
+    second = write_hive_partitioned(ds, out, by="lang")
     assert set(second) == {victim}  # ONLY the uncommitted partition rewrote
 
     # full resume: nothing pending
-    assert write_partitioned(ds, out, by="lang") == {}
+    assert write_hive_partitioned(ds, out, by="lang") == {}
 
     # pruned read returns exactly the requested partitions' rows
-    got = read_partitioned(out, "lang", values=[victim]).to_pandas()
+    got = read_hive_partitioned(out, "lang", values=[victim]).to_pandas()
     want = ds.to_pandas()
     want = want[want["lang"].fillna("") == victim]
     assert sorted(got["doc_id"]) == sorted(want["doc_id"])
