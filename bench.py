@@ -201,6 +201,14 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
           lambda: relational.cohort_retention(sf_dir).materialize())
     timed("doc_length_buckets",
           lambda: text.doc_length_buckets(sf_dir).materialize())
+    # round-3 additions
+    timed("q7_volume_shipping", lambda: relational.q7_volume_shipping(sf_dir))
+    timed("tfidf_top_terms",
+          lambda: text.tfidf_top_terms(sf_dir).materialize())
+    timed("label_centroids", lambda: similarity.label_centroids(sf_dir))
+    from pdf_watermark_remover_ray.pipelines.queries import q_cep_timeouts
+
+    timed("cep_timeouts", lambda: q_cep_timeouts(sf_dir).materialize())
 
     ray.shutdown()
     # host-condition stamp: 32-way burn-probe parallel speedup (healthy host
