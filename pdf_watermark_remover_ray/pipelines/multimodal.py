@@ -159,3 +159,67 @@ def multimodal_frames(sf_dir: str, every_n: int = 2, concurrency: int = 2,
                           fn_constructor_kwargs={"every_n": every_n},
                           batch_format="pandas", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+class PcmWindowEnergy:
+    """Actor-pool audio-feature stage with a REAL decode (unlike the
+    PIL-gated image stages): the payload bytes are interpreted as
+    little-endian int16 PCM via a zero-copy ``np.frombuffer`` view — no
+    external audio lib needed — and each fixed ``window``-sample window
+    emits one row of (rms, peak) energy features, the VAD/loudness
+    primitive of an audio data pipeline.
+
+    A trailing odd byte is dropped (not a full sample); the final partial
+    window is averaged over its true sample count.  Per-window sums are one
+    ``np.add.reduceat`` over the squared signal — the per-row loop touches
+    payload OBJECTS only (large binary rows, small batches — same shape as
+    :class:`FrameSampler`), never samples."""
+
+    def __init__(self, window: int = 256) -> None:
+        if window < 1:
+            raise ValueError("window must be >= 1")
+        self.window = window
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        w = self.window
+        docs, widx, ns, rms, peak = [], [], [], [], []
+        for doc, b in zip(batch["doc_id"].to_numpy(np.int64),
+                          batch["payload"]):
+            x = np.frombuffer(b[:len(b) // 2 * 2], dtype="<i2")
+            if not len(x):
+                continue
+            bounds = np.arange(0, len(x), w, dtype=np.int64)
+            sq = x.astype(np.float64) ** 2
+            sums = np.add.reduceat(sq, bounds)
+            counts = np.diff(np.append(bounds, len(x)))
+            mx = np.maximum.reduceat(np.abs(x.astype(np.int64)), bounds)
+            docs.append(np.full(len(bounds), doc, dtype=np.int64))
+            widx.append(np.arange(len(bounds), dtype=np.int64))
+            ns.append(counts)
+            rms.append(np.sqrt(sums / counts))
+            peak.append(mx)
+        if not docs:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "window_idx": pd.Series([], dtype=np.int64),
+                "n_samples": pd.Series([], dtype=np.int64),
+                "rms": pd.Series([], dtype=float),
+                "peak": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "doc_id": np.concatenate(docs),
+            "window_idx": np.concatenate(widx),
+            "n_samples": np.concatenate(ns),
+            "rms": np.round(np.concatenate(rms), 6),
+            "peak": np.concatenate(peak)})
+
+
+def audio_window_energy(sf_dir: str, window: int = 256, concurrency: int = 2,
+                        batch_size: int = 256):
+    """payloads → actor-pool PCM windowed energy (REAL binary decode; no
+    SQL oracle — DuckDB cannot view a BLOB as int16 — so the gate is the
+    numpy brute-force golden in tests, like scrub_full's span surgery)."""
+    ds = payloads_from_documents(sf_dir)
+    return ds.map_batches(PcmWindowEnergy,
+                          fn_constructor_kwargs={"window": window},
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=concurrency)

@@ -432,6 +432,8 @@ def queries() -> dict:
         .select_columns(["doc_id", "n_bytes", "checksum", "width", "height"]),
         "multimodal_frames": lambda sf: multimodal.multimodal_frames(sf)
         .select_columns(["doc_id", "frame_idx", "frame_len"]),
+        # REAL binary decode (int16 PCM view) — non-SQL, numpy-golden-tested
+        "audio_window_energy": multimodal.audio_window_energy,
     }
 
 

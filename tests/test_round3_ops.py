@@ -189,3 +189,31 @@ def test_unigram_surprisal_matches_sql_and_ordering(sf_dir):
                     tables=("documents",))
     assert_frames_match(got, want)
     assert (got["surprisal"] > 0).all()
+
+
+def test_audio_window_energy_bruteforce(sf_dir):
+    """PCM windowed energy vs a plain-numpy reference on the same payloads
+    (real binary decode — the non-SQL gate for audio_window_energy)."""
+    from pdf_watermark_remover_ray.pipelines.multimodal import (
+        audio_window_energy, payloads_from_documents)
+
+    W = 64
+    got = audio_window_energy(sf_dir, window=W).to_pandas() \
+        .sort_values(["doc_id", "window_idx"]).reset_index(drop=True)
+    pay = payloads_from_documents(sf_dir).to_pandas()
+    rows = []
+    for doc, b in zip(pay["doc_id"], pay["payload"]):
+        x = np.frombuffer(b[:len(b) // 2 * 2], dtype="<i2").astype(np.float64)
+        for i in range(0, len(x), W):
+            seg = x[i:i + W]
+            rows.append((doc, i // W, len(seg),
+                         round(float(np.sqrt((seg ** 2).mean())), 6),
+                         int(np.abs(seg).max())))
+    want = pd.DataFrame(rows, columns=["doc_id", "window_idx", "n_samples",
+                                       "rms", "peak"]) \
+        .sort_values(["doc_id", "window_idx"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (got["n_samples"].to_numpy() == want["n_samples"].to_numpy()).all()
+    assert np.allclose(got["rms"], want["rms"], atol=1e-6)
+    assert (got["peak"].to_numpy() == want["peak"].to_numpy()).all()
