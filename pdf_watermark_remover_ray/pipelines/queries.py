@@ -378,6 +378,7 @@ def queries() -> dict:
         "moving_revenue_sum": relational.moving_revenue_sum,
         "order_priority_rollup": relational.order_priority_rollup,
         "order_priority_cube": relational.order_priority_cube,
+        "orders_global_rank": relational.orders_global_rank,
         "user_event_pivot": relational.user_event_pivot,
         "prev_order_gap": relational.prev_order_gap,
         "running_revenue": relational.running_revenue,
@@ -879,6 +880,7 @@ def oracle_sql() -> dict:
             WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
             GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
         "q7_volume_shipping": relational.q7_volume_shipping_oracle_sql(),
+        "orders_global_rank": relational.orders_global_rank_oracle_sql(),
         "user_event_pivot": """
             SELECT user_id,
                    count(*) FILTER (event_type = 'click') AS n_click,

@@ -217,3 +217,19 @@ def test_audio_window_energy_bruteforce(sf_dir):
     assert (got["n_samples"].to_numpy() == want["n_samples"].to_numpy()).all()
     assert np.allclose(got["rms"], want["rms"], atol=1e-6)
     assert (got["peak"].to_numpy() == want["peak"].to_numpy()).all()
+
+
+def test_orders_global_rank_matches_sql_and_bucket_invariance(sf_dir):
+    """Total-order row numbers via range-bucket prefix counts equal the SQL
+    ROW_NUMBER, and are invariant to the bucket count (the partitioning is
+    an implementation detail, not a semantics knob)."""
+    from pdf_watermark_remover_ray.pipelines.relational import orders_global_rank
+
+    got = orders_global_rank(sf_dir).to_pandas()
+    want = duck_sql(sf_dir, Q.oracle_sql()["orders_global_rank"],
+                    tables=("orders",))
+    assert_frames_match(got, want)
+    few = orders_global_rank(sf_dir, num_buckets=3).to_pandas()
+    a = got.sort_values("o_orderkey").reset_index(drop=True)
+    b = few.sort_values("o_orderkey").reset_index(drop=True)
+    assert (a["rn"].to_numpy() == b["rn"].to_numpy()).all()
