@@ -388,6 +388,13 @@ def orders_global_rank(sf_dir: str, num_buckets: int = 16):
     targets = (np.arange(1, num_buckets) * total) // num_buckets
     cut_idx = np.searchsorted(cum, targets, side="left")
     cuts = np.unique(dates["d_us"].to_numpy(np.int64)[cut_idx])
+    # per-bucket totals + exclusive prefix offsets DERIVE from the per-date
+    # counts already on the driver — no second counting pass over the data
+    date_bucket = np.searchsorted(cuts, dates["d_us"].to_numpy(np.int64),
+                                  side="left")
+    totals = np.bincount(date_bucket, weights=dates["n"].to_numpy(np.int64),
+                         minlength=len(cuts) + 1).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
     cuts_ref = ray.put(cuts)
 
     def bucketed(df: pd.DataFrame) -> pd.DataFrame:
@@ -397,21 +404,7 @@ def orders_global_rank(sf_dir: str, num_buckets: int = 16):
                                        side="left").astype(np.int64)
         return df
 
-    bd = base.map_batches(bucketed, batch_format="pandas").materialize()
-
-    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["bucket"].value_counts()
-        return pd.DataFrame({"bucket": vc.index.to_numpy(np.int64),
-                             "partial_n": vc.to_numpy(np.int64)})
-
-    nb = len(cuts) + 1
-    per_bucket = bd.map_batches(bucket_partial, batch_format="pandas") \
-        .groupby("bucket").aggregate(Sum("partial_n", alias_name="n")) \
-        .to_pandas()
-    totals = np.zeros(nb + 1, np.int64)
-    totals[per_bucket["bucket"].to_numpy(np.int64)] = \
-        per_bucket["n"].to_numpy(np.int64)
-    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    bd = base.map_batches(bucketed, batch_format="pandas")
 
     def enumerate_bucket(df: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort((df["o_orderkey"].to_numpy(np.int64),
