@@ -89,7 +89,12 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10,
         f"{sf_dir}/customer.parquet", columns=["c_custkey"],
         filter=pc.equal(pc.field("c_mktsegment"), segment))
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    if cust.count() <= broadcast_threshold:
+    # guard on the UNFILTERED customer row count — a parquet-metadata read,
+    # no scan (the filtered segment set can only be smaller, so the guard is
+    # conservative); counting the filtered set would cost a full execution
+    n_customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]).count()
+    if n_customers <= broadcast_threshold:
         # the tiny key set broadcasts once
         keys_ref = ray.put(cust.to_pandas()["c_custkey"].to_numpy(np.int64))
 
