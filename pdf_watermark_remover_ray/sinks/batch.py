@@ -126,7 +126,13 @@ def write_hive_partitioned(ds, out_dir: str, by: str = "lang") -> dict:
     coalesced to ``""`` (null-safe, matches the samplers' convention) and
     rendered into directory names — callers with arbitrary-string keys
     should pre-sanitize.  Returns ``{key: rows_written}`` for THIS run
-    (committed-and-skipped partitions are absent)."""
+    (committed-and-skipped partitions are absent).
+
+    Skew caveat: one ``map_groups`` task materializes ONE key's rows — a
+    dominant key (e.g. ``lang=en`` at 90% of a web corpus) makes that task's
+    heap the bound.  For balanced output under arbitrary skew use the
+    hash-shard sink above (``write_partitioned``), or pre-split the heavy
+    key into ``{key}__{i}`` sub-keys before calling this."""
     from ray.data.aggregate import Sum
 
     os.makedirs(out_dir, exist_ok=True)
