@@ -376,6 +376,7 @@ def queries() -> dict:
         "events_quantiles": relational.events_quantiles,
         "events_quantiles_cont": relational.events_quantiles_cont,
         "moving_revenue_sum": relational.moving_revenue_sum,
+        "events_range_sum": relational.events_range_sum,
         "order_priority_rollup": relational.order_priority_rollup,
         "order_priority_cube": relational.order_priority_cube,
         "orders_global_rank": relational.orders_global_rank,
@@ -881,6 +882,7 @@ def oracle_sql() -> dict:
             GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
         "q7_volume_shipping": relational.q7_volume_shipping_oracle_sql(),
         "orders_global_rank": relational.orders_global_rank_oracle_sql(),
+        "events_range_sum": relational.events_range_sum_oracle_sql(),
         "user_event_pivot": """
             SELECT user_id,
                    count(*) FILTER (event_type = 'click') AS n_click,

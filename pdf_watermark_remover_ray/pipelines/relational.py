@@ -513,6 +513,56 @@ def moving_revenue_sum(sf_dir: str, window: int = 3, num_partitions: int = 16):
     return ds.groupby("part").map_groups(roll, batch_format="pandas")
 
 
+def events_range_sum(sf_dir: str, window_us: int = 86_400_000_000,
+                     num_partitions: int = 16):
+    """Time-based RANGE-frame window aggregate: per event, the sum of the
+    user's ``value`` over the trailing ``window_us`` of EVENT time
+    (``RANGE BETWEEN w PRECEDING AND CURRENT ROW`` — the frame class the
+    ROWS-based :func:`moving_revenue_sum` cannot express; sliding-window
+    billing/rate metrics live here).
+
+    One user-hash shuffle, then a vectorized time-window rolling sum per
+    partition.  RANGE peer semantics (equal timestamps share one frame that
+    includes ALL peers) are made exact by aggregating per DISTINCT
+    (user, ts) first — pandas' time rolling would otherwise exclude later
+    peers — and merging the frame value back to every event row."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ds = add_partition_column(ds, key="user_id",
+                              num_partitions=num_partitions)
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["user_id"])
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                             "ts_us": ts_us,
+                             "value": df["value"].to_numpy(np.float64),
+                             "event_id": df["event_id"].to_numpy(np.int64)})
+        # RANGE peers: collapse to distinct (user, ts) so every peer row
+        # sees the full same-timestamp frame
+        g = base.groupby(["user_id", "ts_us"], as_index=False)["value"].sum() \
+            .sort_values(["user_id", "ts_us"], kind="mergesort")
+        idx = pd.to_datetime(g["ts_us"], unit="us")
+        s = g.set_index(idx).groupby("user_id")["value"] \
+            .rolling(pd.Timedelta(microseconds=window_us), closed="both") \
+            .sum().reset_index(drop=True)
+        g["range_sum"] = round_half_away(s.to_numpy(np.float64), 2)
+        out = base.merge(g[["user_id", "ts_us", "range_sum"]],
+                         on=["user_id", "ts_us"], how="left")
+        return out[["event_id", "user_id", "range_sum"]]
+
+    return ds.groupby("part").map_groups(roll, batch_format="pandas")
+
+
+def events_range_sum_oracle_sql(window_us: int = 86_400_000_000) -> str:
+    return f"""
+        SELECT event_id, user_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN {window_us} PRECEDING AND CURRENT ROW), 2)
+                   AS range_sum
+        FROM events WHERE user_id IS NOT NULL"""
+
+
 def customers_without_urgent_orders(sf_dir: str, num_partitions: int = 16,
                                     priority: str = "1-URGENT"):
     """ANTI join: customers who never placed an order of the given priority

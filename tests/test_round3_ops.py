@@ -233,3 +233,36 @@ def test_orders_global_rank_matches_sql_and_bucket_invariance(sf_dir):
     a = got.sort_values("o_orderkey").reset_index(drop=True)
     b = few.sort_values("o_orderkey").reset_index(drop=True)
     assert (a["rn"].to_numpy() == b["rn"].to_numpy()).all()
+
+
+def test_events_range_sum_matches_sql_and_peer_semantics(sf_dir):
+    """Time-RANGE window sum vs SQL, plus planted equal-timestamp peers:
+    every peer row must see the FULL same-timestamp frame (the divergence a
+    naive pandas time-rolling would introduce)."""
+    import ray.data
+
+    from pdf_watermark_remover_ray.pipelines.relational import events_range_sum
+
+    got = Q.queries()["events_range_sum"](sf_dir).to_pandas()
+    want = duck_sql(sf_dir, Q.oracle_sql()["events_range_sum"],
+                    tables=("events",))
+    assert_frames_match(got, want)
+
+    base = pd.Timestamp("2024-01-01").value // 1000
+    df = pd.DataFrame({
+        "event_id": np.int64([1, 2, 3, 4]),
+        "user_id": np.int64([7, 7, 7, 7]),
+        # two peers at t0, one inside the window, one outside
+        "ts": pd.to_datetime([base, base, base + 500, base + 2_000],
+                             unit="us"),
+        "value": [1.0, 2.0, 4.0, 8.0],
+    })
+    t = tempfile_dir = None
+    import pyarrow as pa_, tempfile, pyarrow.parquet as pq_
+    d = tempfile.mkdtemp()
+    pq_.write_table(pa_.Table.from_pandas(df, preserve_index=False),
+                    f"{d}/events.parquet")
+    out = events_range_sum(d, window_us=1_000, num_partitions=2) \
+        .to_pandas().sort_values("event_id")
+    # both peers at t0 see 1+2=3; t0+500 sees 1+2+4=7; t0+2000 sees only 8
+    assert out["range_sum"].tolist() == [3.0, 3.0, 7.0, 8.0]
