@@ -145,34 +145,45 @@ def absence_matches(ds, within_us: int, num_partitions: int = 16,
     fire the timeout)."""
 
     def match_partition(df: pd.DataFrame) -> pd.DataFrame:
-        u = df[df["role"] == trigger]
-        if not len(u):
-            return pd.DataFrame(_EMPTY_ABSENCE)
-        lu = pd.DataFrame({"conv_id": u["conv_id"].to_numpy(),
-                           "ts_us": ts_us_series(u["ts"]),
-                           "turn_idx": u["turn_idx"].to_numpy(np.int32)}) \
-            .sort_values("ts_us", kind="mergesort")
-        a = df[df["role"] == expected]
-        if len(a):
-            ra = pd.DataFrame({"conv_id": a["conv_id"].to_numpy(),
-                               "a_ts_us": ts_us_series(a["ts"])}) \
-                .sort_values("a_ts_us", kind="mergesort")
-            m = pd.merge_asof(lu, ra, left_on="ts_us", right_on="a_ts_us",
-                              by="conv_id", direction="forward")
-            timeout = m["a_ts_us"].isna().to_numpy() \
-                | (m["a_ts_us"].to_numpy() - m["ts_us"].to_numpy()
-                   > within_us)
-        else:
-            m, timeout = lu, np.ones(len(lu), dtype=bool)
-        out = m[timeout]
-        return pd.DataFrame({
-            "conv_id": out["conv_id"].to_numpy(),
-            "turn_idx": out["turn_idx"].to_numpy(np.int32),
-            "deadline_us": (out["ts_us"].to_numpy(np.int64) + within_us),
-        })
+        return absence_scan(df, within_us, trigger=trigger, expected=expected)
 
     return partitioned_map(ds, match_partition, key="conv_id",
                            num_partitions=num_partitions)
+
+
+def absence_scan(df: pd.DataFrame, within_us: int, *, trigger: str = "user",
+                 expected: str = "assistant") -> pd.DataFrame:
+    """The pure per-partition kernel behind :func:`absence_matches` (exposed
+    like :func:`sequence_scan` / :func:`kleene_scan` so the property tests
+    can drive it directly): forward merge_asof to the next expected-turn ts
+    per conversation, one threshold compare."""
+    from .windows import ts_us_series
+
+    u = df[df["role"] == trigger]
+    if not len(u):
+        return pd.DataFrame(_EMPTY_ABSENCE)
+    lu = pd.DataFrame({"conv_id": u["conv_id"].to_numpy(),
+                       "ts_us": ts_us_series(u["ts"]),
+                       "turn_idx": u["turn_idx"].to_numpy(np.int32)}) \
+        .sort_values("ts_us", kind="mergesort")
+    a = df[df["role"] == expected]
+    if len(a):
+        ra = pd.DataFrame({"conv_id": a["conv_id"].to_numpy(),
+                           "a_ts_us": ts_us_series(a["ts"])}) \
+            .sort_values("a_ts_us", kind="mergesort")
+        m = pd.merge_asof(lu, ra, left_on="ts_us", right_on="a_ts_us",
+                          by="conv_id", direction="forward")
+        timeout = m["a_ts_us"].isna().to_numpy() \
+            | (m["a_ts_us"].to_numpy() - m["ts_us"].to_numpy()
+               > within_us)
+    else:
+        m, timeout = lu, np.ones(len(lu), dtype=bool)
+    out = m[timeout]
+    return pd.DataFrame({
+        "conv_id": out["conv_id"].to_numpy(),
+        "turn_idx": out["turn_idx"].to_numpy(np.int32),
+        "deadline_us": (out["ts_us"].to_numpy(np.int64) + within_us),
+    })
 
 
 def kleene_scan(conv: np.ndarray, role: np.ndarray, tix: np.ndarray,

@@ -334,3 +334,36 @@ def test_cohort_and_decontaminate_partition_invariance(sf_dir):
     a = norm(decontaminate_split(sf_dir, num_partitions=2))
     b = norm(decontaminate_split(sf_dir, num_partitions=17))
     pd.testing.assert_frame_equal(a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 2),          # conv
+              st.sampled_from(["user", "assistant", "tool"]),
+              st.integers(0, 40)),        # ts (small domain forces ties)
+    max_size=24),
+    st.integers(1, 10))                    # window
+def test_absence_scan_matches_bruteforce(rows, within):
+    """CEP negation kernel vs the NOT-EXISTS brute force on random small
+    streams with heavy timestamp ties and cross-conversation traffic."""
+    from pdf_watermark_remover_ray.stages.cep import absence_scan
+
+    df = pd.DataFrame({
+        "conv_id": [f"c{c}" for c, _, _ in rows],
+        "turn_idx": np.arange(len(rows), dtype=np.int32),
+        "role": [r for _, r, _ in rows],
+        "ts": pd.to_datetime([t for _, _, t in rows], unit="us"),
+    })
+    got = absence_scan(df, within)
+    got_set = set(zip(got["conv_id"], got["turn_idx"]))
+    want = set()
+    for i, (c, r, t) in enumerate(rows):
+        if r != "user":
+            continue
+        cleared = any(c2 == c and r2 == "assistant" and t <= t2 <= t + within
+                      for (c2, r2, t2) in rows)
+        if not cleared:
+            want.add((f"c{c}", i))
+    assert got_set == want
+    for _, row in got.iterrows():
+        assert row["deadline_us"] == rows[int(row["turn_idx"])][2] + within
