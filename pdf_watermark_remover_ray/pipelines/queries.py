@@ -418,6 +418,8 @@ def queries() -> dict:
         "rarest_terms": text.rarest_terms,
         "tfidf_top_terms": text.tfidf_top_terms,
         "unigram_surprisal": text.unigram_surprisal,
+        "vocab_top_tokens": text.vocab_top_tokens,
+        "tokenize_docs": text.tokenize_docs,
         "contamination_flags": text.contamination_flags,
         "bag_dedup": text.bag_dedup,
         "json_extract_events": text.json_extract_events,
@@ -982,6 +984,8 @@ def oracle_sql() -> dict:
             FROM documents WHERE coalesce(lang, '') IN ('en', 'fr')""",
         "tfidf_top_terms": text.tfidf_top_terms_oracle_sql(),
         "unigram_surprisal": text.unigram_surprisal_oracle_sql(),
+        "vocab_top_tokens": text.vocab_top_tokens_oracle_sql(),
+        "tokenize_docs": text.tokenize_docs_oracle_sql(),
         "source_mix_weights": text.source_mix_weights_oracle_sql(),
         "doc_length_buckets": text.doc_length_buckets_oracle_sql(),
         "conversation_docs": f"""{t}

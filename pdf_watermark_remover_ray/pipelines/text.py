@@ -549,6 +549,104 @@ def unigram_surprisal_oracle_sql() -> str:
         GROUP BY doc_id"""
 
 
+def vocab_top_tokens(sf_dir: str, vocab_size: int = 1000):
+    """Vocabulary construction (tokenizer-training step): the ``vocab_size``
+    most frequent whitespace tokens with dense 0-based ids, ranked by
+    (count desc, token asc) — an integer-exact order, so the id assignment
+    is deterministic and SQL-replayable.
+
+    Shuffle = one vocabulary-bounded count aggregate (distinct tokens per
+    batch move, never occurrences); the top-V cut runs on the aggregated
+    table.  At web scale the aggregate is the same shape as top_bigrams —
+    block-local partials then a token-keyed merge."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = _token_lists(df["text"]).explode().dropna().value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "partial_n": vc.to_numpy(np.int64)})
+
+    cnts = ds.map_batches(cnt_partial, batch_format="pandas") \
+        .groupby("token").aggregate(Sum("partial_n", alias_name="n")) \
+        .to_pandas()
+    cnts = cnts.sort_values(["n", "token"], ascending=[False, True],
+                            kind="mergesort").head(vocab_size) \
+        .reset_index(drop=True)
+    cnts["token_id"] = np.arange(len(cnts), dtype=np.int64)
+    return cnts[["token_id", "token", "n"]]
+
+
+def vocab_top_tokens_oracle_sql(vocab_size: int = 1000) -> str:
+    return f"""
+        WITH tk AS (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                x -> x <> '')) AS token
+            FROM documents),
+        cnt AS (SELECT token, count(*) AS n FROM tk GROUP BY token)
+        SELECT row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS token_id,
+               token, n
+        FROM cnt ORDER BY n DESC, token ASC LIMIT {vocab_size}"""
+
+
+def tokenize_docs(sf_dir: str, vocab_size: int = 1000):
+    """Tokenizer ENCODE: every document's whitespace tokens mapped to the
+    :func:`vocab_top_tokens` ids in order (OOV → -1), emitted as a
+    space-joined id string (a stable, hashable serialization of the id
+    sequence — the doc→token-ids step before sequence packing).
+
+    The vocab (≤ vocab_size rows) broadcasts via ``ray.put``; each batch
+    explodes its own tokens with positions and joins locally — corpus text
+    never shuffles.  Docs with no tokens are absent (nothing to encode)."""
+    import ray
+
+    vocab = vocab_top_tokens(sf_dir, vocab_size)
+    ref = ray.put(pd.Series(vocab["token_id"].to_numpy(np.int64),
+                            index=vocab["token"].to_numpy()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        vmap = _ray.get(ref)
+        ex = _token_lists(df["text"]).explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "n_tokens": pd.Series([], dtype=np.int64),
+                                 "ids": pd.Series([], dtype=str)})
+        ids = vmap.reindex(ex.to_numpy()).fillna(-1).astype(np.int64)
+        g = pd.DataFrame({"doc_id": df["doc_id"].reindex(ex.index).to_numpy(),
+                          "id_str": ids.to_numpy().astype(str)}) \
+            .groupby("doc_id", sort=False)["id_str"] \
+            .agg([("n_tokens", "size"), ("ids", " ".join)]).reset_index()
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "n_tokens": g["n_tokens"].to_numpy(np.int64),
+                             "ids": g["ids"].to_numpy()})
+
+    return ds.map_batches(encode, batch_format="pandas")
+
+
+def tokenize_docs_oracle_sql(vocab_size: int = 1000) -> str:
+    return f"""
+        WITH vocab AS ({vocab_top_tokens_oracle_sql(vocab_size)}),
+        toks AS (
+            SELECT doc_id, lst[i] AS term, i AS pos
+            FROM (SELECT doc_id, list_filter(
+                      regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                      x -> x <> '') AS lst FROM documents),
+                 UNNEST(generate_series(1, len(lst))) AS t(i))
+        SELECT doc_id, count(*) AS n_tokens,
+               string_agg(CAST(coalesce(v.token_id, -1) AS VARCHAR), ' '
+                          ORDER BY pos) AS ids
+        FROM toks LEFT JOIN vocab v ON v.token = toks.term
+        GROUP BY doc_id"""
+
+
 def json_extract_events(sf_dir: str):
     """Typed field extraction from the JSON ``props`` column of events
     (semi-structured ingestion staple): ``(event_id, k)`` with ``k`` the

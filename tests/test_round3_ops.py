@@ -266,3 +266,31 @@ def test_events_range_sum_matches_sql_and_peer_semantics(sf_dir):
         .to_pandas().sort_values("event_id")
     # both peers at t0 see 1+2=3; t0+500 sees 1+2+4=7; t0+2000 sees only 8
     assert out["range_sum"].tolist() == [3.0, 3.0, 7.0, 8.0]
+
+
+def test_tokenizer_encode_matches_sql_and_oov(sf_dir):
+    """Vocab build + encode vs SQL; a tiny vocab forces OOV (-1) ids and the
+    id sequence length always equals the doc's token count."""
+    from pdf_watermark_remover_ray.pipelines.text import (tokenize_docs,
+                                                          vocab_top_tokens)
+
+    got = tokenize_docs(sf_dir).to_pandas()
+    want = duck_sql(sf_dir, Q.oracle_sql()["tokenize_docs"],
+                    tables=("documents",))
+    assert_frames_match(got, want)
+    for _, r in got.head(20).iterrows():
+        assert len(r["ids"].split()) == r["n_tokens"]
+
+    vgot = vocab_top_tokens(sf_dir)
+    vwant = duck_sql(sf_dir, Q.oracle_sql()["vocab_top_tokens"],
+                     tables=("documents",))
+    assert_frames_match(vgot, vwant)
+    # ids are dense 0..V-1 in (count desc, token asc) order
+    assert vgot["token_id"].tolist() == list(range(len(vgot)))
+    assert (vgot["n"].to_numpy()[:-1] >= vgot["n"].to_numpy()[1:]).all()
+
+    tiny = tokenize_docs(sf_dir, vocab_size=3).to_pandas()
+    assert tiny["ids"].str.contains("-1").any()  # OOV really maps to -1
+    ids = np.concatenate([np.array(s.split(), dtype=np.int64)
+                          for s in tiny["ids"]])
+    assert ids.max() <= 2 and ids.min() == -1
