@@ -377,6 +377,8 @@ def queries() -> dict:
         "events_quantiles_cont": relational.events_quantiles_cont,
         "moving_revenue_sum": relational.moving_revenue_sum,
         "events_range_sum": relational.events_range_sum,
+        "users_with_events_and_orders":
+            relational.users_with_events_and_orders,
         "order_priority_rollup": relational.order_priority_rollup,
         "order_priority_cube": relational.order_priority_cube,
         "orders_global_rank": relational.orders_global_rank,
@@ -885,6 +887,8 @@ def oracle_sql() -> dict:
         "q7_volume_shipping": relational.q7_volume_shipping_oracle_sql(),
         "orders_global_rank": relational.orders_global_rank_oracle_sql(),
         "events_range_sum": relational.events_range_sum_oracle_sql(),
+        "users_with_events_and_orders":
+            relational.users_with_events_and_orders_oracle_sql(),
         "user_event_pivot": """
             SELECT user_id,
                    count(*) FILTER (event_type = 'click') AS n_click,

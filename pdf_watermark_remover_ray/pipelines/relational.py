@@ -513,6 +513,51 @@ def moving_revenue_sum(sf_dir: str, window: int = 3, num_partitions: int = 16):
     return ds.groupby("part").map_groups(roll, batch_format="pandas")
 
 
+def users_with_events_and_orders(sf_dir: str, num_partitions: int = 16):
+    """INTERSECT shape: distinct user ids present in BOTH the events stream
+    and the orders table (the set-op sibling of the anti join in
+    customers_without_urgent_orders).  Each side pre-distincts per batch
+    (shuffle moves at most one row per (key, batch)), then one keyed
+    co-location decides membership — never a row-level join of the raw
+    tables."""
+    import pyarrow as pa
+
+    from ..stages.partition import add_partition_column
+
+    def distinct_side(col: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = pd.unique(t[col].to_pandas().dropna())
+            return pa.table({"user_id": pa.array(ids.astype(np.int64)),
+                             "side": pa.array(
+                                 np.full(len(ids), side, np.int8))})
+        return fn
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"]) \
+        .map_batches(distinct_side("user_id", 0), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey"]) \
+        .map_batches(distinct_side("o_custkey", 1), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    u = add_partition_column(ev.union(od), key="user_id",
+                             num_partitions=num_partitions)
+
+    def intersect(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id")["side"].nunique()
+        return pd.DataFrame({"user_id": g.index[g == 2].to_numpy(np.int64)})
+
+    return u.groupby("part").map_groups(intersect, batch_format="pandas")
+
+
+def users_with_events_and_orders_oracle_sql() -> str:
+    return """
+        SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+        INTERSECT
+        SELECT DISTINCT o_custkey AS user_id FROM orders
+        WHERE o_custkey IS NOT NULL"""
+
+
 def events_range_sum(sf_dir: str, window_us: int = 86_400_000_000,
                      num_partitions: int = 16):
     """Time-based RANGE-frame window aggregate: per event, the sum of the
