@@ -68,6 +68,10 @@ DOC_FOOTER_PATTERN = "window"
 # predicate: some contiguous matches do exceed it at every sf).
 CEP_PATTERN = ("user", "tool", "assistant")
 CEP_WITHIN_US = 86_400_000_000
+# per-term predicates for the DEFINE-clause generalization: the user turn's
+# text must carry a two-digit k payload (~90% of rows), the tool turn must be
+# specifically an error — same regex dialect in pandas re and DuckDB RE2
+CEP_TEXT_REGEX = '"k": [1-9][0-9]'
 
 
 def _transcripts(sf_dir: str):
@@ -276,6 +280,31 @@ def q_cep_timeouts(sf_dir: str):
                            num_partitions=16)
 
 
+def q_cep_pred_funnel(sf_dir: str):
+    """CEP with per-term predicates (MATCH_RECOGNIZE DEFINE clause): user
+    turn whose text matches a regex → tool turn that is specifically an
+    error → assistant turn, contiguous, within a day."""
+    from ..stages.cep import Term, predicated_sequence_matches
+
+    terms = (Term(role="user", text_regex=CEP_TEXT_REGEX),
+             Term(role="tool", tool="error"),
+             Term(role="assistant"))
+    return predicated_sequence_matches(_transcripts(sf_dir), terms,
+                                       CEP_WITHIN_US, num_partitions=16)
+
+
+def q_cep_followed_by(sf_dir: str):
+    """CEP non-contiguous ``A ... B within T``: user turn eventually followed
+    (any number of turns between) by a purchase tool turn within a day —
+    time-based positive counterpart of the negation pattern."""
+    from ..stages.cep import Term, followed_by_matches
+
+    return followed_by_matches(_transcripts(sf_dir),
+                               first=Term(role="user"),
+                               then=Term(role="tool", tool="purchase"),
+                               within_us=CEP_WITHIN_US, num_partitions=16)
+
+
 def q_cep_tool_bursts(sf_dir: str):
     """CEP Kleene-plus: user (tool)+ assistant — maximal consecutive tool
     runs bracketed by a user and an assistant turn."""
@@ -358,6 +387,8 @@ def queries() -> dict:
         "session_labels": q_session_labels,
         "tool_latency_quantiles": q_tool_latency_quantiles,
         "cep_funnel": q_cep_funnel,
+        "cep_pred_funnel": q_cep_pred_funnel,
+        "cep_followed_by": q_cep_followed_by,
         "cep_tool_bursts": q_cep_tool_bursts,
         "cep_timeouts": q_cep_timeouts,
         "late_drops": q_late,
@@ -729,6 +760,39 @@ def oracle_sql() -> dict:
               AND greatest(epoch_us(ts), epoch_us(ts1), epoch_us(ts2))
                   - least(epoch_us(ts), epoch_us(ts1), epoch_us(ts2))
                   <= {CEP_WITHIN_US}""",
+        # DEFINE-clause generalization: per-slot predicates (text regex on
+        # the user slot, tool equality on the tool slot)
+        "cep_pred_funnel": f"""{t},
+            w AS (
+                SELECT conv_id, turn_idx, role, tool, text, ts,
+                       lead(role, 1) OVER win AS r1,
+                       lead(tool, 1) OVER win AS tool1,
+                       lead(role, 2) OVER win AS r2,
+                       lead(ts, 1) OVER win AS ts1,
+                       lead(ts, 2) OVER win AS ts2
+                FROM transcripts
+                WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT conv_id, turn_idx,
+                   greatest(epoch_us(ts), epoch_us(ts1), epoch_us(ts2))
+                   - least(epoch_us(ts), epoch_us(ts1), epoch_us(ts2)) AS dt_us
+            FROM w
+            WHERE role = 'user' AND regexp_matches(text, '{CEP_TEXT_REGEX}')
+              AND r1 = 'tool' AND tool1 = 'error' AND r2 = 'assistant'
+              AND greatest(epoch_us(ts), epoch_us(ts1), epoch_us(ts2))
+                  - least(epoch_us(ts), epoch_us(ts1), epoch_us(ts2))
+                  <= {CEP_WITHIN_US}""",
+        # non-contiguous A ... B within T: dt_us to the EARLIEST qualifying
+        # match (min over qualifying ts — tie-free by construction)
+        "cep_followed_by": f"""{t}
+            SELECT u.conv_id, u.turn_idx,
+                   min(epoch_us(a.ts)) - epoch_us(u.ts) AS dt_us
+            FROM transcripts u
+            JOIN transcripts a ON a.conv_id = u.conv_id
+                 AND a.role = 'tool' AND a.tool = 'purchase'
+                 AND a.ts >= u.ts
+                 AND epoch_us(a.ts) - epoch_us(u.ts) <= {CEP_WITHIN_US}
+            WHERE u.role = 'user'
+            GROUP BY u.conv_id, u.turn_idx, u.ts""",
         "cep_tool_bursts": f"""{t},
             g AS (
                 SELECT conv_id, turn_idx, role, ts,

@@ -28,11 +28,43 @@ the PATTERN (L terms), never over rows.
 
 from __future__ import annotations
 
+import re
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 
 from .partition import partitioned_map
 from .windows import ts_us_series
+
+
+@dataclass(frozen=True)
+class Term:
+    """One pattern slot with optional per-term predicates beyond the role:
+    ``tool`` is an exact match on the transcript's tool column, ``text_regex``
+    a regex *search* over the text column (compiled once per partition call,
+    evaluated vectorized over the whole partition — never per row in Python).
+    ``None`` means "don't care" for that field, so ``Term(role="user")`` is
+    exactly the plain role slot of :func:`sequence_matches`."""
+
+    role: str | None = None
+    tool: str | None = None
+    text_regex: str | None = None
+
+
+def term_mask(df: pd.DataFrame, term: Term) -> np.ndarray:
+    """Vectorized boolean mask of the rows satisfying ``term`` — one pass of
+    numpy/pandas-str kernels over the partition per term (L masks total,
+    never a row loop)."""
+    m = np.ones(len(df), dtype=bool)
+    if term.role is not None:
+        m &= df["role"].to_numpy() == term.role
+    if term.tool is not None:
+        m &= df["tool"].fillna("").to_numpy() == term.tool
+    if term.text_regex is not None:
+        pat = re.compile(term.text_regex)
+        m &= df["text"].fillna("").str.contains(pat, regex=True).to_numpy()
+    return m
 
 _EMPTY_SEQ = {"conv_id": pd.Series([], dtype=str),
               "turn_idx": pd.Series([], dtype=np.int32),
@@ -57,7 +89,20 @@ def sequence_scan(conv: np.ndarray, role: np.ndarray, tix: np.ndarray,
     non-monotone ts; see :func:`sequence_matches`).  With ``isnew``, only
     matches containing ≥ 1 new row survive (the streaming exactly-once
     completion rule)."""
-    L = len(pattern)
+    masks = [role == term for term in pattern]
+    return masked_sequence_scan(conv, tix, ts, masks, within_us, isnew=isnew)
+
+
+def masked_sequence_scan(conv: np.ndarray, tix: np.ndarray, ts: np.ndarray,
+                         masks, within_us: int,
+                         isnew: np.ndarray | None = None):
+    """The generalized contiguous-sequence kernel: pattern slot ``j`` is an
+    arbitrary precomputed boolean mask (role equality, tool equality, text
+    regex, any conjunction — see :class:`Term`).  :func:`sequence_scan` is
+    the role-equality specialization.  Same contract: arrays sorted by
+    (conv, turn_idx), returns ``(idx, dt)`` start indices + event-time spans.
+    """
+    L = len(masks)
     n = len(conv)
     if n < L:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
@@ -65,8 +110,8 @@ def sequence_scan(conv: np.ndarray, role: np.ndarray, tix: np.ndarray,
     m = n - L + 1
     ok = np.ones(m, dtype=bool)
     anynew = np.zeros(m, dtype=bool) if isnew is not None else None
-    for j, term in enumerate(pattern):  # loop over the PATTERN, not rows
-        ok &= role[j:m + j] == term
+    for j, mask in enumerate(masks):  # loop over the PATTERN, not rows
+        ok &= mask[j:m + j]
         if anynew is not None:
             anynew |= isnew[j:m + j]
     # rows are sorted (conv, turn_idx), so conv equality at the span ends
@@ -115,6 +160,104 @@ def sequence_matches(ds, pattern: tuple[str, ...], within_us: int,
             "turn_idx": df["turn_idx"].to_numpy()[idx].astype(np.int32),
             "dt_us": dt,
         })
+
+    return partitioned_map(ds, match_partition, key="conv_id",
+                           num_partitions=num_partitions)
+
+
+def predicated_sequence_matches(ds, terms: tuple[Term, ...], within_us: int,
+                                num_partitions: int = 16):
+    """Contiguous sequence match where every pattern slot carries its own
+    predicates (:class:`Term`: role + tool equality + text regex) — the
+    MATCH_RECOGNIZE ``DEFINE`` clause generalization of
+    :func:`sequence_matches` (which only tests the role column).
+
+    Same semantics otherwise: every starting position within one conversation
+    whose L consecutive turns satisfy their slot terms and whose event-time
+    span ≤ ``within_us`` (overlaps allowed, ``SKIP TO NEXT ROW``).  Returns
+    ``(conv_id, turn_idx, dt_us)``.
+
+    Scale path: identical to :func:`sequence_matches` — rides the shared
+    conv-hash shuffle; per partition the L term masks are each ONE vectorized
+    pass (regexes compiled once per call, evaluated by the pandas str kernel),
+    then the O(L) shifted-compare loop.
+    """
+    L = len(terms)
+    if L < 1:
+        raise ValueError("pattern must have at least one term")
+
+    def match_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        if len(df) < L:
+            return pd.DataFrame(_EMPTY_SEQ)
+        conv = df["conv_id"].to_numpy()
+        masks = [term_mask(df, t) for t in terms]
+        idx, dt = masked_sequence_scan(conv, df["turn_idx"].to_numpy(),
+                                       ts_us_series(df["ts"]), masks,
+                                       within_us)
+        return pd.DataFrame({
+            "conv_id": conv[idx],
+            "turn_idx": df["turn_idx"].to_numpy()[idx].astype(np.int32),
+            "dt_us": dt,
+        })
+
+    return partitioned_map(ds, match_partition, key="conv_id",
+                           num_partitions=num_partitions)
+
+
+_EMPTY_FOLLOWED = {"conv_id": pd.Series([], dtype=str),
+                   "turn_idx": pd.Series([], dtype=np.int32),
+                   "dt_us": pd.Series([], dtype=np.int64)}
+
+
+def followed_by_scan(df: pd.DataFrame, first: Term, then: Term,
+                     within_us: int) -> pd.DataFrame:
+    """Per-partition kernel for the NON-CONTIGUOUS ``A ... B`` pattern
+    (positive counterpart of :func:`absence_scan`): every row matching
+    ``first`` that has at least one same-conversation row matching ``then``
+    at-or-after its event time within ``within_us`` — arbitrary turns may
+    sit between them (MATCH_RECOGNIZE ``A {-.*?-} B``).
+
+    Time-based like the absence pattern: the bound is on event time, not
+    adjacency.  Vectorized as one forward ``merge_asof`` (earliest
+    qualifying ``then`` ts per trigger) + a threshold compare.  Returns
+    ``(conv_id, turn_idx, dt_us)`` with ``turn_idx`` the trigger turn and
+    ``dt_us`` the event-time gap to the EARLIEST qualifying match — defined
+    purely by ts, so ties among equal-ts matches cannot affect the output."""
+    fm = term_mask(df, first)
+    tm = term_mask(df, then)
+    u = df[fm]
+    if not len(u):
+        return pd.DataFrame(_EMPTY_FOLLOWED)
+    lu = pd.DataFrame({"conv_id": u["conv_id"].to_numpy(),
+                       "ts_us": ts_us_series(u["ts"]),
+                       "turn_idx": u["turn_idx"].to_numpy(np.int32)}) \
+        .sort_values("ts_us", kind="mergesort")
+    a = df[tm]
+    if not len(a):
+        return pd.DataFrame(_EMPTY_FOLLOWED)
+    ra = pd.DataFrame({"conv_id": a["conv_id"].to_numpy(),
+                       "a_ts_us": ts_us_series(a["ts"])}) \
+        .sort_values("a_ts_us", kind="mergesort")
+    m = pd.merge_asof(lu, ra, left_on="ts_us", right_on="a_ts_us",
+                      by="conv_id", direction="forward")
+    dt = m["a_ts_us"].to_numpy() - m["ts_us"].to_numpy()
+    hit = m["a_ts_us"].notna().to_numpy() & (dt <= within_us)
+    out = m[hit]
+    return pd.DataFrame({
+        "conv_id": out["conv_id"].to_numpy(),
+        "turn_idx": out["turn_idx"].to_numpy(np.int32),
+        "dt_us": dt[hit].astype(np.int64),
+    })
+
+
+def followed_by_matches(ds, first: Term, then: Term, within_us: int,
+                        num_partitions: int = 16):
+    """Distributed ``A ... B within T``: see :func:`followed_by_scan`.  Rides
+    the ONE conv-hash shuffle shared by every keyed transcript stage."""
+
+    def match_partition(df: pd.DataFrame) -> pd.DataFrame:
+        return followed_by_scan(df, first, then, within_us)
 
     return partitioned_map(ds, match_partition, key="conv_id",
                            num_partitions=num_partitions)

@@ -68,6 +68,66 @@ def test_cep_sequence_bruteforce_and_partition_invariance(sf_dir):
     assert len(want) > 0
 
 
+def test_cep_predicated_sequence_matches_sql_and_partition_invariance(sf_dir):
+    """Per-term predicates (text regex + tool equality) vs the oracle, and
+    identical output at P=1 / P=5."""
+    from pdf_watermark_remover_ray.stages.cep import (
+        Term, predicated_sequence_matches)
+
+    want = _duck(sf_dir, Q.oracle_sql()["cep_pred_funnel"])
+    assert len(want) > 0  # predicates leave real matches in the fixture
+    terms = (Term(role="user", text_regex=Q.CEP_TEXT_REGEX),
+             Term(role="tool", tool="error"),
+             Term(role="assistant"))
+    base = Q.q_cep_pred_funnel(sf_dir).to_pandas()
+    _cmp(base, want)
+    # predicates genuinely prune: stricter than the plain role funnel
+    plain = _duck(sf_dir, Q.oracle_sql()["cep_funnel"])
+    assert len(base) < len(plain)
+    ds = derive_transcripts(sf_dir, num_partitions=4)
+    for parts in (1, 5):
+        got = predicated_sequence_matches(ds, terms, Q.CEP_WITHIN_US,
+                                          num_partitions=parts).to_pandas()
+        _cmp(got, want)
+
+
+def test_cep_followed_by_matches_sql_and_planted(sf_dir):
+    """Non-contiguous A ... B vs the min-over-qualifying oracle, plus a
+    planted conv proving gaps are allowed, the EARLIEST match defines dt_us,
+    and out-of-window/cross-conv matches don't count."""
+    import ray.data
+
+    from pdf_watermark_remover_ray.stages.cep import Term, followed_by_matches
+
+    got = Q.queries()["cep_followed_by"](sf_dir).to_pandas()
+    want = duck_sql(sf_dir, Q.oracle_sql()["cep_followed_by"])
+    assert len(got) > 0
+    _cmp(got, want)
+
+    base = pd.Timestamp("2024-01-01").value // 1000
+    W = 1_000_000  # 1 s window
+    df = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c1", "c1", "c2", "c3"],
+        "turn_idx": np.int32([0, 1, 2, 3, 0, 0]),
+        "role": ["user", "assistant", "tool", "tool", "user", "tool"],
+        "text": [""] * 6,
+        "tool": ["", "", "purchase", "purchase", "", "purchase"],
+        # c1 u0: two purchases in-window with a non-matching turn between —
+        # dt_us must be to the EARLIEST (+0.4 s); c2's user sees only another
+        # conversation's purchase (no match)
+        "ts": pd.to_datetime([base, base + 200_000, base + 400_000,
+                              base + 900_000, base, base + 100_000],
+                             unit="us"),
+    })
+    out = followed_by_matches(ray.data.from_pandas(df),
+                              first=Term(role="user"),
+                              then=Term(role="tool", tool="purchase"),
+                              within_us=W, num_partitions=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["conv_id"], int(r["turn_idx"]), int(r["dt_us"])) == ("c1", 0, 400_000)
+
+
 def test_cep_kleene_maximality():
     """A planted conversation: user tool tool tool assistant → ONE match of
     n_tools=3; an unbracketed tool run emits nothing."""
