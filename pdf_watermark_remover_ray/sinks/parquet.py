@@ -144,3 +144,121 @@ class EpochSink:
         os.rename(compact, src)
         shutil.rmtree(old)
         return len(tbl)
+
+    # -- cross-epoch compaction (stream-level re-layout) ---------------------
+
+    @staticmethod
+    def _parse_epoch_dir(name: str) -> tuple[int, int] | None:
+        """``epoch={e}`` → (e, e); ``epoch={lo}-{hi}`` (a committed combined
+        range) → (lo, hi); anything else (``.compact`` scratch, ``.old``) →
+        None."""
+        if not name.startswith("epoch=") or name.endswith((".compact", ".old")):
+            return None
+        span = name[len("epoch="):]
+        try:
+            if "-" in span:
+                lo, hi = span.split("-", 1)
+                return int(lo), int(hi)
+            e = int(span)
+            return e, e
+        except ValueError:
+            return None
+
+    def recover_stream_compaction(self, stream: str) -> None:
+        """Finish a crashed :meth:`compact_stream`: a published combined dir
+        ``epoch={lo}-{hi}`` is the commit point, so any source dir whose span
+        it covers is garbage (the crash hit between publish and source
+        removal) — remove it; unpublished ``.compact`` scratch is rolled
+        back.  Idempotent."""
+        import shutil
+
+        root = os.path.join(self.out_dir, "data", stream)
+        if not os.path.isdir(root):
+            return
+        for fn in os.listdir(root):
+            if fn.endswith(".compact"):
+                shutil.rmtree(os.path.join(root, fn), ignore_errors=True)
+        spans = {}
+        for fn in os.listdir(root):
+            s = self._parse_epoch_dir(fn)
+            if s:
+                spans[fn] = s
+        for fn, (lo, hi) in spans.items():
+            for other, (olo, ohi) in spans.items():
+                if other != fn and olo <= lo and hi <= ohi \
+                        and (hi - lo) < (ohi - olo):
+                    shutil.rmtree(os.path.join(root, fn), ignore_errors=True)
+                    break
+
+    def compact_stream(self, stream: str, target_bytes: int = 128 << 20,
+                       upto_epoch: int | None = None) -> dict:
+        """CROSS-epoch re-layout: merge a committed epoch range's files into
+        ~``target_bytes`` output files under ONE combined dir
+        ``epoch={lo}-{hi}`` — the small-file hygiene a long-running stream
+        needs at scale (per-epoch compaction still leaves one file per epoch;
+        a day of 1-minute epochs is 1440 files).
+
+        Crash-safe with a single atomic commit point, same discipline as
+        :meth:`compact_epoch`: groups are written to ``epoch={lo}-{hi}.compact``,
+        one ``os.rename`` publishes the dir, then the source dirs are removed;
+        :meth:`recover_stream_compaction` (run first, and safe at every
+        startup) finishes either side of a crash.  Resume-safe: epoch COMMIT
+        markers are untouched, so a resumed run still skips 0..last_contiguous
+        and appends ``epoch={e+1}`` beside the combined dir; readers' layout
+        contract (``data/{stream}/epoch=*/part-*.parquet``) is unchanged, and
+        rows keep their provenance via the in-row ``epoch`` column.
+
+        Only epochs ≤ ``upto_epoch`` (default: the contiguous committed
+        prefix) are touched.  Previously combined ranges participate, so
+        periodic re-compaction converges to ~target-size files.  Returns
+        ``{files_in, files_out, rows, lo, hi}``.
+        """
+        import shutil
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        self.recover_stream_compaction(stream)
+        limit = self.last_contiguous_epoch() if upto_epoch is None else upto_epoch
+        root = os.path.join(self.out_dir, "data", stream)
+        sources = []  # (lo, hi, path)
+        if os.path.isdir(root):
+            for fn in os.listdir(root):
+                s = self._parse_epoch_dir(fn)
+                if s and s[1] <= limit:
+                    sources.append((s[0], s[1], os.path.join(root, fn)))
+        sources.sort()
+        files = []  # (path, size) in epoch order
+        for _, _, d in sources:
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".parquet"):
+                    p = os.path.join(d, fn)
+                    files.append((p, os.path.getsize(p)))
+        if len(sources) <= 1 or len(files) <= 1:
+            return {"files_in": len(files), "files_out": len(files),
+                    "rows": 0, "lo": None, "hi": None}
+        lo, hi = sources[0][0], sources[-1][1]
+        # greedy size binning in epoch order (≥1 file per group)
+        groups, cur, cur_sz = [], [], 0
+        for p, sz in files:
+            if cur and cur_sz + sz > target_bytes:
+                groups.append(cur)
+                cur, cur_sz = [], 0
+            cur.append(p)
+            cur_sz += sz
+        groups.append(cur)
+        tmp = os.path.join(root, f"epoch={lo}-{hi}.compact")
+        final = os.path.join(root, f"epoch={lo}-{hi}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        rows = 0
+        for i, grp in enumerate(groups):
+            tbl = _pa.concat_tables([_pq.read_table(p) for p in grp])
+            rows += len(tbl)
+            _pq.write_table(tbl, os.path.join(tmp, f"part-{i:05d}.parquet"))
+        os.rename(tmp, final)  # commit point
+        for _, _, d in sources:
+            if d != final:
+                shutil.rmtree(d)
+        return {"files_in": len(files), "files_out": len(groups),
+                "rows": rows, "lo": lo, "hi": hi}

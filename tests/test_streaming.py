@@ -261,6 +261,77 @@ def test_epoch_compaction(fixture, tmp_path):
     )
 
 
+def test_cross_epoch_compaction_and_resume(fixture, tmp_path):
+    """Stream-level re-layout (compact_stream): row multiset identical,
+    crash between publish and source removal recovers without duplicates,
+    and a killed run compacted mid-way still resumes to the golden output."""
+    import os
+    import shutil
+
+    from pdf_watermark_remover_ray.sinks.parquet import EpochSink
+
+    table, paths, golden = fixture
+
+    # -- multiset identity + convergence to few files
+    out = str(tmp_path / "out_xc")
+    StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES).run()
+    sink = EpochSink(out)
+    before = read_stream(out, "turns")
+    n_before = len(glob.glob(f"{out}/data/turns/epoch=*/part-*.parquet"))
+    stats = sink.compact_stream("turns", target_bytes=1 << 30)
+    assert stats["files_in"] == n_before and stats["files_out"] == 1
+    files = glob.glob(f"{out}/data/turns/epoch=*/part-*.parquet")
+    assert len(files) == 1 and f"epoch={stats['lo']}-{stats['hi']}" in files[0]
+    after = read_stream(out, "turns")
+    pd.testing.assert_frame_equal(
+        before.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        after.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+    )
+    # re-running is a no-op (single source dir)
+    assert sink.compact_stream("turns", target_bytes=1 << 30)["rows"] == 0
+
+    # -- tiny target_bytes still packs >=1 file per group and loses nothing
+    out2 = str(tmp_path / "out_xc2")
+    StreamingEngine(paths, out2, CFG, epoch_files=EPOCH_FILES).run()
+    sink2 = EpochSink(out2)
+    b2 = read_stream(out2, "turns")
+    st2 = sink2.compact_stream("turns", target_bytes=1)
+    assert st2["files_out"] == st2["files_in"]  # 1-byte target: 1 file/group
+    pd.testing.assert_frame_equal(
+        b2.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        read_stream(out2, "turns")
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+    )
+
+    # -- crash between publish and source removal: combined dir exists AND
+    # covered epoch dirs still exist -> recovery drops the covered sources
+    root = f"{out2}/data/turns"
+    combined = [d for d in os.listdir(root) if "-" in d][0]
+    lo, hi = EpochSink._parse_epoch_dir(combined)
+    shutil.copytree(os.path.join(root, combined),
+                    os.path.join(root, f"epoch={lo}"))
+    sink2.recover_stream_compaction("turns")
+    assert not os.path.isdir(os.path.join(root, f"epoch={lo}"))
+    pd.testing.assert_frame_equal(
+        b2.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        read_stream(out2, "turns")
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+    )
+
+    # -- resume safety: kill after epoch 1, compact the committed prefix,
+    # resume -> golden output (markers untouched, combined dir coexists
+    # with the epochs the resumed run appends)
+    out3 = str(tmp_path / "out_xc3")
+    StreamingEngine(paths, out3, CFG, epoch_files=EPOCH_FILES) \
+        .run(kill_after_epoch=1)
+    sink3 = EpochSink(out3)
+    st3 = sink3.compact_stream("turns")
+    assert st3["hi"] == sink3.last_contiguous_epoch()
+    res = StreamingEngine(paths, out3, CFG, epoch_files=EPOCH_FILES).run()
+    assert res["all_succeeded"] is True
+    _check_outputs(out3, golden)
+
+
 def test_sliding_non_divisible_size_slide(fixture, tmp_path):
     """gcd-bucket rollup: sliding output must match the per-event oracle when
     size is NOT a multiple of slide (round-1 bug: slide-bucket rollup
