@@ -75,6 +75,42 @@ def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
     return out[["query_id", "vec_id", "cos_sim"]]
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public domain constant mix) — a
+    uniform uint64 hash of int64 keys with no per-row Python."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _sample_embeddings(sf_dir: str, n: int = 512, seed: int = 42) -> np.ndarray:
+    """Dataset-native deterministic sample for centroid training: every batch
+    keeps its ``n`` smallest ``splitmix64(vec_id ^ seed)`` rows, the driver
+    merges the tiny partials and keeps the global ``n`` smallest — the same
+    partial-top-k pattern as :func:`ann_topk` (one streaming pass, no
+    shuffle, O(n × blocks) driver merge).  Hash-ordered selection ⇒ a
+    uniform sample that is identical under ANY partitioning / block order,
+    unlike an order-dependent reservoir.  Returns L2-normalized float64."""
+    mix = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = _splitmix64(df["vec_id"].to_numpy(np.int64) ^ np.int64(mix.astype(np.int64)))
+        take = min(n, len(df))
+        idx = np.argpartition(h, take - 1)[:take]
+        return pd.DataFrame({"h": h[idx],
+                             "embedding": df["embedding"].to_numpy()[idx]})
+
+    parts = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]) \
+        .map_batches(pick, batch_format="pandas", batch_size=4096).to_pandas()
+    parts = parts.sort_values("h", kind="mergesort").head(n)
+    sm = np.stack(parts["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(sm, axis=1)
+    norms[norms == 0] = 1.0
+    return sm / norms[:, None]
+
+
 class IVFIndex:
     """Tiny IVF (inverted-file) index: k-means centroids trained on a sample,
     corpus bucketed by nearest centroid, queries probe the nearest
@@ -105,24 +141,15 @@ class IVFIndex:
 
 def ann_topk_ivf(sf_dir: str, n_queries: int = 10, k: int = 5, n_lists: int = 16,
                  nprobe: int = 4):
-    """IVF approximate top-k: centroids trained once on a driver-side sample,
-    broadcast; each batch scores only vectors whose cluster is probed by a
-    query.  At 100 TB the cluster id becomes a partition column so probes
+    """IVF approximate top-k: centroids trained once on a Dataset-native
+    hash-ordered sample (:func:`_sample_embeddings` — no non-Ray scan in the
+    build), broadcast; each batch scores only vectors whose cluster is probed
+    by a query.  At 100 TB the cluster id becomes a partition column so probes
     touch only the matching partitions' files (partition pruning at the
     read); here the index rides the batch pass."""
-    import duckdb
-
     qids, qm = _load_queries(sf_dir, n_queries)
-    con = duckdb.connect()
-    sample = con.sql(
-        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
-        f"USING SAMPLE reservoir(512 ROWS) REPEATABLE (42)"
-    ).df()
-    con.close()
-    sm = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(sm, axis=1)
-    norms[norms == 0] = 1.0
-    index = IVFIndex(sm / norms[:, None], n_lists=n_lists)
+    index = IVFIndex(_sample_embeddings(sf_dir, n=512, seed=42),
+                     n_lists=n_lists)
     probes = {int(qids[i]): index.probe(qm[i], nprobe) for i in range(len(qids))}
     ref = ray.put((qids, qm, probes, index))
 
@@ -170,20 +197,10 @@ def ivf_build(sf_dir: str, index_dir: str, n_lists: int = 16,
     read; at 100 TB the unprobed ~ (1 - nprobe/n_lists) of the corpus never
     leaves storage).  Deterministic (fixed seed) and resumable (write-once
     per cluster via the batch sink discipline)."""
-    import duckdb
-
     import pyarrow.parquet as pq_
 
-    con = duckdb.connect()
-    sample = con.sql(
-        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
-        f"USING SAMPLE reservoir(512 ROWS) REPEATABLE ({seed})"
-    ).df()
-    con.close()
-    sm = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(sm, axis=1)
-    norms[norms == 0] = 1.0
-    index = IVFIndex(sm / norms[:, None], n_lists=n_lists, seed=seed)
+    index = IVFIndex(_sample_embeddings(sf_dir, n=512, seed=seed),
+                     n_lists=n_lists, seed=seed)
     os.makedirs(index_dir, exist_ok=True)
     cpath = os.path.join(index_dir, "centroids.npy")
     if not os.path.exists(cpath):
