@@ -398,6 +398,12 @@ def queries() -> dict:
         "q3_top_orders": relational.q3_top_orders,
         "q5_revenue_by_nation": relational.q5_revenue_by_nation,
         "q7_volume_shipping": relational.q7_volume_shipping,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q17_small_qty_revenue": relational.q17_small_quantity_revenue,
+        "q18_large_orders": relational.q18_large_orders,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "customers_without_events": relational.customers_without_events,
+        "bloom_semijoin_revenue": relational.bloom_semijoin_revenue,
         "topk_orders_per_customer": relational.topk_orders_per_customer,
         "customers_without_urgent_orders":
             relational.customers_without_urgent_orders,
@@ -949,6 +955,13 @@ def oracle_sql() -> dict:
             WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
             GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
         "q7_volume_shipping": relational.q7_volume_shipping_oracle_sql(),
+        "q14_promo_revenue": relational.q14_oracle_sql(),
+        "q17_small_qty_revenue": relational.q17_oracle_sql(),
+        "q18_large_orders": relational.q18_oracle_sql(),
+        "q19_disjunctive_revenue": relational.q19_oracle_sql(),
+        "customers_without_events":
+            relational.customers_without_events_oracle_sql(),
+        "bloom_semijoin_revenue": relational.bloom_semijoin_oracle_sql(),
         "orders_global_rank": relational.orders_global_rank_oracle_sql(),
         "events_range_sum": relational.events_range_sum_oracle_sql(),
         "users_with_events_and_orders":

@@ -1008,3 +1008,347 @@ def user_daily_activity_oracle_sql(day_us: int = 86_400_000_000) -> str:
         SELECT dense.user_id, dense.day,
                coalesce(c.n, 0) AS n_events
         FROM dense LEFT JOIN c USING (user_id, day)"""
+
+
+def q14_promo_revenue(sf_dir: str, date_lo: str = "1995-01-01",
+                      date_hi: str = "1995-04-01"):
+    """TPC-H Q14 shape (promotion effect): CONDITIONAL aggregate over a
+    broadcast dimension join — the percent of shipped revenue in a date
+    range that comes from PROMO-type parts.
+
+    Scale path: part's (p_partkey → is_promo) is a tiny broadcast (sorted
+    parallel arrays, searchsorted probe per batch, same discipline as Q5);
+    lineitem is scanned once with 4 pruned columns; each batch emits ONE
+    partial (promo_rev, total_rev) pair so the reduce is O(blocks)."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas() \
+        .sort_values("p_partkey")
+    lookup_ref = ray.put((part["p_partkey"].to_numpy(np.int64),
+                          (part["p_type"].to_numpy() == "PROMO")))
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, promo = ray.get(lookup_ref)
+        df = t.to_pandas()
+        sd = df["l_shipdate"].to_numpy("datetime64[us]")
+        df = df[(sd >= lo) & (sd < hi)]
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        pk = df["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(keys, pk).clip(max=max(len(keys) - 1, 0))
+        is_promo = (keys[pos] == pk) & promo[pos] if len(keys) else \
+            np.zeros(len(pk), bool)
+        return pa.table({"promo_rev": pa.array([float(rev[is_promo].sum())]),
+                         "total_rev": pa.array([float(rev.sum())])})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    agg = li.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .aggregate(Sum("promo_rev", alias_name="p"),
+                   Sum("total_rev", alias_name="t"))
+    pct = 100.0 * agg["p"] / agg["t"] if agg["t"] else 0.0
+    return pd.DataFrame({"promo_pct": [float(round_half_away(
+        np.array([pct]), 4)[0])]})
+
+
+def q14_oracle_sql(date_lo: str = "1995-01-01",
+                   date_hi: str = "1995-04-01") -> str:
+    return f"""
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '{date_lo}'
+          AND l_shipdate < TIMESTAMP '{date_hi}'"""
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#13"):
+    """TPC-H Q17 shape (small-quantity-order revenue): the CORRELATED
+    SUBQUERY pattern — average yearly revenue lost if orders below 20%% of a
+    part's average quantity weren't filled — decorrelated into two pruned
+    lineitem passes with a broadcast per-part threshold between them.
+
+    Pass 1 computes per-part (sum, count) PARTIALS restricted to the brand's
+    partkeys (broadcast set, ~|parts|/|brands| keys); the per-part 0.2·avg
+    thresholds are derived driver-side from the tiny aggregate and broadcast
+    back; pass 2 re-scans lineitem and sums prices under threshold.  The
+    shuffle never moves lineitem rows — only per-(part, batch) partials."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    pks = np.sort(part.loc[part["p_brand"] == brand,
+                           "p_partkey"].to_numpy(np.int64))
+    pks_ref = ray.put(pks)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(pks_ref)
+        df = t.to_pandas()
+        pk = df["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(keys, pk).clip(max=max(len(keys) - 1, 0))
+        hit = keys[pos] == pk if len(keys) else np.zeros(len(pk), bool)
+        df = df[hit]
+        g = df.groupby("l_partkey")["l_quantity"].agg(["sum", "count"]) \
+            .reset_index()
+        return pa.table({"l_partkey": pa.array(g["l_partkey"].to_numpy(np.int64)),
+                         "s": pa.array(g["sum"].to_numpy(np.float64)),
+                         "n": pa.array(g["count"].to_numpy(np.int64))})
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    li = _read(sf_dir, "lineitem", li_cols)
+    per_part = li.map_batches(qty_partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("l_partkey").aggregate(Sum("s", alias_name="s"),
+                                        Sum("n", alias_name="n")).to_pandas()
+    if len(per_part) == 0:
+        return pd.DataFrame({"avg_yearly": [0.0]})
+    per_part = per_part.sort_values("l_partkey")
+    thr_ref = ray.put((per_part["l_partkey"].to_numpy(np.int64),
+                       0.2 * per_part["s"].to_numpy(np.float64)
+                       / per_part["n"].to_numpy(np.float64)))
+
+    def under_threshold(t: pa.Table) -> pa.Table:
+        keys, thr = ray.get(thr_ref)
+        df = t.to_pandas()
+        pk = df["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(keys, pk).clip(max=len(keys) - 1)
+        hit = (keys[pos] == pk) \
+            & (df["l_quantity"].to_numpy(np.float64) < thr[pos])
+        return pa.table({"price": pa.array(
+            [float(df["l_extendedprice"].to_numpy()[hit].sum())])})
+
+    total = _read(sf_dir, "lineitem", li_cols) \
+        .map_batches(under_threshold, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .aggregate(Sum("price", alias_name="p"))["p"]
+    return pd.DataFrame({"avg_yearly": [float(round_half_away(
+        np.array([(total or 0.0) / 7.0]), 2)[0])]})
+
+
+def q17_oracle_sql(brand: str = "Brand#13") -> str:
+    return f"""
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = '{brand}'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = part.p_partkey)"""
+
+
+def q18_large_orders(sf_dir: str, threshold: float = 200.0):
+    """TPC-H Q18 shape (large-volume customers): GROUP BY + HAVING as a
+    distributed semijoin — orders whose total lineitem quantity exceeds a
+    threshold, joined back to order/customer attributes.
+
+    Per-batch per-order quantity partials → one small groupby(orderkey) →
+    HAVING filter leaves FEW orderkeys (broadcast as a sorted array) →
+    orders scan probes it (searchsorted) and decorates from a broadcast
+    customer lookup.  Neither lineitem nor orders is ever shuffled."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("l_orderkey")["l_quantity"].sum().reset_index()
+        return pa.table({"l_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
+                         "q": pa.array(g["l_quantity"].to_numpy(np.float64))})
+
+    per_order = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+        .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("l_orderkey").aggregate(_Sum("q", alias_name="total_qty")) \
+        .to_pandas()
+    big = per_order[per_order["total_qty"] > threshold].sort_values("l_orderkey")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas() \
+        .sort_values("c_custkey")
+    big_ref = ray.put((big["l_orderkey"].to_numpy(np.int64),
+                       big["total_qty"].to_numpy(np.float64),
+                       cust["c_custkey"].to_numpy(np.int64),
+                       cust["c_name"].to_numpy()))
+
+    def decorate(t: pa.Table) -> pa.Table:
+        oks, qty, cks, cnames = ray.get(big_ref)
+        df = t.to_pandas()
+        ok = df["o_orderkey"].to_numpy(np.int64)
+        pos = np.searchsorted(oks, ok).clip(max=max(len(oks) - 1, 0))
+        hit = oks[pos] == ok if len(oks) else np.zeros(len(ok), bool)
+        df = df[hit]
+        df["total_qty"] = qty[pos[hit]]
+        cp = np.searchsorted(cks, df["o_custkey"].to_numpy(np.int64)) \
+            .clip(max=max(len(cks) - 1, 0))
+        df["c_name"] = cnames[cp]
+        return pa.Table.from_pandas(
+            df[["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty"]], preserve_index=False)
+
+    out = _read(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(decorate, batch_format="pyarrow", zero_copy_batch=True) \
+        .to_pandas()
+    out["o_totalprice"] = round_half_away(out["o_totalprice"], 2)
+    out["total_qty"] = round_half_away(out["total_qty"], 2)
+    return out.sort_values(["o_totalprice", "o_orderkey"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def q18_oracle_sql(threshold: float = 200.0) -> str:
+    return f"""
+        SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice
+        HAVING sum(l_quantity) > {threshold}"""
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): an OR
+    of three (brand, size-range, quantity-range) conjunctions spanning two
+    tables — the classic case where a naive plan joins first and filters
+    later.  Here part's (brand, size) is a broadcast columnar lookup and the
+    whole disjunction evaluates as THREE vectorized masks per lineitem
+    batch; each batch emits one revenue partial."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
+        .to_pandas().sort_values("p_partkey")
+    ref = ray.put((part["p_partkey"].to_numpy(np.int64),
+                   part["p_brand"].to_numpy(),
+                   part["p_size"].to_numpy(np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, brands, sizes = ray.get(ref)
+        df = t.to_pandas()
+        pk = df["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(keys, pk).clip(max=max(len(keys) - 1, 0))
+        hit = keys[pos] == pk
+        qty = df["l_quantity"].to_numpy(np.float64)
+        b, s = brands[pos], sizes[pos]
+        m = hit & (((b == "Brand#13") & (s <= 10) & (qty >= 1) & (qty <= 20))
+                   | ((b == "Brand#19") & (s <= 20) & (qty >= 10) & (qty <= 30))
+                   | ((b == "Brand#20") & (s <= 30) & (qty >= 20) & (qty <= 40)))
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        return pa.table({"revenue": pa.array([float(rev[m].sum())])})
+
+    total = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .aggregate(Sum("revenue", alias_name="r"))["r"]
+    return pd.DataFrame({"revenue": [float(round_half_away(
+        np.array([total or 0.0]), 2)[0])]})
+
+
+def q19_oracle_sql() -> str:
+    return """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#13' AND p_size <= 10
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#19' AND p_size <= 20
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#20' AND p_size <= 30
+               AND l_quantity BETWEEN 20 AND 40)"""
+
+
+def customers_without_events(sf_dir: str, num_partitions: int = 16):
+    """EXCEPT shape: distinct customer ids present in orders but NOT in the
+    events stream —
+    completes the set-op family (INTERSECT in
+    :func:`users_with_events_and_orders`, anti join in
+    :func:`customers_without_urgent_orders`).  Same scale discipline: both
+    sides pre-distinct per batch, one keyed co-location decides membership."""
+    from ..stages.partition import add_partition_column as _add
+
+    def distinct_side(col: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = pd.unique(t[col].to_pandas().dropna())
+            return pa.table({"user_id": pa.array(ids.astype(np.int64)),
+                             "side": pa.array(np.full(len(ids), side, np.int8))})
+        return fn
+
+    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]) \
+        .map_batches(distinct_side("o_custkey", 0), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]) \
+        .map_batches(distinct_side("user_id", 1), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    u = _add(od.union(ev), key="user_id", num_partitions=num_partitions)
+
+    def except_(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id")["side"].max()
+        return pd.DataFrame({"user_id": g.index[g == 0].to_numpy(np.int64)})
+
+    return u.groupby("part").map_groups(except_, batch_format="pandas")
+
+
+def customers_without_events_oracle_sql() -> str:
+    return """
+        SELECT DISTINCT o_custkey AS user_id FROM orders
+        WHERE o_custkey IS NOT NULL
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL"""
+
+
+def bloom_semijoin_revenue(sf_dir: str, nationkey: int = 3,
+                           num_partitions: int = 16,
+                           m_bits: int = 1 << 16):
+    """Bloom-filtered SEMIJOIN: revenue per supplier restricted to one
+    nation's suppliers, with the key side summarized as a broadcast Bloom
+    filter (``functions/bloom.py``) probed inside the fact scan.
+
+    The scale story: at 100 TB the key set may be too large to broadcast
+    exactly, but its m-bit Bloom is a constant-size broadcast that prunes
+    the fact scan BEFORE the shuffle — only rows that (probably) match emit
+    partials.  Bloom false positives cannot leak into the result: the
+    surviving per-(suppkey, batch) partials are co-located with the exact
+    key rows by ONE hash partition and verified there (no false negatives
+    by construction, so nothing true is lost).  Output: ``(l_suppkey,
+    revenue)`` for the nation's suppliers that shipped anything."""
+    from ..functions.bloom import bloom_from_dataset
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["s_nationkey"], nationkey)).select(["s_suppkey"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    bloom = bloom_from_dataset(sup, "s_suppkey", m_bits=m_bits)
+    bloom_ref = ray.put(bloom)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        df = t.to_pandas()
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        cand = bf.contains(sk)  # pre-filter: drops ~everything non-matching
+        df = df[cand]
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        g = pd.DataFrame({"user_id": df["l_suppkey"].to_numpy(np.int64),
+                          "rev": rev}).groupby("user_id", sort=False)["rev"] \
+            .sum().reset_index()
+        return pa.table({"user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+                         "rev": pa.array(g["rev"].to_numpy(np.float64)),
+                         "side": pa.array(np.zeros(len(g), np.int8))})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    keys = sup.map_batches(
+        lambda t: pa.table({"user_id": t["s_suppkey"],
+                            "rev": pa.array(np.zeros(len(t), np.float64)),
+                            "side": pa.array(np.ones(len(t), np.int8))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    u = add_partition_column(li.union(keys), key="user_id",
+                             num_partitions=num_partitions)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # exact semijoin per partition: a suppkey survives iff a key row
+        # (side=1) is present — bloom false positives die here
+        side = df["side"].to_numpy()
+        fact = df[side == 0].groupby("user_id")["rev"].sum()
+        fact = fact[fact.index.isin(df.loc[side == 1, "user_id"].unique())]
+        return pd.DataFrame({
+            "l_suppkey": fact.index.to_numpy(np.int64),
+            "revenue": round_half_away(fact.to_numpy(np.float64), 2)})
+
+    return u.groupby("part").map_groups(verify, batch_format="pandas")
+
+
+def bloom_semijoin_oracle_sql(nationkey: int = 3) -> str:
+    return f"""
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                            WHERE s_nationkey = {nationkey})
+        GROUP BY l_suppkey"""
