@@ -333,3 +333,93 @@ def kmv_oracle_sql(group_col: str = "event_type", value_col: str = "user_id",
                      END, 1) AS approx_distinct
         FROM ranked
         WHERE rn = least({k}, nd)"""
+
+
+# -- Count-Min sketch ---------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 256
+
+
+def _cms_buckets(users: np.ndarray, j: int, w: int = _CMS_W) -> np.ndarray:
+    """SQL-replayable bucket of row j: md5_u32(f"{j}:{key}") % w — md5 runs
+    once per UNIQUE key per batch (callers pass deduplicated keys)."""
+    from .hashing import md5_u32
+
+    return md5_u32([f"{j}:{u}" for u in users]) % w
+
+
+def cms_user_counts(sf_dir: str, d: int = _CMS_D, w: int = _CMS_W):
+    """Count-Min sketch per-user event-count ESTIMATES, built distributed
+    and replayed exactly by the SQL oracle (deterministic md5 bucket hashes
+    — same discipline as the KMV/MinHash families).
+
+    Build: each batch value-counts its users (md5 once per unique user) and
+    emits ≤ d×w (j, bucket, c) partials → one TINY groupby (d×w keys total,
+    independent of user cardinality) → the d×w count matrix broadcasts back
+    (``ray.put``).  Query: the distinct-user set (pre-distinct per batch +
+    one keyed dedup) probes the matrix vectorized; est = min over the d
+    rows.  The sketch is the scale object: O(d·w) memory summarizes any
+    number of rows, the only full-cardinality shuffle is the query-set
+    derivation itself.  CMS never underestimates (est ≥ exact count —
+    property-tested)."""
+    import ray
+
+    from ..stages.partition import add_partition_column
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t["user_id"].to_pandas().dropna().astype(np.int64).value_counts()
+        users, cnts = vc.index.to_numpy(np.int64), vc.to_numpy(np.int64)
+        js, buckets, cs = [], [], []
+        for j in range(d):
+            js.append(np.full(len(users), j, np.int64))
+            buckets.append(_cms_buckets(users, j, w))
+            cs.append(cnts)
+        return pa.table({"j": pa.array(np.concatenate(js)),
+                         "bucket": pa.array(np.concatenate(buckets)),
+                         "c": pa.array(np.concatenate(cs))})
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    from ray.data.aggregate import Sum
+
+    cells = ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby(["j", "bucket"]).aggregate(Sum("c", alias_name="s")) \
+        .to_pandas()
+    mat = np.zeros((d, w), np.int64)
+    mat[cells["j"].to_numpy(np.int64), cells["bucket"].to_numpy(np.int64)] = \
+        cells["s"].to_numpy(np.int64)
+    mat_ref = ray.put(mat)
+
+    def distinct_users(t: pa.Table) -> pa.Table:
+        u = pd.unique(t["user_id"].to_pandas().dropna().astype(np.int64))
+        return pa.table({"user_id": pa.array(u)})
+
+    dedup = add_partition_column(
+        ev.map_batches(distinct_users, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key="user_id", num_partitions=8)
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(mat_ref)
+        users = np.unique(df["user_id"].to_numpy(np.int64))
+        est = np.full(len(users), np.iinfo(np.int64).max, np.int64)
+        for j in range(d):
+            est = np.minimum(est, m[j, _cms_buckets(users, j, w)])
+        return pd.DataFrame({"user_id": users, "est_count": est})
+
+    return dedup.groupby("part").map_groups(estimate, batch_format="pandas")
+
+
+def cms_oracle_sql(d: int = _CMS_D, w: int = _CMS_W) -> str:
+    return f"""
+        WITH tc AS (SELECT user_id, count(*) AS c FROM events
+                    WHERE user_id IS NOT NULL GROUP BY user_id),
+        h AS (SELECT user_id, c, j,
+                     ('0x' || substring(md5(CAST(j AS VARCHAR) || ':'
+                          || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                     % {w} AS bucket
+              FROM tc, range({d}) t(j)),
+        bs AS (SELECT j, bucket, sum(c) AS s FROM h GROUP BY j, bucket)
+        SELECT h.user_id, CAST(min(bs.s) AS BIGINT) AS est_count
+        FROM h JOIN bs USING (j, bucket) GROUP BY h.user_id"""

@@ -36,6 +36,8 @@ from ..functions.sampling import (
 from ..functions.sketches import (
     approx_distinct_users,
     approx_quantiles_oracle_sql,
+    cms_oracle_sql,
+    cms_user_counts,
     events_quantiles_approx,
     heavy_hitter_events,
     heavy_hitters_oracle_sql,
@@ -305,6 +307,16 @@ def q_cep_followed_by(sf_dir: str):
                                within_us=CEP_WITHIN_US, num_partitions=16)
 
 
+def q_dedup_turns(sf_dir: str):
+    """Corpus-wide unit-level (turn) exact dedup, order-defined winner."""
+    return text.dedup_turns(_transcripts(sf_dir), num_partitions=16)
+
+
+def q_pii_redact_turns(sf_dir: str):
+    """Ordered-regex PII redaction over transcript turns (actor pool)."""
+    return text.pii_redact_turns(_transcripts(sf_dir))
+
+
 def q_cep_tool_bursts(sf_dir: str):
     """CEP Kleene-plus: user (tool)+ assistant — maximal consecutive tool
     runs bracketed by a user and an assistant turn."""
@@ -386,6 +398,10 @@ def queries() -> dict:
         "orders_events_asof_fwd": q_orders_events_asof_fwd,
         "session_labels": q_session_labels,
         "tool_latency_quantiles": q_tool_latency_quantiles,
+        "dedup_turns": q_dedup_turns,
+        "pii_redacted_turns": q_pii_redact_turns,
+        "repetition_scores": text.repetition_scores,
+        "cms_user_counts": cms_user_counts,
         "cep_funnel": q_cep_funnel,
         "cep_pred_funnel": q_cep_pred_funnel,
         "cep_followed_by": q_cep_followed_by,
@@ -766,6 +782,10 @@ def oracle_sql() -> dict:
               AND greatest(epoch_us(ts), epoch_us(ts1), epoch_us(ts2))
                   - least(epoch_us(ts), epoch_us(ts1), epoch_us(ts2))
                   <= {CEP_WITHIN_US}""",
+        "dedup_turns": text.dedup_turns_oracle_sql(TRANSCRIPTS_CTE),
+        "pii_redacted_turns": text.pii_redact_oracle_sql(TRANSCRIPTS_CTE),
+        "repetition_scores": text.repetition_scores_oracle_sql(),
+        "cms_user_counts": cms_oracle_sql(),
         # DEFINE-clause generalization: per-slot predicates (text regex on
         # the user slot, tool equality on the tool slot)
         "cep_pred_funnel": f"""{t},

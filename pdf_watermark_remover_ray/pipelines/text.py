@@ -891,3 +891,187 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET_TOKENS,
 
     return tok.map_batches(add_bucket, batch_format="pandas") \
         .groupby("bucket").map_groups(assign, batch_format="pandas")
+
+
+def dedup_turns(ds, num_partitions: int = 16):
+    """Corpus-wide UNIT-level exact dedup (the C4/RefinedWeb line-dedup
+    shape, with the turn as the unit): keep only the FIRST occurrence of
+    every distinct turn text across the whole corpus, first = lexicographic
+    min (ts, conv_id, turn_idx) — an ORDER-DEFINED winner, unlike
+    :func:`..pipelines.dedup.exact_dedup`'s min-key winner over whole docs.
+
+    Scale path: each batch pre-reduces to ONE candidate row per distinct
+    text (sort + drop_duplicates — vectorized), so the text-hash shuffle
+    moves at most one row per (text, batch); the per-partition winner pick
+    repeats the same vectorized selection.  Returns ``(conv_id, turn_idx)``
+    of surviving turns.
+    """
+    from ..stages.partition import partitioned_map
+    from ..stages.windows import ts_us_series
+
+    def premin(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "text": df["text"].fillna(""),
+            "ts_us": ts_us_series(df["ts"]),
+            "conv_id": df["conv_id"].to_numpy(),
+            "turn_idx": df["turn_idx"].to_numpy(np.int32),
+        })
+        return out.sort_values(["text", "ts_us", "conv_id", "turn_idx"],
+                               kind="mergesort").drop_duplicates("text")
+
+    def winner(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.sort_values(["text", "ts_us", "conv_id", "turn_idx"],
+                           kind="mergesort").drop_duplicates("text")
+        return pd.DataFrame({"conv_id": w["conv_id"].to_numpy(),
+                             "turn_idx": w["turn_idx"].to_numpy(np.int32)})
+
+    pre = ds.map_batches(premin, batch_format="pandas")
+    return partitioned_map(pre, winner, key="text",
+                           num_partitions=num_partitions)
+
+
+def dedup_turns_oracle_sql(transcripts_cte: str) -> str:
+    return f"""WITH {transcripts_cte}
+        SELECT conv_id, turn_idx FROM (
+            SELECT conv_id, turn_idx,
+                   row_number() OVER (PARTITION BY coalesce(text, '')
+                                      ORDER BY ts, conv_id, turn_idx) AS rn
+            FROM transcripts) WHERE rn = 1"""
+
+
+# ordered (pattern, replacement) rules: emails before phones before bare
+# digit runs, so an email's digits are consumed by <EMAIL>, not <NUM>.
+# Dialect-shared regexes (python re and DuckDB RE2 agree on all of these).
+PII_RULES = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\d+", "<NUM>"),
+)
+
+
+class PIIRedactor:
+    """Actor-pool PII scrub: ordered regex redaction rules compiled ONCE per
+    actor (``__init__``), applied vectorized per batch — the same
+    delete-by-pattern discipline as the reference's T1/T2 name/footer rules
+    (``mechanisms/watermark_processor.py:64-90``) pointed at PII instead of
+    watermarks.  Emits the redacted text plus the redaction count (matches
+    counted on the progressively-redacted string, so rules never
+    double-count each other's spans)."""
+
+    def __init__(self, rules=PII_RULES) -> None:
+        import re as _re
+
+        self.rules = [(_re.compile(p), r) for p, r in rules]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].fillna("")
+        n = np.zeros(len(batch), np.int64)
+        for pat, repl in self.rules:
+            n += s.str.count(pat).to_numpy(np.int64)
+            s = s.str.replace(pat, repl, regex=True)
+        return pd.DataFrame({
+            "conv_id": batch["conv_id"].to_numpy(),
+            "turn_idx": batch["turn_idx"].to_numpy(np.int32),
+            "clean_text": s.to_numpy(),
+            "n_redactions": n,
+        })
+
+
+def pii_redact_turns(ds, concurrency: int = 2):
+    """PII redaction over transcript turns — stateless per row, so a pure
+    actor-pool ``map_batches`` with zero shuffle."""
+    return ds.map_batches(PIIRedactor, batch_format="pandas",
+                          concurrency=concurrency, batch_size=4096)
+
+
+def pii_redact_oracle_sql(transcripts_cte: str) -> str:
+    email, phone, num = (p for p, _ in PII_RULES)
+    return f"""WITH {transcripts_cte},
+        s0 AS (SELECT conv_id, turn_idx, coalesce(text, '') AS t0
+               FROM transcripts),
+        s1 AS (SELECT conv_id, turn_idx,
+                      len(regexp_extract_all(t0, '{email}')) AS n1,
+                      regexp_replace(t0, '{email}', '<EMAIL>', 'g') AS t1
+               FROM s0),
+        s2 AS (SELECT conv_id, turn_idx, n1,
+                      len(regexp_extract_all(t1, '{phone}')) AS n2,
+                      regexp_replace(t1, '{phone}', '<PHONE>', 'g') AS t2
+               FROM s1),
+        s3 AS (SELECT conv_id, turn_idx, n1, n2,
+                      len(regexp_extract_all(t2, '{num}')) AS n3,
+                      regexp_replace(t2, '{num}', '<NUM>', 'g') AS t3
+               FROM s2)
+        SELECT conv_id, turn_idx, t3 AS clean_text,
+               CAST(n1 + n2 + n3 AS BIGINT) AS n_redactions FROM s3"""
+
+
+def repetition_scores(sf_dir: str):
+    """Gopher-style within-document REPETITION signals per document:
+    ``dup_word_frac`` (1 − distinct/total tokens) and ``top_bigram_frac``
+    (occurrences of the most frequent bigram / total bigrams) — the
+    repetition axis of quality filtering (Rae et al. 2021 §A1.1), composing
+    with the length/stopword rules of :func:`quality_filter`.
+
+    Entirely per-document ⇒ NO shuffle at all: one vectorized explode per
+    batch (np.repeat doc codes + one flat token array), duplicate counting
+    via drop_duplicates, bigrams via shifted-array equality — never a
+    Python loop over rows or tokens."""
+
+    def scores(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        n = toks.str.len().to_numpy(np.int64)
+        doc = np.repeat(np.arange(len(df)), n)
+        flat = np.concatenate([*toks, np.array([], dtype=object)]) \
+            .astype(object)  # object dtype: elementwise str + str below
+        tk = pd.DataFrame({"d": doc, "w": flat})
+        distinct = tk.drop_duplicates(["d", "w"]).groupby("d").size()
+        dup = np.zeros(len(df), np.float64)
+        nz = n > 0
+        dist_full = np.zeros(len(df), np.float64)
+        dist_full[distinct.index.to_numpy()] = distinct.to_numpy()
+        dup[nz] = 1.0 - dist_full[nz] / n[nz]
+        # bigrams: adjacent positions within the same doc
+        same = doc[:-1] == doc[1:] if len(doc) else np.zeros(0, bool)
+        bg = pd.DataFrame({"d": doc[:-1][same],
+                           "b": flat[:-1][same] + "\x00" + flat[1:][same]})
+        top = np.zeros(len(df), np.float64)
+        if len(bg):
+            mc = bg.groupby(["d", "b"]).size().groupby("d").max()
+            top[mc.index.to_numpy()] = mc.to_numpy()
+        frac = np.zeros(len(df), np.float64)
+        many = n > 1
+        frac[many] = top[many] / (n[many] - 1)
+        from ..functions.rounding import round_half_away as _r
+
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "dup_word_frac": _r(dup, 6),
+                             "top_bigram_frac": _r(frac, 6)})
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]) \
+        .map_batches(scores, batch_format="pandas", batch_size=2048)
+
+
+def repetition_scores_oracle_sql() -> str:
+    return """
+        WITH base AS (
+            SELECT doc_id, list_filter(
+                regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                x -> x <> '') AS l
+            FROM documents),
+        tk AS (SELECT doc_id, l[i] AS tok, i
+               FROM base, UNNEST(generate_series(1, len(l))) AS t(i)),
+        dw AS (SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS d
+               FROM tk GROUP BY doc_id),
+        bg AS (SELECT a.doc_id, a.tok AS t1, b.tok AS t2, count(*) AS c
+               FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+               GROUP BY 1, 2, 3),
+        mb AS (SELECT doc_id, max(c) AS mc FROM bg GROUP BY doc_id)
+        SELECT base.doc_id,
+               round(CASE WHEN coalesce(n, 0) > 0
+                          THEN 1.0 - d * 1.0 / n ELSE 0.0 END, 6)
+                   AS dup_word_frac,
+               round(CASE WHEN coalesce(n, 0) > 1
+                          THEN coalesce(mc, 0) * 1.0 / (n - 1)
+                          ELSE 0.0 END, 6) AS top_bigram_frac
+        FROM base LEFT JOIN dw USING (doc_id) LEFT JOIN mb USING (doc_id)"""

@@ -76,3 +76,93 @@ def test_q18_threshold_selectivity(sf_dir):
     ).fetchone()[0]
     con.close()
     assert 0 < len(got) < 0.15 * n_orders
+
+
+@pytest.mark.parametrize("name,tables", [
+    ("dedup_turns", ("events",)),
+    ("pii_redacted_turns", ("events",)),
+    ("repetition_scores", ("documents",)),
+    ("cms_user_counts", ("events",)),
+])
+def test_round4_text_sketch_matches_sql(sf_dir, name, tables):
+    got = Q.queries()[name](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duck_sql(sf_dir, Q.oracle_sql()[name], tables=tables)
+    assert len(want) > 0
+    _cmp(got, want)
+
+
+def test_dedup_turns_prunes_and_keeps_first(sf_dir):
+    """Duplicated texts exist in the fixture (the op is exercised), and the
+    survivor of each text is the (ts, conv, turn)-earliest occurrence."""
+    from pdf_watermark_remover_ray.sources.transcripts import derive_transcripts
+    from pdf_watermark_remover_ray.stages.windows import ts_us_series
+
+    full = derive_transcripts(sf_dir).to_pandas()
+    kept = Q.queries()["dedup_turns"](sf_dir).to_pandas()
+    assert 0 < len(kept) < len(full)  # real pruning
+    assert kept["conv_id"].size == kept.drop_duplicates().shape[0]
+    full = full.assign(ts_us=ts_us_series(full["ts"]))
+    first = full.sort_values(["ts_us", "conv_id", "turn_idx"],
+                             kind="mergesort") \
+        .groupby(full["text"].fillna(""), sort=False).head(1)
+    want = set(zip(first["conv_id"], first["turn_idx"].astype(int)))
+    got = set(zip(kept["conv_id"], kept["turn_idx"].astype(int)))
+    assert got == want
+
+
+def test_pii_redactor_planted():
+    """Emails, phones, and digit runs redact in rule order (an email's
+    digits never double-count as <NUM>)."""
+    from pdf_watermark_remover_ray.pipelines.text import PIIRedactor
+
+    df = pd.DataFrame({
+        "conv_id": ["a"] * 4,
+        "turn_idx": np.int32([0, 1, 2, 3]),
+        "text": ["mail bob42@test.org now", "call 555-123-4567 ok",
+                 "k=99 and 12345", None],
+    })
+    out = PIIRedactor()(df)
+    assert list(out["clean_text"]) == [
+        "mail <EMAIL> now", "call <PHONE> ok", "k=<NUM> and <NUM>", ""]
+    assert list(out["n_redactions"]) == [1, 1, 2, 0]
+
+
+def test_repetition_scores_bruteforce(sf_dir):
+    """Vectorized scores == row-at-a-time reference on real docs."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    got = Q.queries()["repetition_scores"](sf_dir).to_pandas() \
+        .set_index("doc_id").sort_index()
+    exercised = 0
+    for _, row in docs.head(200).iterrows():
+        toks = (row["text"] or "").split()
+        n = len(toks)
+        dup = 1 - len(set(toks)) / n if n else 0.0
+        bgs = collections.Counter(zip(toks, toks[1:]))
+        top = max(bgs.values()) / (n - 1) if n > 1 else 0.0
+        g = got.loc[row["doc_id"]]
+        assert abs(g["dup_word_frac"] - dup) < 1e-6
+        assert abs(g["top_bigram_frac"] - top) < 1e-6
+        exercised += dup > 0
+    assert exercised > 0
+
+
+def test_cms_never_underestimates(sf_dir):
+    """CMS property: est_count >= exact count for EVERY user (and equals it
+    for most at this load factor)."""
+    import duckdb
+
+    est = Q.queries()["cms_user_counts"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    exact = con.sql(
+        f"SELECT user_id, count(*) AS c FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY user_id").df()
+    con.close()
+    m = est.merge(exact, on="user_id", how="outer")
+    assert m.notna().all().all()  # same user set
+    assert (m["est_count"] >= m["c"]).all()
