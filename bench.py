@@ -209,6 +209,23 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     from pdf_watermark_remover_ray.pipelines.queries import q_cep_timeouts
 
     timed("cep_timeouts", lambda: q_cep_timeouts(sf_dir).materialize())
+    # round-4 additions
+    from pdf_watermark_remover_ray.functions.sketches import cms_user_counts
+    from pdf_watermark_remover_ray.pipelines.queries import (
+        q_dedup_turns,
+        q_pii_redact_turns,
+    )
+
+    timed("dedup_turns", lambda: q_dedup_turns(sf_dir).materialize())
+    timed("pii_redacted_turns",
+          lambda: q_pii_redact_turns(sf_dir).materialize())
+    timed("repetition_scores",
+          lambda: text.repetition_scores(sf_dir).materialize())
+    timed("cms_user_counts",
+          lambda: cms_user_counts(sf_dir).materialize())
+    timed("bloom_semijoin_revenue",
+          lambda: relational.bloom_semijoin_revenue(sf_dir).materialize())
+    timed("q18_large_orders", lambda: relational.q18_large_orders(sf_dir))
 
     ray.shutdown()
     # host-condition stamp: 32-way burn-probe parallel speedup (healthy host
