@@ -292,3 +292,57 @@ def shuffle_oracle_sql(seed: int = SHUFFLE_SEED) -> str:
                    ('0x' || substring(md5('{seed}:' || CAST(doc_id AS VARCHAR)),
                                       1, 16))::UBIGINT, doc_id) - 1 AS pos
         FROM documents"""
+
+
+def capped_sample_per_group(sf_dir: str, cap: int = 3,
+                            num_partitions: int = 8):
+    """Per-group CAPPED deterministic sample: at most ``cap`` documents per
+    (lang, source) cell, chosen by md5(doc_id) order — the downsampling
+    primitive for capping over-represented corpus slices without a global
+    sort (every row's keep/drop decision depends only on its group's hash
+    order, reproducible under any partitioning).
+
+    Scale path: each batch pre-trims to its local per-group top-``cap`` by
+    hash (so the group-hash shuffle moves ≤ cap × groups × blocks rows),
+    then one co-located selection per group cell finishes the job.  Oracle:
+    QUALIFY row_number() OVER hash order — exact SQL replay via the md5
+    prefix convention."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ..functions.hashing import md5_u64
+    from ..stages.partition import add_partition_column
+
+    def pretrim(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "lang": df["lang"].fillna("").to_numpy(),
+            "source": df["source"].fillna("").to_numpy()})
+        df["h"] = md5_u64(df["doc_id"].astype(str))
+        df = df.sort_values(["lang", "source", "h"], kind="mergesort")
+        return df.groupby(["lang", "source"], sort=False).head(cap)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "source", "h"], kind="mergesort")
+        out = df.groupby(["lang", "source"], sort=False).head(cap)
+        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy(np.int64),
+                             "lang": out["lang"].to_numpy(),
+                             "source": out["source"].to_numpy()})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "source"]) \
+        .map_batches(pretrim, batch_format="pandas")
+    ds = add_partition_column(ds, key="lang", num_partitions=num_partitions)
+    return ds.groupby("part").map_groups(pick, batch_format="pandas")
+
+
+def capped_sample_oracle_sql(cap: int = 3) -> str:
+    return f"""
+        SELECT doc_id, coalesce(lang, '') AS lang,
+               coalesce(source, '') AS source
+        FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY coalesce(lang, ''), coalesce(source, '')
+            ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
+                     doc_id) <= {cap}"""

@@ -20,6 +20,8 @@ import pandas as pd
 from ..config import ScrubConfig, StreamConfig
 from ..functions.scrub import scrub_dataset
 from ..functions.sampling import (
+    capped_sample_oracle_sql,
+    capped_sample_per_group,
     decontaminate_oracle_sql,
     decontaminate_split,
     mix_rebalanced_documents,
@@ -307,6 +309,11 @@ def q_cep_followed_by(sf_dir: str):
                                within_us=CEP_WITHIN_US, num_partitions=16)
 
 
+def q_collapse_repeat_turns(sf_dir: str):
+    """Ordered window dedup: drop turns equal to the previous turn's text."""
+    return text.collapse_repeat_turns(_transcripts(sf_dir), num_partitions=16)
+
+
 def q_dedup_turns(sf_dir: str):
     """Corpus-wide unit-level (turn) exact dedup, order-defined winner."""
     return text.dedup_turns(_transcripts(sf_dir), num_partitions=16)
@@ -399,9 +406,13 @@ def queries() -> dict:
         "session_labels": q_session_labels,
         "tool_latency_quantiles": q_tool_latency_quantiles,
         "dedup_turns": q_dedup_turns,
+        "collapse_repeat_turns": q_collapse_repeat_turns,
         "pii_redacted_turns": q_pii_redact_turns,
         "repetition_scores": text.repetition_scores,
+        "normalized_docs": text.normalize_docs,
         "cms_user_counts": cms_user_counts,
+        "user_activity_outer": relational.user_activity_outer,
+        "capped_sample_per_group": capped_sample_per_group,
         "cep_funnel": q_cep_funnel,
         "cep_pred_funnel": q_cep_pred_funnel,
         "cep_followed_by": q_cep_followed_by,
@@ -783,9 +794,14 @@ def oracle_sql() -> dict:
                   - least(epoch_us(ts), epoch_us(ts1), epoch_us(ts2))
                   <= {CEP_WITHIN_US}""",
         "dedup_turns": text.dedup_turns_oracle_sql(TRANSCRIPTS_CTE),
+        "collapse_repeat_turns":
+            text.collapse_repeats_oracle_sql(TRANSCRIPTS_CTE),
         "pii_redacted_turns": text.pii_redact_oracle_sql(TRANSCRIPTS_CTE),
         "repetition_scores": text.repetition_scores_oracle_sql(),
+        "normalized_docs": text.normalize_docs_oracle_sql(),
         "cms_user_counts": cms_oracle_sql(),
+        "user_activity_outer": relational.user_activity_outer_oracle_sql(),
+        "capped_sample_per_group": capped_sample_oracle_sql(),
         # DEFINE-clause generalization: per-slot predicates (text regex on
         # the user slot, tool equality on the tool slot)
         "cep_pred_funnel": f"""{t},

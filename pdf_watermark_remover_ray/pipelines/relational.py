@@ -1352,3 +1352,58 @@ def bloom_semijoin_oracle_sql(nationkey: int = 3) -> str:
         WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
                             WHERE s_nationkey = {nationkey})
         GROUP BY l_suppkey"""
+
+
+def user_activity_outer(sf_dir: str, num_partitions: int = 16):
+    """FULL OUTER JOIN shape: per-user event count ⟗ per-user order count —
+    completes the join family (inner stream_join, as-of both directions,
+    range, semi via bloom, anti, INTERSECT/EXCEPT).  Missing sides surface
+    as NULL counts, exactly like the SQL FULL OUTER.
+
+    Scale path: both sides pre-aggregate per batch (the shuffle moves
+    per-(user, batch) partials), one shared user-hash co-location, and the
+    outer merge is a vectorized per-partition pivot — no row-level join of
+    the raw tables and no driver materialization."""
+
+    def side_counts(col: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            vc = t[col].to_pandas().dropna().astype(np.int64).value_counts()
+            return pa.table({
+                "user_id": pa.array(vc.index.to_numpy(np.int64)),
+                "n": pa.array(vc.to_numpy(np.int64)),
+                "side": pa.array(np.full(len(vc), side, np.int8))})
+        return fn
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]) \
+        .map_batches(side_counts("user_id", 0), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]) \
+        .map_batches(side_counts("o_custkey", 1), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    u = add_partition_column(ev.union(od), key="user_id",
+                             num_partitions=num_partitions)
+
+    def outer(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.pivot_table(index="user_id", columns="side", values="n",
+                           aggfunc="sum")  # absent side -> NaN (SQL NULL)
+        return pd.DataFrame({
+            "user_id": p.index.to_numpy(np.int64),
+            "n_events": p[0].to_numpy(np.float64) if 0 in p else
+                np.full(len(p), np.nan),
+            "n_orders": p[1].to_numpy(np.float64) if 1 in p else
+                np.full(len(p), np.nan)})
+
+    return u.groupby("part").map_groups(outer, batch_format="pandas")
+
+
+def user_activity_outer_oracle_sql() -> str:
+    return """
+        SELECT coalesce(e.user_id, o.user_id) AS user_id,
+               CAST(e.n AS DOUBLE) AS n_events,
+               CAST(o.n AS DOUBLE) AS n_orders
+        FROM (SELECT user_id, count(*) AS n FROM events
+              WHERE user_id IS NOT NULL GROUP BY user_id) e
+        FULL OUTER JOIN
+             (SELECT o_custkey AS user_id, count(*) AS n FROM orders
+              WHERE o_custkey IS NOT NULL GROUP BY o_custkey) o
+        ON e.user_id = o.user_id"""

@@ -1075,3 +1075,75 @@ def repetition_scores_oracle_sql() -> str:
                           THEN coalesce(mc, 0) * 1.0 / (n - 1)
                           ELSE 0.0 END, 6) AS top_bigram_frac
         FROM base LEFT JOIN dw USING (doc_id) LEFT JOIN mb USING (doc_id)"""
+
+
+def collapse_repeat_turns(ds, num_partitions: int = 16):
+    """ORDERED window dedup within a conversation: drop every turn whose
+    text equals the IMMEDIATELY PREVIOUS turn's text (by turn_idx) in the
+    same conversation — the streaming-transcript analog of consecutive-
+    duplicate-line collapse (distinct from :func:`dedup_turns`, which is
+    corpus-global and order-winner-based).  Rides the shared conv-hash
+    shuffle; the compare is one vectorized shift per partition.  Returns
+    surviving ``(conv_id, turn_idx)``."""
+    from ..stages.partition import partitioned_map
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        txt = df["text"].fillna("").to_numpy(object)
+        conv = df["conv_id"].to_numpy()
+        tix = df["turn_idx"].to_numpy(np.int64)
+        dup = np.zeros(len(df), bool)
+        if len(df) > 1:
+            dup[1:] = (conv[1:] == conv[:-1]) & (tix[1:] == tix[:-1] + 1) \
+                & (txt[1:] == txt[:-1])
+        keep = df[~dup]
+        return pd.DataFrame({"conv_id": keep["conv_id"].to_numpy(),
+                             "turn_idx": keep["turn_idx"].to_numpy(np.int32)})
+
+    return partitioned_map(ds, collapse, key="conv_id",
+                           num_partitions=num_partitions)
+
+
+def collapse_repeats_oracle_sql(transcripts_cte: str) -> str:
+    return f"""WITH {transcripts_cte}
+        SELECT conv_id, turn_idx FROM (
+            SELECT conv_id, turn_idx, coalesce(text, '') AS t,
+                   lag(coalesce(text, '')) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS prev_t,
+                   turn_idx - lag(turn_idx) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS gap
+            FROM transcripts)
+        WHERE prev_t IS NULL OR gap <> 1 OR t <> prev_t"""
+
+
+def normalize_docs(sf_dir: str, concurrency: int = 2):
+    """Text NORMALIZATION stage (the pre-tokenization cleanup of every
+    corpus pipeline): lowercase → strip non-alphanumerics → collapse
+    whitespace runs → trim.  Stateless, vectorized pandas-str kernels, zero
+    shuffle; regexes compiled once per actor."""
+    import re as _re
+
+    class Normalizer:
+        def __init__(self) -> None:
+            self.strip = _re.compile(r"[^a-z0-9 ]+")
+            self.ws = _re.compile(r" +")
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            s = df["text"].fillna("").str.lower() \
+                .str.replace(self.strip, " ", regex=True) \
+                .str.replace(self.ws, " ", regex=True).str.strip()
+            return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                                 "norm_text": s.to_numpy()})
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]) \
+        .map_batches(Normalizer, batch_format="pandas",
+                     concurrency=concurrency, batch_size=4096)
+
+
+def normalize_docs_oracle_sql() -> str:
+    return """
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                    '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        FROM documents"""

@@ -166,3 +166,69 @@ def test_cms_never_underestimates(sf_dir):
     m = est.merge(exact, on="user_id", how="outer")
     assert m.notna().all().all()  # same user set
     assert (m["est_count"] >= m["c"]).all()
+
+
+@pytest.mark.parametrize("name,tables", [
+    ("collapse_repeat_turns", ("events",)),
+    ("normalized_docs", ("documents",)),
+    ("user_activity_outer", ("events", "orders")),
+    ("capped_sample_per_group", ("documents",)),
+])
+def test_round4b_matches_sql(sf_dir, name, tables):
+    got = Q.queries()[name](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duck_sql(sf_dir, Q.oracle_sql()[name], tables=tables)
+    assert len(want) > 0
+    _cmp(got, want)
+
+
+def test_capped_sample_prunes_and_is_partition_invariant(sf_dir):
+    """The cap actually fires, every surviving cell is <= cap, and the hash-
+    order selection is identical at P=1 and P=5."""
+    import duckdb
+
+    from pdf_watermark_remover_ray.functions.sampling import (
+        capped_sample_per_group)
+
+    con = duckdb.connect()
+    total = con.sql(f"SELECT count(*) FROM "
+                    f"read_parquet('{sf_dir}/documents.parquet')").fetchone()[0]
+    con.close()
+    base = capped_sample_per_group(sf_dir).to_pandas()
+    assert len(base) < total  # cap fired
+    assert base.groupby(["lang", "source"]).size().max() <= 3
+    for parts in (1, 5):
+        got = capped_sample_per_group(sf_dir, num_partitions=parts).to_pandas()
+        assert sorted(got["doc_id"]) == sorted(base["doc_id"])
+
+
+def test_user_activity_outer_has_both_null_sides(sf_dir):
+    """FULL OUTER semantics exercised: rows exist with NULL n_events (order-
+    only users).  All event users also order in the fixture, so assert the
+    engine emits the asymmetric side and never drops a user."""
+    got = Q.queries()["user_activity_outer"](sf_dir).to_pandas()
+    assert got["n_events"].isna().any()
+    assert got["n_orders"].notna().all()
+    assert got["user_id"].is_unique
+
+
+def test_collapse_repeats_planted():
+    """Consecutive equal texts collapse; equal texts with a gap, across
+    convs, or non-adjacent turn_idx survive."""
+    import ray.data
+
+    from pdf_watermark_remover_ray.pipelines.text import collapse_repeat_turns
+
+    ts = pd.to_datetime(np.arange(6) * 1_000_000, unit="us")
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "a", "b", "b"],
+        "turn_idx": np.int32([0, 1, 2, 4, 0, 1]),
+        # a1 == a0 (drop), a2 != a1 (keep), a4 == a2 BUT turn gap (keep),
+        # b0 == a0 but other conv (keep), b1 == b0 (drop)
+        "text": ["x", "x", "y", "y", "x", "x"],
+        "role": ["user"] * 6, "tool": [""] * 6, "ts": ts,
+    })
+    out = collapse_repeat_turns(ray.data.from_pandas(df), num_partitions=2) \
+        .to_pandas()
+    got = sorted(zip(out["conv_id"], out["turn_idx"].astype(int)))
+    assert got == [("a", 0), ("a", 2), ("a", 4), ("b", 0)]
