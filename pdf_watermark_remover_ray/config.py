@@ -152,6 +152,15 @@ class StreamConfig:
     # A match is emitted in the epoch its last-arriving constituent lands.
     cep_pattern: tuple[str, ...] = ("user", "tool", "assistant")
     cep_within_us: int = 120_000_000
+    # PREDICATED streaming CEP (``cepp`` output stream), optional: a tuple of
+    # :class:`..stages.cep.Term` — per-slot predicates (role + tool equality
+    # + text regex), the MATCH_RECOGNIZE DEFINE clause in streaming form.
+    # Each row's per-term satisfaction bits are evaluated ONCE at route time
+    # (where the text column still exists — text never reaches the state
+    # actors) and packed into the high bits of the cepbuf "n" column, so the
+    # state schema, delta snapshots and restore chain are untouched.  Same
+    # span bound (cep_within_us), same completion-driven exactly-once rule.
+    cep_terms: tuple | None = None
     # CEP NEGATION (timeouts stream): a "user" turn with no "assistant" turn
     # in the same conversation at EVENT time ∈ [trigger, trigger + within]
     # fires when the watermark passes the deadline.  Time-based, not
@@ -184,6 +193,13 @@ class StreamConfig:
                 and all(r in ("user", "assistant", "tool")
                         for r in self.cep_pattern),
             "cep_within_us must be > 0": self.cep_within_us > 0,
+            "cep_terms must be a non-empty tuple of Terms with known roles":
+                self.cep_terms is None
+                or (len(self.cep_terms) >= 1 and len(self.cep_terms) <= 8
+                    and all(getattr(t, "role", 0) is None
+                            or getattr(t, "role", 0)
+                            in ("user", "assistant", "tool")
+                            for t in self.cep_terms)),
             "timeout_within_us must be > 0": self.timeout_within_us > 0,
             "wtopk_k must be >= 1": self.wtopk_k >= 1,
         }

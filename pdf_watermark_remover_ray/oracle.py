@@ -179,6 +179,19 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
                          pd.Series([], dtype=np.int32),
                          "n_tools": (e - s + 1).astype(np.int64),
                          "dt_us": dtk})
+    # predicated stream ("cepp"): masks over the SCRUBBED live rows — the
+    # engine evaluates the terms at route time, after the scrub
+    cepp = None
+    if cfg.cep_terms is not None:
+        from .stages.cep import masked_sequence_scan, term_mask
+
+        masks = [term_mask(cl, t) for t in cfg.cep_terms]
+        idxp, dtp = masked_sequence_scan(cconv, ctix, cts, masks,
+                                         cfg.cep_within_us)
+        cepp = pd.DataFrame({"conv_id": cconv[idxp] if len(idxp) else
+                             pd.Series([], dtype=str),
+                             "turn_idx": ctix[idxp].astype(np.int32),
+                             "dt_us": dtp})
     # CEP negation ("timeouts"): live user turns with no live assistant ts
     # in [trigger, trigger + within].  On bounded input every uncleared
     # trigger fires by the end — the engine's final flush closes with
@@ -209,6 +222,7 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
         "turns": live[["conv_id", "turn_idx", "role", "text", "tool", "ts", "modified"]],
         "cep": cep,
         "cepk": cepk,
+        "cepp": cepp,
         "timeouts": timeouts,
         "dedup": dedup,
         "late": late[["conv_id", "turn_idx", "ts_us", "epoch"]],

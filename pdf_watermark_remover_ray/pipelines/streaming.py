@@ -165,7 +165,8 @@ class StatePartition:
         bucket = self.buffer.pop(epoch, {})
         tables = [t for _, t in sorted(bucket.items())]
         tbl = pa.concat_tables(tables) if tables else self._EMPTY_BUF.empty_table()
-        live = tbl.select(_INGEST_COLS).to_pandas()
+        live = tbl.select(_INGEST_COLS + (
+            ["pbits"] if "pbits" in tbl.column_names else [])).to_pandas()
         self._delta = {}  # per-epoch join-buffer appends (delta snapshot)
         self._fold_sessions(live)
         self._fold_wstats(live)  # one fold feeds BOTH windows and wstats
@@ -187,8 +188,10 @@ class StatePartition:
             "wtopk": n_wtopk,
             "timeouts": self._emit_timeouts(wm_after_us, epoch),
         }
-        emitted["cep"], emitted["cepk"] = \
+        emitted["cep"], emitted["cepk"], n_cepp = \
             self._fold_emit_cep(live, wm_after_us, epoch)
+        if self.cfg.cep_terms is not None:
+            emitted["cepp"] = n_cepp
         if self.cfg.dedup_stream:
             emitted["dedup"] = self._emit_dedup(epoch, wm_after_us)
         t_emit = time.monotonic()
@@ -428,10 +431,13 @@ class StatePartition:
 
     def _fold_emit_cep(self, live: pd.DataFrame, wm_us: int,
                        epoch: int) -> tuple[int, int]:
-        """Streaming CEP: TWO pattern streams from ONE shared open-turn
-        buffer — ``cep`` (contiguous role sequence, StreamConfig.cep_pattern)
-        and ``cepk`` (Kleene-plus ``user (tool)+ assistant``), each match
-        emitted in the epoch its LAST constituent turn arrives.
+        """Streaming CEP: up to THREE pattern streams from ONE shared
+        open-turn buffer — ``cep`` (contiguous role sequence,
+        StreamConfig.cep_pattern), ``cepk`` (Kleene-plus ``user (tool)+
+        assistant``) and, when ``cep_terms`` is configured, ``cepp``
+        (per-slot predicated sequence; predicate bits evaluated at route
+        time and packed into the high bits of the buffered role code) —
+        each match emitted in the epoch its LAST constituent turn arrives.
 
         Completion-driven, not watermark-driven: a match over consecutive
         turn_idx values is decided the moment all its turns are present
@@ -450,15 +456,23 @@ class StatePartition:
         NOT endpoint difference — is what makes this sound when late-but-
         accepted rows break ts-monotonicity in turn_idx)."""
         from ..config import ROLE_CODES
-        from ..stages.cep import kleene_scan, sequence_scan
+        from ..stages.cep import kleene_scan, masked_sequence_scan, sequence_scan
 
         pat = self.cfg.cep_codes
+        has_p = self.cfg.cep_terms is not None
         old = self.store.get("cepbuf")
         if len(live):
             code = np.full(len(live), -1, dtype=np.int64)
             role = live["role"].to_numpy()
             for r, c in ROLE_CODES.items():
                 code[role == r] = c
+            if has_p:
+                # predicate bits (evaluated once at route time, where the
+                # text column exists) ride the high bits of "n" — no state
+                # schema change, delta snapshots / restore untouched.
+                # (& 0xFF first: the unknown-role sentinel -1 is all ones
+                # and would otherwise bleed into the predicate bits)
+                code = (code & 0xFF) | (live["pbits"].to_numpy(np.int64) << 8)
             new = pd.DataFrame({"conv_id": live["conv_id"].to_numpy(),
                                 "turn_idx": live["turn_idx"].to_numpy(np.int32),
                                 "n": code,
@@ -470,7 +484,8 @@ class StatePartition:
                         ignore_index=True) \
             .sort_values(["conv_id", "turn_idx"], kind="mergesort")
         conv = buf["conv_id"].to_numpy()
-        codes = buf["n"].to_numpy(np.int64)
+        codes_raw = buf["n"].to_numpy(np.int64)
+        codes = codes_raw & 0xFF  # low byte = role code, high bits = pbits
         tix = buf["turn_idx"].to_numpy().astype(np.int64)
         ts = buf["ts_us"].to_numpy(np.int64)
         isnew = buf["_new"].to_numpy(bool)
@@ -514,9 +529,26 @@ class StatePartition:
                               ("n_tools", pa.int64()), ("dt_us", pa.int64())])
         n_cepk = self._write("cepk", epoch, outk, schema_k)
 
+        # -- predicated stream ("cepp"): the DEFINE-clause generalization —
+        # same buffer, same completion/eviction rules, masks unpacked from
+        # the route-time predicate bits (no text in state, ever)
+        n_cepp = 0
+        if has_p:
+            masks = [((codes_raw >> (8 + j)) & 1).astype(bool)
+                     for j in range(len(self.cfg.cep_terms))]
+            idxp, dtp = masked_sequence_scan(conv, tix, ts, masks,
+                                             self.cfg.cep_within_us,
+                                             isnew=isnew)
+            outp = pd.DataFrame({
+                "conv_id": conv[idxp] if len(idxp) else pd.Series([], dtype=str),
+                "turn_idx": tix[idxp].astype(np.int32),
+                "dt_us": dtp,
+            }).sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            n_cepp = self._write("cepp", epoch, outp, schema)
+
         keep = ts >= wm_us - self.cfg.cep_within_us
         self.store.put("cepbuf", buf[keep].drop(columns=["_new"]))
-        return n_cep, n_cepk
+        return n_cep, n_cepk, n_cepp
 
     def _fold_join(self, live: pd.DataFrame) -> None:
         if len(live) == 0:
@@ -804,16 +836,29 @@ class ProgressTracker:
 
 
 def _prepare_table(t: pa.Table, scrub_fn, num_partitions: int,
-                   hot_keys: tuple[str, ...] = ()) -> pa.Table:
+                   hot_keys: tuple[str, ...] = (),
+                   cep_terms: tuple | None = None) -> pa.Table:
     """scrub + ts_us + n_chars + partition columns (shared routing prep).
 
     ``n_chars`` (post-scrub text length) is the per-turn VALUE the windowed
     stats aggregate — computed here so the bulky text column itself still
-    never ships to the state actors."""
+    never ships to the state actors.  With ``cep_terms`` (predicated
+    streaming CEP), each row's per-term satisfaction bits are ALSO evaluated
+    here — the only point where the text column exists — and packed into one
+    ``pbits`` uint8 (bit j = row satisfies term j), so the predicate ships
+    as one byte per row and the regexes never run inside the actors."""
     t = scrub_fn(t)
     t = t.append_column("ts_us", t["ts"].cast(pa.int64()))
     n_chars = pc.fill_null(pc.utf8_length(t["text"]), 0).cast(pa.int64())
     t = t.append_column("n_chars", n_chars)
+    if cep_terms is not None:
+        from ..stages.cep import term_mask
+
+        pdf_ = t.select(["role", "tool", "text"]).to_pandas()
+        pb = np.zeros(len(pdf_), np.uint8)
+        for j, term in enumerate(cep_terms):
+            pb |= term_mask(pdf_, term).astype(np.uint8) << np.uint8(j)
+        t = t.append_column("pbits", pa.array(pb))
     part = partition_table(t, "conv_id", num_partitions, hot_keys=hot_keys)
     return t.append_column("part", pa.array(part))
 
@@ -832,7 +877,8 @@ def _route_table(t: pa.Table, actors, epoch: int,
     (dedup) and block on both at once."""
     part = t["part"].to_numpy(zero_copy_only=False)
     order = np.argsort(part, kind="stable")
-    sub = t.select(_INGEST_COLS).take(pa.array(order))
+    cols = _INGEST_COLS + (["pbits"] if "pbits" in t.column_names else [])
+    sub = t.select(cols).take(pa.array(order))
     sorted_part = part[order]
     bounds = np.searchsorted(sorted_part, np.arange(len(actors) + 1))
     acks = []
@@ -948,7 +994,8 @@ def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig,
             rb0 = next(pf0.iter_batches(batch_size=max(1, pf0.metadata.num_rows // 2),
                                         columns=columns))
             t0_ = _prepare_table(pa.Table.from_batches([rb0]), scrub_fn,
-                                 cfg.num_partitions, cfg.hot_keys)
+                                 cfg.num_partitions, cfg.hot_keys,
+                                 cep_terms=cfg.cep_terms)
             _route_table(t0_, actors, epoch, source_key=f"{files[0]}#0")
             os.makedirs(cfg.fault_inject_dir, exist_ok=True)
             with open(marker, "w") as fh:
@@ -977,7 +1024,8 @@ def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig,
             # deterministic unit: its own staged output file + ingest key.
             for b, rb in enumerate(batches):
                 t = _prepare_table(pa.Table.from_batches([rb]), scrub_fn,
-                                   cfg.num_partitions, cfg.hot_keys)
+                                   cfg.num_partitions, cfg.hot_keys,
+                                   cep_terms=cfg.cep_terms)
                 ts = t["ts_us"].to_numpy(zero_copy_only=False)
                 if len(ts):
                     fmx = max(fmx, int(ts.max()))

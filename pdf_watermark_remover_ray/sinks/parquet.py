@@ -32,7 +32,8 @@ import json
 import os
 
 STREAMS = ("turns", "sessions", "matches", "windows", "wstats", "sliding",
-           "wdistinct", "wtopk", "late", "dedup", "cep", "cepk", "timeouts")
+           "wdistinct", "wtopk", "late", "dedup", "cep", "cepk", "cepp",
+           "timeouts")
 
 
 class EpochSink:

@@ -659,3 +659,42 @@ def test_dedup_ttl_below_lateness_rejected():
 
     with pytest.raises(ValueError, match="dedup_ttl_us"):
         replace(CFG, dedup_ttl_us=CFG.lateness_us - 1)
+
+
+def test_streaming_predicated_cep_and_resume(fixture, tmp_path):
+    """Predicated CEP stream ("cepp"): per-slot Term predicates evaluated at
+    route time (text never enters state), golden equality vs the
+    single-process oracle, strictly fewer matches than the plain role
+    funnel, and kill/resume emits the identical stream exactly once."""
+    from dataclasses import replace
+
+    from pdf_watermark_remover_ray.oracle import streaming_oracle
+    from pdf_watermark_remover_ray.stages.cep import Term
+
+    table, paths, _ = fixture
+    cfg = replace(CFG, cep_terms=(
+        Term(role="user", text_regex=r"\bstream\b"),
+        Term(role="tool", tool="search"),
+        Term(role="assistant"),
+    ))
+    golden = streaming_oracle(table, NUM_FILES, EPOCH_FILES, cfg)
+    assert golden["cepp"] is not None and len(golden["cepp"]) > 0, \
+        "fixture must exercise the predicated CEP path"
+    assert len(golden["cepp"]) < len(golden["cep"])  # predicates prune
+
+    out = str(tmp_path / "out_cepp")
+    res = StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES).run()
+    assert res["all_succeeded"] is True
+    assert_stream_equal(read_stream(out, "cepp"), golden["cepp"],
+                        ["conv_id", "turn_idx", "dt_us"])
+    # the other streams are untouched by the extra predicate stream
+    assert_stream_equal(read_stream(out, "cep"), golden["cep"],
+                        ["conv_id", "turn_idx", "dt_us"])
+
+    out2 = str(tmp_path / "out_cepp_resume")
+    StreamingEngine(paths, out2, cfg, epoch_files=EPOCH_FILES) \
+        .run(kill_after_epoch=1)
+    res2 = StreamingEngine(paths, out2, cfg, epoch_files=EPOCH_FILES).run()
+    assert res2["all_succeeded"] is True
+    assert_stream_equal(read_stream(out2, "cepp"), golden["cepp"],
+                        ["conv_id", "turn_idx", "dt_us"])

@@ -1,0 +1,78 @@
+"""Healthy-host bench watcher.
+
+The shared VM's parallel capacity fluctuates (noisy neighbours); absolute
+bench numbers are only comparable when the 32-way burn probe reports a
+parallel speedup near the machine's real width.  This watcher loops:
+probe every ``INTERVAL`` seconds; when TWO consecutive probes clear
+``THRESHOLD``, run ``python bench.py`` (full sf0.1 / 32-cpu config) and —
+only if the post-run probe STILL clears the threshold — record the line to
+``BENCH_LOCAL.json``.  Exits after the first accepted run (or when
+``--max-hours`` elapses).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+THRESHOLD = float(os.environ.get("PWR_HEALTH_THRESHOLD", "24"))
+INTERVAL = int(os.environ.get("PWR_WATCH_INTERVAL", "120"))
+
+
+def probe() -> float:
+    out = subprocess.run([sys.executable, os.path.join(REPO, "tools", "host_health.py"), "32"],
+                         capture_output=True, text=True, timeout=300)
+    return json.loads(out.stdout.strip().splitlines()[-1])["parallel_speedup"]
+
+
+def main() -> int:
+    max_hours = 6.0
+    for a in sys.argv[1:]:
+        if a.startswith("--max-hours="):
+            max_hours = float(a.split("=", 1)[1])
+    deadline = time.time() + max_hours * 3600
+    streak = 0
+    while time.time() < deadline:
+        try:
+            p = probe()
+        except Exception as ex:  # probe hiccup: keep watching
+            print(f"probe error: {ex}", flush=True)
+            time.sleep(INTERVAL)
+            continue
+        streak = streak + 1 if p >= THRESHOLD else 0
+        print(f"probe {p:.1f}x (streak {streak})", flush=True)
+        if streak >= 2:
+            print("healthy window: running bench.py", flush=True)
+            r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                               capture_output=True, text=True, timeout=3600,
+                               cwd=REPO)
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+            try:
+                rec = json.loads(line)
+            except Exception:
+                print(f"bench failed rc={r.returncode}: {r.stderr[-500:]}",
+                      flush=True)
+                streak = 0
+                continue
+            post = probe()
+            rec["post_bench_probe"] = post
+            if post >= THRESHOLD:
+                with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
+                    json.dump(rec, f, indent=1)
+                print(f"ACCEPTED: headline {rec['value']}s, post-probe "
+                      f"{post:.1f}x -> BENCH_LOCAL.json", flush=True)
+                return 0
+            print(f"rejected: post-bench probe {post:.1f}x "
+                  f"(ran into a degraded window)", flush=True)
+            streak = 0
+        time.sleep(INTERVAL)
+    print("no healthy window found", flush=True)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
