@@ -413,6 +413,9 @@ def queries() -> dict:
         "cms_user_counts": cms_user_counts,
         "user_activity_outer": relational.user_activity_outer,
         "capped_sample_per_group": capped_sample_per_group,
+        "events_window_distinct": relational.events_window_distinct,
+        "top_customers_with_ties": relational.top_customers_with_ties,
+        "orders_yoy_growth": relational.orders_yoy_growth,
         "cep_funnel": q_cep_funnel,
         "cep_pred_funnel": q_cep_pred_funnel,
         "cep_followed_by": q_cep_followed_by,
@@ -802,6 +805,11 @@ def oracle_sql() -> dict:
         "cms_user_counts": cms_oracle_sql(),
         "user_activity_outer": relational.user_activity_outer_oracle_sql(),
         "capped_sample_per_group": capped_sample_oracle_sql(),
+        "events_window_distinct":
+            relational.events_window_distinct_oracle_sql(),
+        "top_customers_with_ties":
+            relational.top_customers_with_ties_oracle_sql(),
+        "orders_yoy_growth": relational.orders_yoy_growth_oracle_sql(),
         # DEFINE-clause generalization: per-slot predicates (text regex on
         # the user slot, tool equality on the tool slot)
         "cep_pred_funnel": f"""{t},

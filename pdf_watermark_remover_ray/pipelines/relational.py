@@ -1407,3 +1407,141 @@ def user_activity_outer_oracle_sql() -> str:
              (SELECT o_custkey AS user_id, count(*) AS n FROM orders
               WHERE o_custkey IS NOT NULL GROUP BY o_custkey) o
         ON e.user_id = o.user_id"""
+
+
+def events_window_distinct(sf_dir: str, day_us: int = 86_400_000_000,
+                           num_partitions: int = 16):
+    """Windowed COUNT DISTINCT (batch twin of the streaming ``wdistinct``
+    stream): distinct event types per (user, tumbling day window).
+
+    Scale path: each batch pre-distincts its (user, window, type) triples —
+    the shuffle moves at most one row per (user, day, type, batch), never
+    raw events — then one keyed co-location counts distinct types per cell
+    with a vectorized drop_duplicates + groupby size."""
+    from ..stages.windows import ts_us_series
+
+    def pre_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        w = (ts_us_series(df["ts"]) // day_us) * day_us
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                            "window_start_us": w,
+                            "event_type": df["event_type"].to_numpy()})
+        return out.drop_duplicates()
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"]) \
+        .map_batches(pre_distinct, batch_format="pandas")
+    ds = add_partition_column(ds, key="user_id",
+                              num_partitions=num_partitions)
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "window_start_us", "event_type"])
+        g = d.groupby(["user_id", "window_start_us"]).size()
+        idx = g.index.to_frame(index=False)
+        return pd.DataFrame({"user_id": idx["user_id"].to_numpy(np.int64),
+                             "window_start_us":
+                                 idx["window_start_us"].to_numpy(np.int64),
+                             "n_types": g.to_numpy(np.int64)})
+
+    return ds.groupby("part").map_groups(count_distinct,
+                                         batch_format="pandas")
+
+
+def events_window_distinct_oracle_sql(day_us: int = 86_400_000_000) -> str:
+    return f"""
+        SELECT user_id,
+               (epoch_us(ts) // {day_us}) * {day_us} AS window_start_us,
+               count(DISTINCT event_type) AS n_types
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id, window_start_us"""
+
+
+def top_customers_with_ties(sf_dir: str, k: int = 3):
+    """Top-k BY DENSE RANK WITH TIES: every customer whose order COUNT is
+    among the k largest distinct counts (the ``DENSE_RANK() <= k`` shape —
+    unlike a LIMIT top-k, ties at the boundary all survive).
+
+    Scale path: per-batch per-customer partial counts → one keyed groupby →
+    each count-block contributes its ≤ k largest DISTINCT values (tiny) →
+    the driver merges O(k × blocks) scalars into the k admitted values,
+    broadcast as a sorted array → one vectorized probe assigns ranks.  The
+    full aggregate is never collected."""
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t["o_custkey"].to_pandas().dropna().astype(np.int64).value_counts()
+        return pa.table({"o_custkey": pa.array(vc.index.to_numpy(np.int64)),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    counts = _read(sf_dir, "orders", ["o_custkey"]) \
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("o_custkey").aggregate(Sum("n", alias_name="n_orders"))
+
+    def block_topvals(t: pa.Table) -> pa.Table:
+        vals = np.unique(t["n_orders"].to_numpy(zero_copy_only=False))[::-1][:k]
+        return pa.table({"v": pa.array(vals.astype(np.int64))})
+
+    tops = counts.map_batches(block_topvals, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    admitted = np.unique(tops["v"].to_numpy(np.int64))[::-1][:k]  # desc
+    adm_ref = ray.put(admitted)
+
+    def pick(t: pa.Table) -> pa.Table:
+        adm = ray.get(adm_ref)
+        df = t.to_pandas()
+        n = df["n_orders"].to_numpy(np.int64)
+        # rank i+1 for the i-th largest admitted value; drop the rest
+        rank = np.full(len(df), 0, np.int64)
+        for i, v in enumerate(adm):  # loop over k, not rows
+            rank[n == v] = i + 1
+        keep = rank > 0
+        return pa.table({"o_custkey": pa.array(
+            df["o_custkey"].to_numpy(np.int64)[keep]),
+            "n_orders": pa.array(n[keep]),
+            "rnk": pa.array(rank[keep])})
+
+    return counts.map_batches(pick, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def top_customers_with_ties_oracle_sql(k: int = 3) -> str:
+    return f"""
+        SELECT o_custkey, count(*) AS n_orders,
+               dense_rank() OVER (ORDER BY count(*) DESC) AS rnk
+        FROM orders WHERE o_custkey IS NOT NULL
+        GROUP BY o_custkey
+        QUALIFY rnk <= {k}"""
+
+
+def orders_yoy_growth(sf_dir: str):
+    """Window-over-aggregate: per-year revenue with year-over-year growth
+    percent (LAG over an ORDERED tiny aggregate).  The full scan reduces to
+    one row per year (per-batch partials → one small groupby); the lag runs
+    driver-side over |years| rows — the aggregate IS the small side, so
+    driver finishing is the honest plan at any corpus size."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        y = df["o_orderdate"].to_numpy("datetime64[Y]").astype(np.int64) + 1970
+        g = pd.DataFrame({"y": y, "r": df["o_totalprice"].to_numpy(np.float64)}) \
+            .groupby("y")["r"].sum().reset_index()
+        return pa.table({"year": pa.array(g["y"].to_numpy(np.int64)),
+                         "revenue": pa.array(g["r"].to_numpy(np.float64))})
+
+    agg = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("year").aggregate(Sum("revenue", alias_name="revenue")) \
+        .to_pandas().sort_values("year").reset_index(drop=True)
+    prev = agg["revenue"].shift(1)
+    yoy = 100.0 * (agg["revenue"] - prev) / prev
+    return pd.DataFrame({
+        "year": agg["year"].to_numpy(np.int64),
+        "revenue": round_half_away(agg["revenue"].to_numpy(np.float64), 2),
+        "yoy_pct": round_half_away(yoy.to_numpy(np.float64), 4)})
+
+
+def orders_yoy_growth_oracle_sql() -> str:
+    return """
+        WITH a AS (SELECT year(o_orderdate) AS year,
+                          sum(o_totalprice) AS revenue
+                   FROM orders GROUP BY 1)
+        SELECT year, round(revenue, 2) AS revenue,
+               round(100.0 * (revenue - lag(revenue) OVER (ORDER BY year))
+                     / lag(revenue) OVER (ORDER BY year), 4) AS yoy_pct
+        FROM a"""

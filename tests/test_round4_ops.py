@@ -232,3 +232,28 @@ def test_collapse_repeats_planted():
         .to_pandas()
     got = sorted(zip(out["conv_id"], out["turn_idx"].astype(int)))
     assert got == [("a", 0), ("a", 2), ("a", 4), ("b", 0)]
+
+
+@pytest.mark.parametrize("name,tables", [
+    ("events_window_distinct", ("events",)),
+    ("top_customers_with_ties", ("orders",)),
+    ("orders_yoy_growth", ("orders",)),
+])
+def test_round4c_matches_sql(sf_dir, name, tables):
+    got = Q.queries()[name](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duck_sql(sf_dir, Q.oracle_sql()[name], tables=tables)
+    assert len(want) > 0
+    _cmp(got, want)
+
+
+def test_top_customers_ties_semantics(sf_dir):
+    """DENSE_RANK <= k keeps ALL boundary ties and exactly k distinct
+    count values."""
+    got = Q.queries()["top_customers_with_ties"](sf_dir).to_pandas()
+    assert got["rnk"].max() <= 3 and got["n_orders"].nunique() <= 3
+    # rank is constant within a count value and ordered by it
+    m = got.groupby("n_orders")["rnk"].nunique()
+    assert (m == 1).all()
+    by_rank = got.groupby("rnk")["n_orders"].first().sort_index()
+    assert by_rank.is_monotonic_decreasing
