@@ -129,7 +129,8 @@ def masked_sequence_scan(conv: np.ndarray, tix: np.ndarray, ts: np.ndarray,
 
 
 def sequence_matches(ds, pattern: tuple[str, ...], within_us: int,
-                     num_partitions: int = 16):
+                     num_partitions: int = 16,
+                     hot_keys: tuple[str, ...] = ()):
     """All contiguous occurrences of ``pattern`` (role sequence) inside one
     conversation with event-time span ≤ ``within_us``.
 
@@ -162,7 +163,7 @@ def sequence_matches(ds, pattern: tuple[str, ...], within_us: int,
         })
 
     return partitioned_map(ds, match_partition, key="conv_id",
-                           num_partitions=num_partitions)
+                           num_partitions=num_partitions, hot_keys=hot_keys)
 
 
 def predicated_sequence_matches(ds, terms: tuple[Term, ...], within_us: int,

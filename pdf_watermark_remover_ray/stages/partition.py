@@ -30,21 +30,29 @@ def stable_hash(series: pd.Series) -> np.ndarray:
 
 
 def add_partition_column(ds, key: str = "conv_id", num_partitions: int = 16,
-                         col: str = "part"):
-    """Append ``part = stable_hash(key) % P`` (vectorized, Arrow in/out)."""
+                         col: str = "part", hot_keys: tuple[str, ...] = ()):
+    """Append ``part = stable_hash(key) % P`` (vectorized, Arrow in/out).
+    Keys in ``hot_keys`` route to reserved partitions ``P + i`` — same
+    skew isolation as the streaming router (:func:`partition_table`)."""
 
     def add_part(t: pa.Table) -> pa.Table:
-        s = t[key].to_pandas()
-        part = (stable_hash(s) % num_partitions).astype(np.int32)
-        return t.append_column(col, pa.array(part))
+        part = partition_table(t, key, num_partitions, hot_keys=hot_keys)
+        return t.append_column(col, pa.array(part.astype(np.int32)))
 
     return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def partitioned_map(ds, fn, key: str = "conv_id", num_partitions: int = 16):
+def partitioned_map(ds, fn, key: str = "conv_id", num_partitions: int = 16,
+                    hot_keys: tuple[str, ...] = ()):
     """Hash-partition by ``key`` then run ``fn`` (pandas→pandas, vectorized)
-    once per partition with all rows of each key co-located."""
-    ds = add_partition_column(ds, key=key, num_partitions=num_partitions)
+    once per partition with all rows of each key co-located.  ``hot_keys``
+    (e.g. from :func:`detect_hot_keys`) each get a RESERVED partition, so a
+    heavy key never contends with its hash bucket — isolation, not salting:
+    per-key-coherent operators (sessionize, CEP, ordered dedup) cannot have
+    their key split without breaking semantics, so the knob a planner has is
+    where the whole key lives."""
+    ds = add_partition_column(ds, key=key, num_partitions=num_partitions,
+                              hot_keys=hot_keys)
     return ds.groupby("part").map_groups(fn, batch_format="pandas")
 
 

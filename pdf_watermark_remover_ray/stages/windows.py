@@ -156,11 +156,14 @@ def session_labels(ds, gap_us: int, key: str = "conv_id",
     return partitioned_map(ds, label, key=key, num_partitions=num_partitions)
 
 
-def session_windows(ds, gap_us: int, key: str = "conv_id", num_partitions: int = 16):
+def session_windows(ds, gap_us: int, key: str = "conv_id", num_partitions: int = 16,
+                    hot_keys: tuple[str, ...] = ()):
     """Session windows per key: one conv-hash shuffle, vectorized per-partition
-    sessionize (SURVEY.md §2.6 A4 / north-rule session windows)."""
+    sessionize (SURVEY.md §2.6 A4 / north-rule session windows).  ``hot_keys``
+    route to reserved partitions (batch twin of the streaming skew routing)."""
     return partitioned_map(
-        ds, lambda g: sessionize_pdf(g, gap_us, key), key=key, num_partitions=num_partitions
+        ds, lambda g: sessionize_pdf(g, gap_us, key), key=key,
+        num_partitions=num_partitions, hot_keys=hot_keys
     )
 
 

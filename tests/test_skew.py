@@ -96,3 +96,35 @@ def test_auto_hot_key_detection_persists(tmp_path):
         read_stream(out, "matches"), golden["matches"],
         ["conv_id", "user_turn_idx", "tool_turn_idx", "tool", "dt_us"],
     )
+
+
+def test_batch_partitioned_map_hot_key_isolation(tmp_path):
+    """Batch twin of the streaming reserved-partition routing: hot keys get
+    their own partitions and every keyed batch operator's output is
+    unchanged under the re-routing."""
+    import ray.data
+
+    from pdf_watermark_remover_ray.stages.cep import sequence_matches
+    from pdf_watermark_remover_ray.stages.windows import session_windows
+
+    table = generate_transcripts(n_convs=30, mean_turns=10, seed=5,
+                                 hot_keys=2, hot_frac=0.4)
+    ds = ray.data.from_arrow(table.drop_columns(["arrival_us"]))
+    hot = detect_hot_keys(ds, frac_threshold=0.05, max_keys=2)
+    assert len(hot) == 2
+
+    base_s = session_windows(ds, 30_000_000, num_partitions=4).to_pandas()
+    hot_s = session_windows(ds, 30_000_000, num_partitions=4,
+                            hot_keys=tuple(hot)).to_pandas()
+    cols = list(base_s.columns)
+    assert base_s.sort_values(cols).reset_index(drop=True).equals(
+        hot_s.sort_values(cols).reset_index(drop=True))
+
+    pat = ("user", "tool", "assistant")
+    base_c = sequence_matches(ds, pat, 86_400_000_000, num_partitions=4) \
+        .to_pandas()
+    hot_c = sequence_matches(ds, pat, 86_400_000_000, num_partitions=4,
+                             hot_keys=tuple(hot)).to_pandas()
+    ccols = list(base_c.columns)
+    assert base_c.sort_values(ccols).reset_index(drop=True).equals(
+        hot_c.sort_values(ccols).reset_index(drop=True))
