@@ -367,3 +367,92 @@ def test_absence_scan_matches_bruteforce(rows, within):
     assert got_set == want
     for _, row in got.iterrows():
         assert row["deadline_us"] == rows[int(row["turn_idx"])][2] + within
+
+
+# -- CEP kernels: masked sequence scan + followed-by vs brute force ----------
+
+_roles = st.sampled_from(["user", "tool", "assistant"])
+_tools = st.sampled_from(["", "search", "exec"])
+
+
+@st.composite
+def _cep_frames(draw):
+    n = draw(st.integers(1, 40))
+    convs = draw(st.lists(st.sampled_from(["a", "b", "c"]),
+                          min_size=n, max_size=n))
+    df = pd.DataFrame({
+        "conv_id": convs,
+        "role": draw(st.lists(_roles, min_size=n, max_size=n)),
+        "tool": draw(st.lists(_tools, min_size=n, max_size=n)),
+        "text": draw(st.lists(st.sampled_from(["k 1", "k 22", "x", ""]),
+                              min_size=n, max_size=n)),
+        "ts": pd.to_datetime(
+            draw(st.lists(st.integers(0, 10_000), min_size=n, max_size=n)),
+            unit="s"),
+    })
+    # unique, possibly SPARSE turn_idx per conv (in arbitrary ts order)
+    df["turn_idx"] = np.int32(0)
+    for c, g in df.groupby("conv_id", sort=False):
+        tix = np.cumsum(draw(st.lists(st.integers(1, 3), min_size=len(g),
+                                      max_size=len(g))))
+        df.loc[g.index, "turn_idx"] = tix.astype(np.int32)
+    return df
+
+
+@settings(max_examples=120, deadline=None)
+@given(_cep_frames(), st.integers(0, 2))
+def test_masked_sequence_scan_matches_bruteforce(df, within_s):
+    from pdf_watermark_remover_ray.stages.cep import (
+        Term, masked_sequence_scan, term_mask)
+    from pdf_watermark_remover_ray.stages.windows import ts_us_series
+
+    terms = (Term(role="user", text_regex=r"k \d\d"),
+             Term(role="tool", tool="search"))
+    within = within_s * 1_000_000_000
+    d = df.sort_values(["conv_id", "turn_idx"], kind="mergesort") \
+        .reset_index(drop=True)
+    masks = [term_mask(d, t) for t in terms]
+    conv = d["conv_id"].to_numpy()
+    tix = d["turn_idx"].to_numpy(np.int64)
+    ts = ts_us_series(d["ts"])
+    idx, dt = masked_sequence_scan(conv, tix, ts, masks, within)
+    got = sorted(zip(conv[idx], tix[idx], dt))
+    want = []
+    for i in range(len(d) - 1):
+        r0, r1 = d.iloc[i], d.iloc[i + 1]
+        if (r0["conv_id"] == r1["conv_id"]
+                and r1["turn_idx"] == r0["turn_idx"] + 1
+                and masks[0][i] and masks[1][i + 1]):
+            span = abs(int(ts[i + 1]) - int(ts[i]))
+            if span <= within:
+                want.append((r0["conv_id"], int(r0["turn_idx"]), span))
+    assert got == sorted(want)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_cep_frames(), st.integers(0, 2))
+def test_followed_by_scan_matches_bruteforce(df, within_s):
+    from pdf_watermark_remover_ray.stages.cep import Term, followed_by_scan
+    from pdf_watermark_remover_ray.stages.windows import ts_us_series
+
+    first = Term(role="user")
+    then = Term(role="tool", tool="exec")
+    within = within_s * 1_000_000_000
+    out = followed_by_scan(df, first, then, within)
+    got = sorted(zip(out["conv_id"], out["turn_idx"].astype(int),
+                     out["dt_us"].astype(int)))
+    ts = ts_us_series(df["ts"])
+    want = []
+    for i in range(len(df)):
+        if df["role"].iloc[i] != "user":
+            continue
+        cands = [int(ts[j]) - int(ts[i]) for j in range(len(df))
+                 if df["conv_id"].iloc[j] == df["conv_id"].iloc[i]
+                 and df["role"].iloc[j] == "tool"
+                 and df["tool"].iloc[j] == "exec"
+                 and int(ts[j]) >= int(ts[i])
+                 and int(ts[j]) - int(ts[i]) <= within]
+        if cands:
+            want.append((df["conv_id"].iloc[i],
+                         int(df["turn_idx"].iloc[i]), min(cands)))
+    assert got == sorted(want)
