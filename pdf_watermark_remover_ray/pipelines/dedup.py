@@ -704,3 +704,93 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.30,
         return out
 
     return ds.groupby("label").map_groups(pairs_in_label, batch_format="pandas")
+
+
+def dup_spans(sf_dir: str, L: int = 16, num_partitions: int = 16):
+    """EXACT duplicated-substring spans (the Lee et al. 2021 "Deduplicating
+    Training Data" exact-substring family, gram-anchored): every maximal
+    span of a document covered by length-``L`` substrings that occur
+    verbatim in at least one OTHER document.  The family the shingle/MinHash
+    ops approximate — this one is exact, at suffix-array-class cost.
+
+    Plan: (1) explode all L-grams with positions (O(chars) slicing per row,
+    the Fingerprinter discipline — md5/set work is factorized, the loop only
+    slices); (2) ONE gram-hash shuffle co-locates every occurrence of a gram;
+    a gram survives iff ≥ 2 DISTINCT docs carry it (grouped on the gram
+    STRING, so hash collisions cannot create false spans); (3) the surviving
+    (doc, pos) marks take the doc-hash shuffle and merge into maximal spans
+    via vectorized gaps-and-islands (gap ≤ L ⇒ overlap or adjacency).
+
+    Honest cost note: the gram shuffle moves one row per character — that IS
+    the price of exactness (a suffix array moves the same order of data);
+    the approximate families (minhash/winnow) exist precisely to avoid it.
+    Returns ``(doc_id, span_start, span_end)``, 1-based inclusive."""
+    import ray.data
+
+    from ..stages.partition import partitioned_map
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        n = np.maximum(texts.str.len().to_numpy(np.int64) - L + 1, 0)
+        grams: list[str] = []
+        for s, k in zip(texts, n):  # O(chars) slicing only
+            grams.extend(s[i:i + L] for i in range(k))
+        return pd.DataFrame({
+            "gram": np.asarray(grams, dtype=object),
+            "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), n),
+            "pos": np.concatenate([np.arange(1, k + 1, dtype=np.int64)
+                                   for k in n]) if n.sum() else
+                np.zeros(0, np.int64),
+        })
+
+    def shared_marks(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.groupby("gram")["doc_id"].transform("nunique") > 1
+        out = df[k]
+        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy(np.int64),
+                             "pos": out["pos"].to_numpy(np.int64)})
+
+    def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+        doc = df["doc_id"].to_numpy(np.int64)
+        pos = df["pos"].to_numpy(np.int64)
+        brk = np.ones(len(df), bool)
+        if len(df) > 1:
+            brk[1:] = (doc[1:] != doc[:-1]) | (pos[1:] - pos[:-1] > L)
+        gid = np.cumsum(brk)
+        g = pd.DataFrame({"doc_id": doc, "gid": gid, "pos": pos}) \
+            .groupby(["doc_id", "gid"])["pos"].agg(["min", "max"]) \
+            .reset_index()
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "span_start": g["min"].to_numpy(np.int64),
+                             "span_end": g["max"].to_numpy(np.int64) + L - 1})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]) \
+        .map_batches(explode, batch_format="pandas", batch_size=1024)
+    marks = partitioned_map(ds, shared_marks, key="gram",
+                            num_partitions=num_partitions)
+    return partitioned_map(marks, merge_spans, key="doc_id",
+                           num_partitions=num_partitions)
+
+
+def dup_spans_oracle_sql(L: int = 16) -> str:
+    return f"""
+        WITH docs AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        g AS (SELECT doc_id, i, substring(t, i, {L}) AS gram
+              FROM docs, UNNEST(generate_series(1, greatest(len(t) - {L - 1}, 0)))
+                   AS s(i)),
+        shared AS (SELECT gram FROM g
+                   GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        m AS (SELECT g.doc_id, g.i FROM g JOIN shared USING (gram)),
+        isl AS (SELECT doc_id, i,
+                       CASE WHEN i - lag(i) OVER (PARTITION BY doc_id
+                                                  ORDER BY i) <= {L}
+                            THEN 0 ELSE 1 END AS brk
+                FROM m),
+        grp AS (SELECT doc_id, i,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                                      ROWS UNBOUNDED PRECEDING) AS gid
+                FROM isl)
+        SELECT doc_id, min(i) AS span_start,
+               max(i) + {L - 1} AS span_end
+        FROM grp GROUP BY doc_id, gid"""

@@ -405,6 +405,7 @@ def queries() -> dict:
         "orders_events_asof_fwd": q_orders_events_asof_fwd,
         "session_labels": q_session_labels,
         "tool_latency_quantiles": q_tool_latency_quantiles,
+        "dup_spans": dedup.dup_spans,
         "dedup_turns": q_dedup_turns,
         "collapse_repeat_turns": q_collapse_repeat_turns,
         "pii_redacted_turns": q_pii_redact_turns,
@@ -796,6 +797,7 @@ def oracle_sql() -> dict:
               AND greatest(epoch_us(ts), epoch_us(ts1), epoch_us(ts2))
                   - least(epoch_us(ts), epoch_us(ts1), epoch_us(ts2))
                   <= {CEP_WITHIN_US}""",
+        "dup_spans": dedup.dup_spans_oracle_sql(),
         "dedup_turns": text.dedup_turns_oracle_sql(TRANSCRIPTS_CTE),
         "collapse_repeat_turns":
             text.collapse_repeats_oracle_sql(TRANSCRIPTS_CTE),

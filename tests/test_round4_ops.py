@@ -257,3 +257,41 @@ def test_top_customers_ties_semantics(sf_dir):
     assert (m == 1).all()
     by_rank = got.groupby("rnk")["n_orders"].first().sort_index()
     assert by_rank.is_monotonic_decreasing
+
+
+def test_dup_spans_matches_sql_and_planted(sf_dir):
+    """Exact duplicated-substring spans vs the gaps-and-islands oracle, plus
+    a planted corpus: a 40-char block shared by two docs yields exactly one
+    maximal span per doc covering the block; a unique doc yields nothing."""
+    import ray.data
+
+    from pdf_watermark_remover_ray.pipelines.dedup import (
+        dup_spans, dup_spans_oracle_sql)
+
+    got = Q.queries()["dup_spans"](sf_dir).to_pandas()
+    want = duck_sql(sf_dir, Q.oracle_sql()["dup_spans"], tables=("documents",))
+    assert len(want) > 0
+    _cmp(got, want)
+
+    block = "XYZQWERTYUIOPASDFGHJKLZXCVBNM0123456789!"  # 40 chars, unique
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([f"aaa {block} bbb", f"ccc {block}",
+                              "totally unique text with no repeats at all"]),
+        }), f"{d}/documents.parquet")
+        spans = dup_spans(d, L=16).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # docs 1 and 2 each have ONE maximal span; the shared region is the
+        # planted block plus the preceding space (" "+block is itself a
+        # shared 16-gram prefix), identical text in both docs
+        assert list(spans["doc_id"]) == [1, 2]
+        s1, s2 = spans.iloc[0], spans.iloc[1]
+        t1 = f"aaa {block} bbb"[s1["span_start"] - 1:s1["span_end"]]
+        t2 = f"ccc {block}"[s2["span_start"] - 1:s2["span_end"]]
+        assert t1 == t2 == " " + block
