@@ -49,6 +49,7 @@ from ..sources.transcripts import TRANSCRIPTS_CTE, derive_transcripts
 from ..stages.join import stream_join
 from ..stages.watermark import late_rows
 from ..stages.windows import session_windows, sliding_counts, tumbling_counts
+from . import curate as _curate
 from . import dedup, multimodal, relational, similarity, text
 
 # window params used by the transcript queries (microseconds)
@@ -406,6 +407,7 @@ def queries() -> dict:
         "session_labels": q_session_labels,
         "tool_latency_quantiles": q_tool_latency_quantiles,
         "dup_spans": dedup.dup_spans,
+        "curate_corpus": _curate.curate_corpus,
         "dedup_turns": q_dedup_turns,
         "collapse_repeat_turns": q_collapse_repeat_turns,
         "pii_redacted_turns": q_pii_redact_turns,
@@ -798,6 +800,7 @@ def oracle_sql() -> dict:
                   - least(epoch_us(ts), epoch_us(ts1), epoch_us(ts2))
                   <= {CEP_WITHIN_US}""",
         "dup_spans": dedup.dup_spans_oracle_sql(),
+        "curate_corpus": _curate.curate_corpus_oracle_sql(TOKENS_SQL),
         "dedup_turns": text.dedup_turns_oracle_sql(TRANSCRIPTS_CTE),
         "collapse_repeat_turns":
             text.collapse_repeats_oracle_sql(TRANSCRIPTS_CTE),

@@ -295,3 +295,39 @@ def test_dup_spans_matches_sql_and_planted(sf_dir):
         t1 = f"aaa {block} bbb"[s1["span_start"] - 1:s1["span_end"]]
         t2 = f"ccc {block}"[s2["span_start"] - 1:s2["span_end"]]
         assert t1 == t2 == " " + block
+
+
+def test_curate_corpus_matches_sql_and_composition(sf_dir):
+    """The composed pipeline equals its SQL replay AND its own parts: every
+    surviving doc passes quality_filter, and there is exactly one survivor
+    per distinct kept text."""
+    got = Q.queries()["curate_corpus"](sf_dir).to_pandas()
+    want = duck_sql(sf_dir, Q.oracle_sql()["curate_corpus"],
+                    tables=("documents",))
+    assert 0 < len(want)
+    _cmp(got, want)
+    qf = Q.queries()["quality_filter"](sf_dir).to_pandas()
+    kept = set(qf.loc[qf["keep"], "doc_id"])
+    assert set(got["doc_id"]).issubset(kept)
+    assert len(got) <= len(kept)
+
+    # planted corpus: a KEPT-quality doc duplicated 3x -> min-doc survivor
+    # only; a low-quality doc never reaches dedup
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_remover_ray.pipelines.curate import curate_corpus
+
+    good = ("the quick brown fox jumps over a lazy dog and then runs to "
+            "the river bank where data stream window join state actor "
+            "shuffle partition arrow batch all flow in order")  # 30 words
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array([5, 2, 9, 7], pa.int64()),
+            "text": pa.array([good, good, good, "too short"]),
+        }), f"{d}/documents.parquet")
+        out = curate_corpus(d).to_pandas()
+        assert list(out["doc_id"]) == [2]  # min doc_id of the kept dupes
+        assert int(out["n_tokens"].iloc[0]) == len(good.split())
