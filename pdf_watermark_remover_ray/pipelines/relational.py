@@ -1020,6 +1020,8 @@ def q14_promo_revenue(sf_dir: str, date_lo: str = "1995-01-01",
     parallel arrays, searchsorted probe per batch, same discipline as Q5);
     lineitem is scanned once with 4 pruned columns; each batch emits ONE
     partial (promo_rev, total_rev) pair so the reduce is O(blocks)."""
+    import pyarrow.compute as _pc
+
     part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas() \
         .sort_values("p_partkey")
     lookup_ref = ray.put((part["p_partkey"].to_numpy(np.int64),
@@ -1030,8 +1032,6 @@ def q14_promo_revenue(sf_dir: str, date_lo: str = "1995-01-01",
     def partial(t: pa.Table) -> pa.Table:
         keys, promo = ray.get(lookup_ref)
         df = t.to_pandas()
-        sd = df["l_shipdate"].to_numpy("datetime64[us]")
-        df = df[(sd >= lo) & (sd < hi)]
         rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
         pk = df["l_partkey"].to_numpy(np.int64)
         pos = np.searchsorted(keys, pk).clip(max=max(len(keys) - 1, 0))
@@ -1040,8 +1040,13 @@ def q14_promo_revenue(sf_dir: str, date_lo: str = "1995-01-01",
         return pa.table({"promo_rev": pa.array([float(rev[is_promo].sum())]),
                          "total_rev": pa.array([float(rev.sum())])})
 
-    li = _read(sf_dir, "lineitem",
-               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    # date range pushed INTO the read: parquet row-group statistics prune
+    # non-matching groups before their bytes leave storage
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(_pc.field("l_shipdate") >= lo)
+        & (_pc.field("l_shipdate") < hi))
     agg = li.map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True) \
         .aggregate(Sum("promo_rev", alias_name="p"),
@@ -1545,3 +1550,50 @@ def orders_yoy_growth_oracle_sql() -> str:
                round(100.0 * (revenue - lag(revenue) OVER (ORDER BY year))
                      / lag(revenue) OVER (ORDER BY year), 4) AS yoy_pct
         FROM a"""
+
+
+def q6_forecast_revenue(sf_dir: str, date_lo: str = "1995-01-01",
+                        date_hi: str = "1996-01-01",
+                        disc_lo: float = 0.02, disc_hi: float = 0.06,
+                        qty_max: float = 24.0):
+    """TPC-H Q6 (forecasting revenue change): pure filter + aggregate, with
+    the row predicates PUSHED INTO THE READ — the shipdate/discount/quantity
+    filter is a pyarrow dataset expression handed to ``read_parquet``, so
+    non-matching row groups are pruned by parquet statistics before their
+    bytes leave storage (at 100 TB, a date-partitioned layout makes this the
+    difference between scanning a year and scanning everything).  Each
+    surviving batch emits one partial; the reduce is O(blocks)."""
+    import pyarrow.compute as _pc
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    expr = ((_pc.field("l_shipdate") >= lo) & (_pc.field("l_shipdate") < hi)
+            & (_pc.field("l_discount") >= disc_lo)
+            & (_pc.field("l_discount") <= disc_hi)
+            & (_pc.field("l_quantity") < qty_max))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        return pa.table({"revenue": pa.array(
+            [float(rev.as_py() or 0.0)])})
+
+    total = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=expr) \
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .aggregate(Sum("revenue", alias_name="r"))["r"]
+    return pd.DataFrame({"revenue": [float(round_half_away(
+        np.array([total or 0.0]), 2)[0])]})
+
+
+def q6_oracle_sql(date_lo: str = "1995-01-01", date_hi: str = "1996-01-01",
+                  disc_lo: float = 0.02, disc_hi: float = 0.06,
+                  qty_max: float = 24.0) -> str:
+    return f"""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{date_lo}'
+          AND l_shipdate < TIMESTAMP '{date_hi}'
+          AND l_discount BETWEEN {disc_lo} AND {disc_hi}
+          AND l_quantity < {qty_max}"""

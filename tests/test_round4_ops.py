@@ -331,3 +331,11 @@ def test_curate_corpus_matches_sql_and_composition(sf_dir):
         out = curate_corpus(d).to_pandas()
         assert list(out["doc_id"]) == [2]  # min doc_id of the kept dupes
         assert int(out["n_tokens"].iloc[0]) == len(good.split())
+
+
+def test_q6_pushdown_matches_sql(sf_dir):
+    got = Q.queries()["q6_forecast_revenue"](sf_dir)
+    want = duck_sql(sf_dir, Q.oracle_sql()["q6_forecast_revenue"],
+                    tables=("lineitem",))
+    assert want["revenue"].iloc[0] > 0
+    _cmp(got, want)
