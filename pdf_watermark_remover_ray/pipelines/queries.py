@@ -432,6 +432,7 @@ def queries() -> dict:
         "q5_revenue_by_nation": relational.q5_revenue_by_nation,
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q10_returned_items": relational.q10_returned_items,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "q17_small_qty_revenue": relational.q17_small_quantity_revenue,
         "q18_large_orders": relational.q18_large_orders,
@@ -1006,6 +1007,7 @@ def oracle_sql() -> dict:
             GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
         "q7_volume_shipping": relational.q7_volume_shipping_oracle_sql(),
         "q6_forecast_revenue": relational.q6_oracle_sql(),
+        "q10_returned_items": relational.q10_oracle_sql(),
         "q14_promo_revenue": relational.q14_oracle_sql(),
         "q17_small_qty_revenue": relational.q17_oracle_sql(),
         "q18_large_orders": relational.q18_oracle_sql(),

@@ -1597,3 +1597,85 @@ def q6_oracle_sql(date_lo: str = "1995-01-01", date_hi: str = "1996-01-01",
           AND l_shipdate < TIMESTAMP '{date_hi}'
           AND l_discount BETWEEN {disc_lo} AND {disc_hi}
           AND l_quantity < {qty_max}"""
+
+
+def q10_returned_items(sf_dir: str, date_lo: str = "1995-04-01",
+                       date_hi: str = "1995-07-01", k: int = 20):
+    """TPC-H Q10 shape (returned-item reporting): top-k customers by revenue
+    lost to returns in one quarter — filter both fact sides at the READ
+    (order-date range and ``l_returnflag = 'R'`` are pyarrow pushdown
+    expressions), join through a broadcast of the quarter's (orderkey →
+    custkey) pairs (~1/28 of orders; same small-side-broadcast regime as Q3,
+    whose size-guard/fallback pattern applies if the window grows), partial
+    per-(custkey, batch) revenue sums, then partial top-k per count block →
+    O(k × blocks) driver merge (the ann_topk reduce pattern).  Ranking uses
+    the ROUNDED revenue on both engine and oracle sides so float ulps can't
+    flip the boundary."""
+    import pyarrow.compute as _pc
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=(_pc.field("o_orderdate") >= lo)
+        & (_pc.field("o_orderdate") < hi)).to_pandas()
+    if len(od) == 0:  # empty window: a zero-row read drops its columns
+        od = pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
+                           "o_custkey": pd.Series([], dtype=np.int64)})
+    od = od.sort_values("o_orderkey")
+    ok_ref = ray.put((od["o_orderkey"].to_numpy(np.int64),
+                      od["o_custkey"].to_numpy(np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        oks, cks = ray.get(ok_ref)
+        df = t.to_pandas()
+        o = df["l_orderkey"].to_numpy(np.int64)
+        pos = np.searchsorted(oks, o).clip(max=max(len(oks) - 1, 0))
+        hit = oks[pos] == o if len(oks) else np.zeros(len(o), bool)
+        df = df[hit]
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        g = pd.DataFrame({"c": cks[pos[hit]], "r": rev}) \
+            .groupby("c")["r"].sum().reset_index()
+        return pa.table({"c_custkey": pa.array(g["c"].to_numpy(np.int64)),
+                         "revenue": pa.array(g["r"].to_numpy(np.float64))})
+
+    totals = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=_pc.field("l_returnflag") == "R") \
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("c_custkey").aggregate(Sum("revenue", alias_name="revenue"))
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=round_half_away(
+            df["revenue"].to_numpy(np.float64), 2))
+        return df.sort_values(["revenue", "c_custkey"],
+                              ascending=[False, True]).head(k)
+
+    parts = totals.map_batches(block_topk, batch_format="pandas") \
+        .to_pandas()
+    top = parts.sort_values(["revenue", "c_custkey"],
+                            ascending=[False, True]).head(k)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas() \
+        .sort_values("c_custkey")
+    pos = np.searchsorted(cust["c_custkey"].to_numpy(np.int64),
+                          top["c_custkey"].to_numpy(np.int64))
+    top = top.assign(c_name=cust["c_name"].to_numpy()[pos])
+    return top[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
+
+
+def q10_oracle_sql(date_lo: str = "1995-04-01", date_hi: str = "1995-07-01",
+                   k: int = 20) -> str:
+    return f"""
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '{date_lo}'
+          AND o_orderdate < TIMESTAMP '{date_hi}'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name
+        ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC,
+                 c_custkey
+        LIMIT {k}"""

@@ -339,3 +339,11 @@ def test_q6_pushdown_matches_sql(sf_dir):
                     tables=("lineitem",))
     assert want["revenue"].iloc[0] > 0
     _cmp(got, want)
+
+
+def test_q10_returned_items_matches_sql(sf_dir):
+    got = Q.queries()["q10_returned_items"](sf_dir)
+    want = duck_sql(sf_dir, Q.oracle_sql()["q10_returned_items"],
+                    tables=("lineitem", "orders", "customer"))
+    assert len(want) == 20
+    _cmp(got, want)
