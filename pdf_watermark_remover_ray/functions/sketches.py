@@ -387,8 +387,10 @@ def cms_user_counts(sf_dir: str, d: int = _CMS_D, w: int = _CMS_W):
         .groupby(["j", "bucket"]).aggregate(Sum("c", alias_name="s")) \
         .to_pandas()
     mat = np.zeros((d, w), np.int64)
-    mat[cells["j"].to_numpy(np.int64), cells["bucket"].to_numpy(np.int64)] = \
-        cells["s"].to_numpy(np.int64)
+    if len(cells):  # empty input: the aggregate drops its columns entirely
+        mat[cells["j"].to_numpy(np.int64),
+            cells["bucket"].to_numpy(np.int64)] = \
+            cells["s"].to_numpy(np.int64)
     mat_ref = ray.put(mat)
 
     def distinct_users(t: pa.Table) -> pa.Table:

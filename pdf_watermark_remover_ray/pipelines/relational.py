@@ -1485,7 +1485,8 @@ def top_customers_with_ties(sf_dir: str, k: int = 3):
 
     tops = counts.map_batches(block_topvals, batch_format="pyarrow",
                               zero_copy_batch=True).to_pandas()
-    admitted = np.unique(tops["v"].to_numpy(np.int64))[::-1][:k]  # desc
+    admitted = np.unique(tops["v"].to_numpy(np.int64))[::-1][:k] \
+        if len(tops) else np.zeros(0, np.int64)  # desc
     adm_ref = ray.put(admitted)
 
     def pick(t: pa.Table) -> pa.Table:
@@ -1532,7 +1533,11 @@ def orders_yoy_growth(sf_dir: str):
     agg = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]) \
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("year").aggregate(Sum("revenue", alias_name="revenue")) \
-        .to_pandas().sort_values("year").reset_index(drop=True)
+        .to_pandas()
+    if len(agg) == 0:  # empty input: the aggregate drops its columns
+        agg = pd.DataFrame({"year": pd.Series([], dtype=np.int64),
+                            "revenue": pd.Series([], dtype=np.float64)})
+    agg = agg.sort_values("year").reset_index(drop=True)
     prev = agg["revenue"].shift(1)
     yoy = 100.0 * (agg["revenue"] - prev) / prev
     return pd.DataFrame({

@@ -347,3 +347,47 @@ def test_q10_returned_items_matches_sql(sf_dir):
                     tables=("lineitem", "orders", "customer"))
     assert len(want) == 20
     _cmp(got, want)
+
+
+def test_round4_ops_on_empty_tables(tmp_path):
+    """P4 pass-through discipline for the new ops: zero-row inputs (same
+    schemas) produce zero-row outputs, never an exception."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()), "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64())}), f"{d}/documents.parquet")
+    pq.write_table(pa.table({
+        "event_id": pa.array([], pa.int64()), "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "event_type": pa.array([], pa.string()),
+        "props": pa.array([], pa.string())}), f"{d}/events.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([], pa.int64()), "o_custkey": pa.array([], pa.int64()),
+        "o_orderstatus": pa.array([], pa.string()),
+        "o_totalprice": pa.array([], pa.float64()),
+        "o_orderdate": pa.array([], pa.timestamp("us")),
+        "o_orderpriority": pa.array([], pa.string())}), f"{d}/orders.parquet")
+
+    from pdf_watermark_remover_ray.functions.sampling import (
+        capped_sample_per_group)
+    from pdf_watermark_remover_ray.functions.sketches import cms_user_counts
+    from pdf_watermark_remover_ray.pipelines.curate import curate_corpus
+    from pdf_watermark_remover_ray.pipelines.dedup import dup_spans
+    from pdf_watermark_remover_ray.pipelines.relational import (
+        events_window_distinct, orders_yoy_growth, top_customers_with_ties,
+        user_activity_outer)
+    from pdf_watermark_remover_ray.pipelines.text import (
+        normalize_docs, repetition_scores)
+
+    for fn in (repetition_scores, normalize_docs, dup_spans, curate_corpus,
+               capped_sample_per_group, cms_user_counts,
+               events_window_distinct, top_customers_with_ties,
+               user_activity_outer, orders_yoy_growth):
+        out = fn(d)
+        n = out.count() if hasattr(out, "count") and hasattr(out, "to_pandas") \
+            and not isinstance(out, pd.DataFrame) else len(out)
+        assert n == 0, fn.__name__
