@@ -417,6 +417,7 @@ def queries() -> dict:
         "user_activity_outer": relational.user_activity_outer,
         "capped_sample_per_group": capped_sample_per_group,
         "events_window_distinct": relational.events_window_distinct,
+        "user_daily_locf": relational.user_daily_locf,
         "top_customers_with_ties": relational.top_customers_with_ties,
         "orders_yoy_growth": relational.orders_yoy_growth,
         "cep_funnel": q_cep_funnel,
@@ -814,6 +815,7 @@ def oracle_sql() -> dict:
         "capped_sample_per_group": capped_sample_oracle_sql(),
         "events_window_distinct":
             relational.events_window_distinct_oracle_sql(),
+        "user_daily_locf": relational.user_daily_locf_oracle_sql(),
         "top_customers_with_ties":
             relational.top_customers_with_ties_oracle_sql(),
         "orders_yoy_growth": relational.orders_yoy_growth_oracle_sql(),

@@ -1684,3 +1684,81 @@ def q10_oracle_sql(date_lo: str = "1995-04-01", date_hi: str = "1995-07-01",
         ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC,
                  c_custkey
         LIMIT {k}"""
+
+
+def user_daily_locf(sf_dir: str, day_us: int = 86_400_000_000,
+                    num_partitions: int = 16):
+    """LOCF forward fill (last observation carried forward) over a dense
+    per-user day grid: each user's LAST event type of each day (by ts, then
+    event_id), densified to every day in the user's active span, with
+    observation-free days inheriting the most recent prior value — the
+    time-series window shape `last_value(... IGNORE NULLS)` that plain
+    gap-filling (:func:`user_daily_activity`) doesn't cover.
+
+    Same scale plan as the gap-fill op: one user-hash co-location, per-user
+    span expansion via one repeat/arange pair, then a vectorized grouped
+    ffill.  Returns ``(user_id, day_us, last_type)``."""
+    from ..stages.partition import partitioned_map
+    from ..stages.windows import ts_us_series
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_id", "event_type"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().dropna(subset=["user_id"])
+        ts = ts_us_series(df["ts"])
+        return pa.table({"user_id": df["user_id"].to_numpy(np.int64),
+                         "day": ts // day_us,
+                         "ts_us": ts,
+                         "event_id": df["event_id"].to_numpy(np.int64),
+                         "event_type": df["event_type"].to_numpy()})
+
+    ds = ds.map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
+
+    def locf(df: pd.DataFrame) -> pd.DataFrame:
+        # last observation per (user, day): sort asc, keep last
+        df = df.sort_values(["user_id", "day", "ts_us", "event_id"],
+                            kind="mergesort")
+        last = df.drop_duplicates(["user_id", "day"], keep="last")
+        span = last.groupby("user_id", sort=False)["day"] \
+            .agg(["min", "max"]).reset_index()
+        lens = (span["max"] - span["min"] + 1).to_numpy(np.int64)
+        users = np.repeat(span["user_id"].to_numpy(np.int64), lens)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        days = (np.arange(lens.sum(), dtype=np.int64)
+                - np.repeat(offs, lens)
+                + np.repeat(span["min"].to_numpy(np.int64), lens))
+        dense = pd.DataFrame({"user_id": users, "day": days})
+        out = dense.merge(last[["user_id", "day", "event_type"]],
+                          on=["user_id", "day"], how="left")
+        # grouped forward fill: rows are (user, day)-ordered by construction
+        # and every user's FIRST grid day has an observation (min over
+        # observed days), so ffill never bleeds across users
+        out["event_type"] = out["event_type"].ffill()
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "day_us": out["day"].to_numpy(np.int64) * day_us,
+            "last_type": out["event_type"].to_numpy()})
+
+    return partitioned_map(ds, locf, key="user_id",
+                           num_partitions=num_partitions)
+
+
+def user_daily_locf_oracle_sql(day_us: int = 86_400_000_000) -> str:
+    return f"""
+        WITH d AS (SELECT user_id,
+                          (epoch_us(ts) // {day_us}) AS day, event_type,
+                          row_number() OVER (
+                              PARTITION BY user_id, epoch_us(ts) // {day_us}
+                              ORDER BY ts DESC, event_id DESC) AS rn
+                   FROM events WHERE user_id IS NOT NULL),
+        lastv AS (SELECT user_id, day, event_type FROM d WHERE rn = 1),
+        span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+                 FROM lastv GROUP BY user_id),
+        dense AS (SELECT user_id, lo + i AS day
+                  FROM span, UNNEST(generate_series(0, hi - lo)) AS t(i))
+        SELECT dense.user_id, dense.day * {day_us} AS day_us,
+               last_value(l.event_type IGNORE NULLS) OVER (
+                   PARTITION BY dense.user_id ORDER BY dense.day
+                   ROWS UNBOUNDED PRECEDING) AS last_type
+        FROM dense LEFT JOIN lastv l
+             ON l.user_id = dense.user_id AND l.day = dense.day"""

@@ -391,3 +391,22 @@ def test_round4_ops_on_empty_tables(tmp_path):
         n = out.count() if hasattr(out, "count") and hasattr(out, "to_pandas") \
             and not isinstance(out, pd.DataFrame) else len(out)
         assert n == 0, fn.__name__
+
+
+def test_user_daily_locf_matches_sql_and_fills(sf_dir):
+    """LOCF vs the IGNORE-NULLS window oracle; gap days exist and inherit
+    the prior value (the fill path is genuinely exercised)."""
+    got = Q.queries()["user_daily_locf"](sf_dir).to_pandas()
+    want = duck_sql(sf_dir, Q.oracle_sql()["user_daily_locf"],
+                    tables=("events",))
+    assert len(want) > 0
+    _cmp(got, want)
+    import duckdb
+
+    con = duckdb.connect()
+    observed = con.sql(
+        f"SELECT count(DISTINCT (user_id, epoch_us(ts) // 86400000000)) "
+        f"FROM read_parquet('{sf_dir}/events.parquet')").fetchone()[0]
+    con.close()
+    assert len(got) > observed  # dense grid has filled gap days
+    assert got["last_type"].notna().all()
