@@ -226,6 +226,16 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     timed("bloom_semijoin_revenue",
           lambda: relational.bloom_semijoin_revenue(sf_dir).materialize())
     timed("q18_large_orders", lambda: relational.q18_large_orders(sf_dir))
+    from pdf_watermark_remover_ray.pipelines.curate import curate_corpus
+
+    timed("dup_spans", lambda: dedup.dup_spans(sf_dir).materialize())
+    timed("curate_corpus", lambda: curate_corpus(sf_dir).materialize())
+    timed("q6_forecast_revenue",
+          lambda: relational.q6_forecast_revenue(sf_dir))
+    timed("q10_returned_items",
+          lambda: relational.q10_returned_items(sf_dir))
+    timed("user_daily_locf",
+          lambda: relational.user_daily_locf(sf_dir).materialize())
 
     ray.shutdown()
     # host-condition stamp: 32-way burn-probe parallel speedup (healthy host
