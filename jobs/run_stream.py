@@ -55,6 +55,14 @@ def main(argv: list[str] | None = None) -> int:
                          "row on the timeouts stream")
     ap.add_argument("--compact", action="store_true",
                     help="compact committed epochs after the run")
+    ap.add_argument("--compact-stream-mb", type=int, default=0,
+                    help="cross-epoch re-layout: merge every stream's "
+                         "committed epochs into ~N MiB files (0 = off)")
+    ap.add_argument("--cep-pred", default=None,
+                    help="predicated CEP stream: comma-separated slots, "
+                         "each 'role|tool|text_regex' with empty segments "
+                         "meaning don't-care, e.g. "
+                         "'user||error,tool|exec|,assistant||'")
     ap.add_argument("--prune-state", action="store_true",
                     help="checkpoint GC: drop state snapshots below the "
                          "newest all-full epoch after the run")
@@ -72,7 +80,18 @@ def main(argv: list[str] | None = None) -> int:
     from pdf_watermark_remover_ray.pipelines.streaming import StreamingEngine
 
     paths = sorted(glob.glob(args.input))
+    cep_terms = None
+    if args.cep_pred:
+        from pdf_watermark_remover_ray.stages.cep import Term
+
+        def _slot(spec: str) -> Term:
+            role, tool, rx = (spec.split("|") + ["", "", ""])[:3]
+            return Term(role=role or None, tool=tool or None,
+                        text_regex=rx or None)
+
+        cep_terms = tuple(_slot(s) for s in args.cep_pred.split(",") if s)
     cfg = StreamConfig(num_partitions=args.partitions,
+                       cep_terms=cep_terms,
                        lateness_us=args.lateness_us,
                        session_gap_us=args.session_gap_us,
                        join_gap_us=args.join_gap_us,
@@ -92,6 +111,13 @@ def main(argv: list[str] | None = None) -> int:
     wall = time.monotonic() - t0
     if args.compact:
         eng.compact()
+    if args.compact_stream_mb:
+        from pdf_watermark_remover_ray.sinks.parquet import STREAMS, EpochSink
+
+        sink = EpochSink(args.out)
+        for stream in STREAMS:
+            sink.compact_stream(stream,
+                                target_bytes=args.compact_stream_mb << 20)
     if args.prune_state:
         eng.prune_state()
     rows = sum(m.get("rows", 0) for m in res.get("epochs", []))
