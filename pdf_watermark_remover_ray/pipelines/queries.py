@@ -418,6 +418,7 @@ def queries() -> dict:
         "capped_sample_per_group": capped_sample_per_group,
         "events_window_distinct": relational.events_window_distinct,
         "user_daily_locf": relational.user_daily_locf,
+        "order_percent_rank": relational.order_percent_rank,
         "top_customers_with_ties": relational.top_customers_with_ties,
         "orders_yoy_growth": relational.orders_yoy_growth,
         "cep_funnel": q_cep_funnel,
@@ -816,6 +817,7 @@ def oracle_sql() -> dict:
         "events_window_distinct":
             relational.events_window_distinct_oracle_sql(),
         "user_daily_locf": relational.user_daily_locf_oracle_sql(),
+        "order_percent_rank": relational.order_percent_rank_oracle_sql(),
         "top_customers_with_ties":
             relational.top_customers_with_ties_oracle_sql(),
         "orders_yoy_growth": relational.orders_yoy_growth_oracle_sql(),

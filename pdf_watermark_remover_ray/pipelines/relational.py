@@ -1762,3 +1762,35 @@ def user_daily_locf_oracle_sql(day_us: int = 86_400_000_000) -> str:
                    ROWS UNBOUNDED PRECEDING) AS last_type
         FROM dense LEFT JOIN lastv l
              ON l.user_id = dense.user_id AND l.day = dense.day"""
+
+
+def order_percent_rank(sf_dir: str, num_partitions: int = 16):
+    """PERCENT_RANK within group: each order's price percentile among its
+    customer's orders — ``(rank − 1) / (n − 1)`` with min-rank tie sharing,
+    exactly SQL's PERCENT_RANK.  One custkey-hash co-location, then a
+    vectorized grouped rank (pandas ``rank(method="min")`` — C level);
+    single-order customers get 0.0 (SQL: 0/0 window → 0)."""
+    from ..stages.partition import partitioned_map
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def pr(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey")["o_totalprice"]
+        rank = g.rank(method="min").to_numpy(np.float64)
+        n = g.transform("size").to_numpy(np.float64)
+        out = np.where(n > 1, (rank - 1) / (n - 1), 0.0)
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "pr": round_half_away(out, 6)})
+
+    return partitioned_map(ds, pr, key="o_custkey",
+                           num_partitions=num_partitions)
+
+
+def order_percent_rank_oracle_sql() -> str:
+    return """
+        SELECT o_orderkey, o_custkey,
+               round(percent_rank() OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice), 6) AS pr
+        FROM orders"""

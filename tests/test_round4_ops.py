@@ -410,3 +410,11 @@ def test_user_daily_locf_matches_sql_and_fills(sf_dir):
     con.close()
     assert len(got) > observed  # dense grid has filled gap days
     assert got["last_type"].notna().all()
+
+
+def test_order_percent_rank_matches_sql(sf_dir):
+    got = Q.queries()["order_percent_rank"](sf_dir).to_pandas()
+    want = duck_sql(sf_dir, Q.oracle_sql()["order_percent_rank"],
+                    tables=("orders",))
+    assert (want["pr"] > 0).any()  # multi-order customers exist
+    _cmp(got, want)
