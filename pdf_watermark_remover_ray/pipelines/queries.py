@@ -412,6 +412,7 @@ def queries() -> dict:
         "collapse_repeat_turns": q_collapse_repeat_turns,
         "pii_redacted_turns": q_pii_redact_turns,
         "repetition_scores": text.repetition_scores,
+        "token_entropy": text.token_entropy,
         "normalized_docs": text.normalize_docs,
         "cms_user_counts": cms_user_counts,
         "user_activity_outer": relational.user_activity_outer,
@@ -810,6 +811,7 @@ def oracle_sql() -> dict:
             text.collapse_repeats_oracle_sql(TRANSCRIPTS_CTE),
         "pii_redacted_turns": text.pii_redact_oracle_sql(TRANSCRIPTS_CTE),
         "repetition_scores": text.repetition_scores_oracle_sql(),
+        "token_entropy": text.token_entropy_oracle_sql(),
         "normalized_docs": text.normalize_docs_oracle_sql(),
         "cms_user_counts": cms_oracle_sql(),
         "user_activity_outer": relational.user_activity_outer_oracle_sql(),

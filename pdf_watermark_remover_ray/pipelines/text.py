@@ -1147,3 +1147,56 @@ def normalize_docs_oracle_sql() -> str:
                trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
                     '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
         FROM documents"""
+
+
+def token_entropy(sf_dir: str):
+    """Per-document Shannon entropy of the token distribution (nats) — the
+    information-theoretic quality axis alongside :func:`repetition_scores`
+    (low entropy ⇔ repetitive/templated text; Gopher-family signal).
+
+    Per-doc only ⇒ zero shuffle; one vectorized explode per batch and the
+    identity ``H = ln(n) − (Σ c·ln c)/n`` so no per-token probability column
+    materializes."""
+
+    def scores(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        n = toks.str.len().to_numpy(np.int64)
+        doc = np.repeat(np.arange(len(df)), n)
+        flat = np.concatenate([*toks, np.array([], dtype=object)])
+        h = np.zeros(len(df), np.float64)
+        if len(flat):
+            c = pd.DataFrame({"d": doc, "w": flat}) \
+                .groupby(["d", "w"]).size()
+            cv = c.to_numpy(np.float64)
+            clogc = pd.Series(cv * np.log(cv),
+                              index=c.index.get_level_values("d")) \
+                .groupby(level=0).sum()
+            nz = n > 0
+            acc = np.zeros(len(df), np.float64)
+            acc[clogc.index.to_numpy()] = clogc.to_numpy()
+            h[nz] = np.log(n[nz]) - acc[nz] / n[nz]
+        from ..functions.rounding import round_half_away as _r
+
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "entropy": _r(h, 6)})
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]) \
+        .map_batches(scores, batch_format="pandas", batch_size=2048)
+
+
+def token_entropy_oracle_sql() -> str:
+    return """
+        WITH base AS (
+            SELECT doc_id, list_filter(
+                regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                x -> x <> '') AS l
+            FROM documents),
+        tk AS (SELECT doc_id, l[i] AS tok
+               FROM base, UNNEST(generate_series(1, len(l))) AS t(i)),
+        c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        agg AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS clogc
+                FROM c GROUP BY doc_id)
+        SELECT base.doc_id,
+               round(coalesce(ln(n) - clogc / n, 0.0), 6) AS entropy
+        FROM base LEFT JOIN agg USING (doc_id)"""

@@ -418,3 +418,27 @@ def test_order_percent_rank_matches_sql(sf_dir):
                     tables=("orders",))
     assert (want["pr"] > 0).any()  # multi-order customers exist
     _cmp(got, want)
+
+
+def test_token_entropy_matches_sql_and_bruteforce(sf_dir):
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    got = Q.queries()["token_entropy"](sf_dir).to_pandas()
+    want = duck_sql(sf_dir, Q.oracle_sql()["token_entropy"],
+                    tables=("documents",))
+    _cmp(got, want)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas().head(50)
+    g = got.set_index("doc_id")
+    for _, row in docs.iterrows():
+        toks = (row["text"] or "").split()
+        if not toks:
+            assert g.loc[row["doc_id"], "entropy"] == 0.0
+            continue
+        cnt = collections.Counter(toks)
+        h = -sum(c / len(toks) * math.log(c / len(toks))
+                 for c in cnt.values())
+        assert abs(g.loc[row["doc_id"], "entropy"] - h) < 1e-5
