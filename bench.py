@@ -166,6 +166,12 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         headline_runs.append(round(time.monotonic() - t0, 3))
     timings["streaming_pipeline"] = min(headline_runs)
 
+    if int(os.environ.get("PWR_BENCH_HEADLINE_ONLY", "0")):
+        # scaling mode: the subprocess only contributes its headline time —
+        # skip the per-op tail so a scarce healthy-host window fits all runs
+        ray.shutdown()
+        return _summary(timings, headline_runs, n_rows, sf_dir, num_cpus)
+
     # batch-mode operators over the driver testdata at sf0.1
     timed("q1_pricing_summary", lambda: relational.q1_pricing_summary(sf_dir))
     timed("q3_top_orders", lambda: relational.q3_top_orders(sf_dir))
@@ -238,6 +244,10 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
           lambda: relational.user_daily_locf(sf_dir).materialize())
 
     ray.shutdown()
+    return _summary(timings, headline_runs, n_rows, sf_dir, num_cpus)
+
+
+def _summary(timings, headline_runs, n_rows, sf_dir, num_cpus) -> dict:
     # host-condition stamp: 32-way burn-probe parallel speedup (healthy host
     # ≈ 24-32×; noisy-neighbour windows drop well below — context for
     # comparing absolute times across rounds on this shared VM)
@@ -279,7 +289,8 @@ def run_scaling() -> dict:
     for ncpu in (8, 32):
         # the process level already repeats; one headline run per process
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   PWR_BENCH_HEADLINE_REPEAT="1")
+                   PWR_BENCH_HEADLINE_REPEAT="1",
+                   PWR_BENCH_HEADLINE_ONLY="1")
         cmd = [sys.executable, os.path.abspath(__file__)]
         if _sh.which("taskset"):
             # Confine the process to ncpu PHYSICAL cores: ray.init(num_cpus=8)
