@@ -698,3 +698,37 @@ def test_streaming_predicated_cep_and_resume(fixture, tmp_path):
     assert res2["all_succeeded"] is True
     assert_stream_equal(read_stream(out2, "cepp"), golden["cepp"],
                         ["conv_id", "turn_idx", "dt_us"])
+
+
+def test_chaos_chain_with_cepp_and_cross_epoch_compaction(fixture, tmp_path):
+    """Chaos chain over the FULL feature set: predicated CEP stream enabled,
+    kill after every epoch, and a cross-epoch compaction of every stream
+    between two resumes — final outputs (including cepp) must still equal
+    the golden run exactly."""
+    from dataclasses import replace
+
+    from pdf_watermark_remover_ray.oracle import streaming_oracle
+    from pdf_watermark_remover_ray.sinks.parquet import STREAMS, EpochSink
+    from pdf_watermark_remover_ray.stages.cep import Term
+
+    table, paths, _ = fixture
+    cfg = replace(CFG, cep_terms=(
+        Term(role="user", text_regex=r"\bstream\b"),
+        Term(role="tool", tool="search"),
+        Term(role="assistant"),
+    ))
+    golden = streaming_oracle(table, NUM_FILES, EPOCH_FILES, cfg)
+    out = str(tmp_path / "out_chaos_cepp")
+    n = StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES).n_input_epochs
+    sink = EpochSink(out)
+    for e in range(n + 1):
+        StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES).run(
+            kill_mid_epoch=e if e < n else None,
+            kill_after_epoch=e)
+        if e == 1:  # mid-chain: re-layout every committed stream
+            for stream in STREAMS:
+                sink.compact_stream(stream, target_bytes=1 << 30)
+    StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES).run()
+    _check_outputs(out, golden)
+    assert_stream_equal(read_stream(out, "cepp"), golden["cepp"],
+                        ["conv_id", "turn_idx", "dt_us"])
