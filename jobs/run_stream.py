@@ -59,10 +59,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="cross-epoch re-layout: merge every stream's "
                          "committed epochs into ~N MiB files (0 = off)")
     ap.add_argument("--cep-pred", default=None,
-                    help="predicated CEP stream: comma-separated slots, "
-                         "each 'role|tool|text_regex' with empty segments "
-                         "meaning don't-care, e.g. "
-                         "'user||error,tool|exec|,assistant||'")
+                    help="predicated CEP stream: slots separated by ';;' "
+                         "(or ',' when no ';;' present — legacy form, only "
+                         "safe for regexes without commas), each slot "
+                         "'role|tool|text_regex'; role/tool may not contain "
+                         "'|' so the regex may (split is maxsplit=2); empty "
+                         "segments mean don't-care, e.g. "
+                         "'user||error;;tool|exec|;;assistant||(a|b){2,3}'")
     ap.add_argument("--prune-state", action="store_true",
                     help="checkpoint GC: drop state snapshots below the "
                          "newest all-full epoch after the run")
@@ -85,11 +88,14 @@ def main(argv: list[str] | None = None) -> int:
         from pdf_watermark_remover_ray.stages.cep import Term
 
         def _slot(spec: str) -> Term:
-            role, tool, rx = (spec.split("|") + ["", "", ""])[:3]
+            # role/tool can't contain '|'; maxsplit=2 keeps regex
+            # alternation ('a|b') intact inside the third segment
+            role, tool, rx = (spec.split("|", 2) + ["", "", ""])[:3]
             return Term(role=role or None, tool=tool or None,
                         text_regex=rx or None)
 
-        cep_terms = tuple(_slot(s) for s in args.cep_pred.split(",") if s)
+        sep = ";;" if ";;" in args.cep_pred else ","
+        cep_terms = tuple(_slot(s) for s in args.cep_pred.split(sep) if s)
     cfg = StreamConfig(num_partitions=args.partitions,
                        cep_terms=cep_terms,
                        lateness_us=args.lateness_us,

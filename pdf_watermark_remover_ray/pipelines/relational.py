@@ -33,6 +33,18 @@ def _read(sf_dir: str, table: str, columns: list[str]):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _read_small_pd(sf_dir: str, table: str, columns: list[str]) -> pd.DataFrame:
+    """Driver-side read of a BROADCAST-SIDE table.  A zero-row Ray read
+    yields a column-less frame (zero blocks carry no schema), so fall back
+    to the parquet schema itself to keep downstream column refs safe."""
+    df = _read(sf_dir, table, columns).to_pandas()
+    if len(df) == 0 and not all(c in df.columns for c in columns):
+        import pyarrow.parquet as _pq
+        t = _pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+        df = t.to_pandas()
+    return df
+
+
 def q1_pricing_summary(sf_dir: str, cutoff: str = "1995-09-01"):
     """TPC-H Q1-style pricing summary over lineitem."""
     ds = _read(sf_dir, "lineitem",
@@ -1022,7 +1034,7 @@ def q14_promo_revenue(sf_dir: str, date_lo: str = "1995-01-01",
     partial (promo_rev, total_rev) pair so the reduce is O(blocks)."""
     import pyarrow.compute as _pc
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas() \
+    part = _read_small_pd(sf_dir, "part", ["p_partkey", "p_type"]) \
         .sort_values("p_partkey")
     lookup_ref = ray.put((part["p_partkey"].to_numpy(np.int64),
                           (part["p_type"].to_numpy() == "PROMO")))
@@ -1078,7 +1090,7 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#13"):
     thresholds are derived driver-side from the tiny aggregate and broadcast
     back; pass 2 re-scans lineitem and sums prices under threshold.  The
     shuffle never moves lineitem rows — only per-(part, batch) partials."""
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    part = _read_small_pd(sf_dir, "part", ["p_partkey", "p_brand"])
     pks = np.sort(part.loc[part["p_brand"] == brand,
                            "p_partkey"].to_numpy(np.int64))
     pks_ref = ray.put(pks)
@@ -1103,7 +1115,8 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#13"):
         .groupby("l_partkey").aggregate(Sum("s", alias_name="s"),
                                         Sum("n", alias_name="n")).to_pandas()
     if len(per_part) == 0:
-        return pd.DataFrame({"avg_yearly": [0.0]})
+        # oracle: sum over an empty set is NULL -> NaN, not 0.0
+        return pd.DataFrame({"avg_yearly": [np.nan]})
     per_part = per_part.sort_values("l_partkey")
     thr_ref = ray.put((per_part["l_partkey"].to_numpy(np.int64),
                        0.2 * per_part["s"].to_numpy(np.float64)
@@ -1123,8 +1136,10 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#13"):
         .map_batches(under_threshold, batch_format="pyarrow",
                      zero_copy_batch=True) \
         .aggregate(Sum("price", alias_name="p"))["p"]
+    if total is None:
+        return pd.DataFrame({"avg_yearly": [np.nan]})
     return pd.DataFrame({"avg_yearly": [float(round_half_away(
-        np.array([(total or 0.0) / 7.0]), 2)[0])]})
+        np.array([total / 7.0]), 2)[0])]})
 
 
 def q17_oracle_sql(brand: str = "Brand#13") -> str:
@@ -1157,8 +1172,11 @@ def q18_large_orders(sf_dir: str, threshold: float = 200.0):
         .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("l_orderkey").aggregate(_Sum("q", alias_name="total_qty")) \
         .to_pandas()
+    if "total_qty" not in per_order.columns:  # empty lineitem: untyped frame
+        per_order = pd.DataFrame({"l_orderkey": pd.Series([], dtype=np.int64),
+                                  "total_qty": pd.Series([], dtype=np.float64)})
     big = per_order[per_order["total_qty"] > threshold].sort_values("l_orderkey")
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas() \
+    cust = _read_small_pd(sf_dir, "customer", ["c_custkey", "c_name"]) \
         .sort_values("c_custkey")
     big_ref = ray.put((big["l_orderkey"].to_numpy(np.int64),
                        big["total_qty"].to_numpy(np.float64),
@@ -1173,9 +1191,13 @@ def q18_large_orders(sf_dir: str, threshold: float = 200.0):
         hit = oks[pos] == ok if len(oks) else np.zeros(len(ok), bool)
         df = df[hit]
         df["total_qty"] = qty[pos[hit]]
-        cp = np.searchsorted(cks, df["o_custkey"].to_numpy(np.int64)) \
-            .clip(max=max(len(cks) - 1, 0))
-        df["c_name"] = cnames[cp]
+        ck = df["o_custkey"].to_numpy(np.int64)
+        cp = np.searchsorted(cks, ck).clip(max=max(len(cks) - 1, 0))
+        # verify the customer probe actually hit (a custkey absent from
+        # customer must drop, not inherit the nearest name)
+        chit = cks[cp] == ck if len(cks) else np.zeros(len(ck), bool)
+        df = df[chit]
+        df["c_name"] = cnames[cp[chit]]
         return pa.Table.from_pandas(
             df[["c_name", "o_custkey", "o_orderkey", "o_orderdate",
                 "o_totalprice", "total_qty"]], preserve_index=False)
@@ -1184,6 +1206,11 @@ def q18_large_orders(sf_dir: str, threshold: float = 200.0):
                 ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]) \
         .map_batches(decorate, batch_format="pyarrow", zero_copy_batch=True) \
         .to_pandas()
+    if "o_totalprice" not in out.columns:  # zero-block read: untyped frame
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in (
+            ("c_name", object), ("o_custkey", np.int64),
+            ("o_orderkey", np.int64), ("o_orderdate", "datetime64[us]"),
+            ("o_totalprice", np.float64), ("total_qty", np.float64))})
     out["o_totalprice"] = round_half_away(out["o_totalprice"], 2)
     out["total_qty"] = round_half_away(out["total_qty"], 2)
     return out.sort_values(["o_totalprice", "o_orderkey"],
@@ -1208,8 +1235,8 @@ def q19_disjunctive_revenue(sf_dir: str):
     later.  Here part's (brand, size) is a broadcast columnar lookup and the
     whole disjunction evaluates as THREE vectorized masks per lineitem
     batch; each batch emits one revenue partial."""
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
-        .to_pandas().sort_values("p_partkey")
+    part = _read_small_pd(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
+        .sort_values("p_partkey")
     ref = ray.put((part["p_partkey"].to_numpy(np.int64),
                    part["p_brand"].to_numpy(),
                    part["p_size"].to_numpy(np.int64)))
@@ -1219,6 +1246,8 @@ def q19_disjunctive_revenue(sf_dir: str):
         df = t.to_pandas()
         pk = df["l_partkey"].to_numpy(np.int64)
         pos = np.searchsorted(keys, pk).clip(max=max(len(keys) - 1, 0))
+        if not len(keys):
+            return pa.table({"revenue": pa.array([0.0])})
         hit = keys[pos] == pk
         qty = df["l_quantity"].to_numpy(np.float64)
         b, s = brands[pos], sizes[pos]
@@ -1426,6 +1455,7 @@ def events_window_distinct(sf_dir: str, day_us: int = 86_400_000_000,
     from ..stages.windows import ts_us_series
 
     def pre_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["user_id"])  # mirror the oracle's IS NOT NULL
         w = (ts_us_series(df["ts"]) // day_us) * day_us
         out = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
                             "window_start_us": w,
@@ -1659,13 +1689,18 @@ def q10_returned_items(sf_dir: str, date_lo: str = "1995-04-01",
 
     parts = totals.map_batches(block_topk, batch_format="pandas") \
         .to_pandas()
+    if "revenue" not in parts.columns:  # zero-block aggregate: no schema
+        parts = pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
+                              "revenue": pd.Series([], dtype=np.float64)})
     top = parts.sort_values(["revenue", "c_custkey"],
                             ascending=[False, True]).head(k)
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas() \
+    cust = _read_small_pd(sf_dir, "customer", ["c_custkey", "c_name"]) \
         .sort_values("c_custkey")
-    pos = np.searchsorted(cust["c_custkey"].to_numpy(np.int64),
-                          top["c_custkey"].to_numpy(np.int64))
-    top = top.assign(c_name=cust["c_name"].to_numpy()[pos])
+    cks = cust["c_custkey"].to_numpy(np.int64)
+    tk = top["c_custkey"].to_numpy(np.int64)
+    pos = np.searchsorted(cks, tk).clip(max=max(len(cks) - 1, 0))
+    hit = cks[pos] == tk if len(cks) else np.zeros(len(tk), bool)
+    top = top[hit].assign(c_name=cust["c_name"].to_numpy()[pos[hit]])
     return top[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
 
 

@@ -371,6 +371,24 @@ def test_round4_ops_on_empty_tables(tmp_path):
         "o_totalprice": pa.array([], pa.float64()),
         "o_orderdate": pa.array([], pa.timestamp("us")),
         "o_orderpriority": pa.array([], pa.string())}), f"{d}/orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([], pa.int64()), "l_partkey": pa.array([], pa.int64()),
+        "l_suppkey": pa.array([], pa.int64()),
+        "l_quantity": pa.array([], pa.float64()),
+        "l_extendedprice": pa.array([], pa.float64()),
+        "l_discount": pa.array([], pa.float64()),
+        "l_returnflag": pa.array([], pa.string()),
+        "l_shipdate": pa.array([], pa.timestamp("us"))}),
+        f"{d}/lineitem.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([], pa.int64()), "p_brand": pa.array([], pa.string()),
+        "p_type": pa.array([], pa.string()),
+        "p_size": pa.array([], pa.int32())}), f"{d}/part.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([], pa.int64()), "c_name": pa.array([], pa.string()),
+        "c_nationkey": pa.array([], pa.int32()),
+        "c_acctbal": pa.array([], pa.float64()),
+        "c_mktsegment": pa.array([], pa.string())}), f"{d}/customer.parquet")
 
     from pdf_watermark_remover_ray.functions.sampling import (
         capped_sample_per_group)
@@ -391,6 +409,21 @@ def test_round4_ops_on_empty_tables(tmp_path):
         n = out.count() if hasattr(out, "count") and hasattr(out, "to_pandas") \
             and not isinstance(out, pd.DataFrame) else len(out)
         assert n == 0, fn.__name__
+
+    # TPC-H ops on the same empty tables: set-returning ones give 0 rows,
+    # scalar aggregates give their 1-row frame (NaN/0 as documented) —
+    # never an IndexError from an empty broadcast side
+    from pdf_watermark_remover_ray.pipelines.relational import (
+        q6_forecast_revenue, q10_returned_items, q14_promo_revenue,
+        q17_small_quantity_revenue, q18_large_orders,
+        q19_disjunctive_revenue)
+
+    assert len(q18_large_orders(d)) == 0
+    assert len(q10_returned_items(d)) == 0
+    for scalar_fn in (q6_forecast_revenue, q14_promo_revenue,
+                      q17_small_quantity_revenue, q19_disjunctive_revenue):
+        out = scalar_fn(d)
+        assert len(out) == 1, scalar_fn.__name__
 
 
 def test_user_daily_locf_matches_sql_and_fills(sf_dir):
