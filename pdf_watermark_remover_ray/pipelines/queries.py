@@ -623,39 +623,47 @@ def _simhash_sql(max_hamming: int = 3) -> str:
         FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
 
 
-def _ann_lsh_sql(n_queries: int = 10, k: int = 5, n_planes: int = 6,
+def _ann_lsh_sql(n_queries: int = 10, k: int = 5, n_planes: int = 10,
+                 n_tables: int = 16, max_hamming: int = 1,
                  dim: int = 64) -> str:
-    """DuckDB replay of hyperplane-LSH ANN: the random hyperplanes are
-    data-independent functions of the seed, embedded as DOUBLE[] literals
-    (full-precision repr round-trips to identical doubles); bucket keys are
-    sign bits of the embedding·plane dot products, exactly as
-    similarity.HyperplaneLSH computes them.  dim=64 matches the testdata
-    embeddings schema the driver runs this oracle against."""
-    from .similarity import HyperplaneLSH
+    """DuckDB replay of multi-table multiprobe hyperplane-LSH ANN: the
+    random hyperplanes are data-independent functions of the seed, embedded
+    as DOUBLE[] literals (full-precision repr round-trips to identical
+    doubles); per-table bucket keys are sign bits of the embedding·plane
+    dot products exactly as similarity.MultiLSH computes them, and the
+    multiprobe acceptance is a Hamming-ball test
+    ``bit_count(xor(corpus_key, query_key)) <= max_hamming`` in ANY table.
+    dim=64 matches the testdata embeddings schema."""
+    from .similarity import MultiLSH
 
-    h = HyperplaneLSH(dim=dim, n_planes=n_planes).h
+    h = MultiLSH(dim=dim, n_planes=n_planes, n_tables=n_tables).h
     rows = ", ".join(
-        f"({j}, [{', '.join(repr(float(v)) for v in h[:, j])}]::DOUBLE[])"
-        for j in range(n_planes))
+        f"({t}, {j}, [{', '.join(repr(float(v)) for v in h[t][:, j])}]::DOUBLE[])"
+        for t in range(n_tables) for j in range(n_planes))
     return f"""
         WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                     FROM embeddings),
-        planes AS (SELECT * FROM (VALUES {rows}) AS t(j, hp)),
-        keys AS (SELECT vec_id,
-                        sum(CASE WHEN list_dot_product(emb, hp) > 0
-                                 THEN (1 << j) ELSE 0 END) AS bucket
-                 FROM ed CROSS JOIN planes GROUP BY vec_id),
-        q AS (SELECT e.vec_id AS query_id, e.emb AS qe, kk.bucket AS qb
-              FROM ed e JOIN keys kk ON kk.vec_id = e.vec_id
-              ORDER BY e.vec_id LIMIT {n_queries})
-        SELECT q.query_id, e.vec_id,
+        planes AS (SELECT * FROM (VALUES {rows}) AS p(t, j, hp)),
+        keys AS (SELECT vec_id, t,
+                        CAST(sum(CASE WHEN list_dot_product(emb, hp) > 0
+                                 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+                 FROM ed CROSS JOIN planes GROUP BY vec_id, t),
+        q AS (SELECT vec_id AS query_id, emb AS qe
+              FROM ed ORDER BY vec_id LIMIT {n_queries}),
+        qk AS (SELECT q.query_id, kk.t, kk.bucket
+               FROM q JOIN keys kk ON kk.vec_id = q.query_id),
+        cand AS (SELECT DISTINCT qk.query_id, kk.vec_id
+                 FROM qk JOIN keys kk
+                   ON kk.t = qk.t
+                  AND bit_count(xor(kk.bucket, qk.bucket)) <= {max_hamming}
+                 WHERE kk.vec_id <> qk.query_id)
+        SELECT c.query_id, c.vec_id,
                round(list_cosine_similarity(q.qe, e.emb), 4) AS cos_sim
-        FROM q JOIN keys kk ON kk.bucket = q.qb
-               JOIN ed e ON e.vec_id = kk.vec_id
-        WHERE e.vec_id <> q.query_id
+        FROM cand c JOIN q ON q.query_id = c.query_id
+                    JOIN ed e ON e.vec_id = c.vec_id
         QUALIFY row_number() OVER (
-            PARTITION BY q.query_id
-            ORDER BY list_cosine_similarity(q.qe, e.emb) DESC, e.vec_id ASC) <= {k}"""
+            PARTITION BY c.query_id
+            ORDER BY list_cosine_similarity(q.qe, e.emb) DESC, c.vec_id ASC) <= {k}"""
 
 
 def _clusters_sql(threshold: float = 0.5) -> str:
