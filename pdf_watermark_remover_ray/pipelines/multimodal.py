@@ -2,11 +2,13 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with metadata
 columns next to them; decode / feature-extraction runs as an actor-pool
-``map_batches`` stage with SMALL batches (large rows!).  The decode libraries
-(PIL / ffmpeg / torchaudio) are not in this container, so the real decoder is
-gated behind an import-try and STUBBED with a deterministic fake — the
-Ray-side plumbing (schema, batch sizing, actor signature, output layout) is
-real and tested.
+``map_batches`` stage with SMALL batches (large rows!).  Real decodes are
+dependency-free: audio as a zero-copy int16 PCM view
+(:class:`PcmWindowEnergy`), images via the pure-numpy PPM/BMP codecs
+(:mod:`..functions.imagecodec`) behind ``real=True`` on the featurize /
+resize stages; compressed formats (JPEG/PNG — would need PIL) fall back to
+the deterministic byte-derived fake (``real=False``, the default, which is
+also the SQL-oracle-able mode).
 """
 
 from __future__ import annotations
@@ -19,13 +21,6 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-
-try:  # real decoder, if ever available
-    from PIL import Image  # noqa: F401
-
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
 
 
 def payloads_from_documents(sf_dir: str):
@@ -45,19 +40,17 @@ def payloads_from_documents(sf_dir: str):
 class PayloadFeaturizer:
     """Actor-pool decode/feature stage.
 
-    ``real=True`` requires an actual decoder (PIL) → NotImplementedError in
-    this container; the default deterministic fake derives features purely
-    from the bytes so the full pipeline remains testable and SQL-oracle-able:
-    ``n_bytes``, ``checksum`` (md5 hex), ``width = n_bytes % 64 + 1``,
-    ``height = n_bytes % 37 + 1``, ``crc32``.
+    ``real=True`` DECODES the payload — pure-numpy PPM(P6)/BMP(24-bit)
+    codecs (:mod:`..functions.imagecodec`), no PIL needed — and emits the
+    image's true ``width``/``height`` plus ``mean_lum`` (ITU-R 601 luma
+    mean of the decoded pixels).  The default deterministic fake derives
+    the same columns purely from the bytes so the full pipeline remains
+    SQL-oracle-able: ``width = n_bytes % 64 + 1``, ``height = n_bytes %
+    37 + 1``, ``mean_lum = crc32 % 256``.  Both modes share a schema:
+    ``(doc_id, n_bytes, checksum, width, height, crc32, mean_lum)``.
     """
 
     def __init__(self, real: bool = False) -> None:
-        if real and not _HAVE_PIL:
-            raise NotImplementedError(
-                "real image decode requires PIL, which is not available in this "
-                "container — run with real=False for the deterministic fake"
-            )
         self.real = real
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -65,14 +58,32 @@ class PayloadFeaturizer:
         n_bytes = payloads.map(len).to_numpy(np.int64)
         checksum = payloads.map(lambda b: hashlib.md5(b).hexdigest())
         crc = payloads.map(lambda b: zlib.crc32(b)).to_numpy(np.int64)
+        if self.real:
+            from ..functions.imagecodec import decode_image
+
+            widths = np.empty(len(payloads), np.int64)
+            heights = np.empty(len(payloads), np.int64)
+            lum = np.empty(len(payloads), np.float64)
+            for i, b in enumerate(payloads):
+                img = decode_image(bytes(b))
+                heights[i], widths[i] = img.shape[:2]
+                f = img.astype(np.float64)
+                lum[i] = (0.299 * f[:, :, 0] + 0.587 * f[:, :, 1]
+                          + 0.114 * f[:, :, 2]).mean()
+            lum = np.round(lum, 6)
+        else:
+            widths = n_bytes % 64 + 1
+            heights = n_bytes % 37 + 1
+            lum = (crc % 256).astype(np.float64)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(np.int64),
                 "n_bytes": n_bytes,
                 "checksum": checksum.to_numpy(),
-                "width": (n_bytes % 64 + 1),
-                "height": (n_bytes % 37 + 1),
+                "width": widths,
+                "height": heights,
                 "crc32": crc,
+                "mean_lum": lum,
             }
         )
 
@@ -85,19 +96,79 @@ def multimodal_features(sf_dir: str, concurrency: int = 2, batch_size: int = 256
                           batch_size=batch_size, concurrency=concurrency)
 
 
-class PayloadResizer:
-    """Actor-pool resize stage (image-resize analog).
+def image_payloads_from_documents(sf_dir: str, fmt: str = "mixed"):
+    """Deterministic REAL-image payload table: one synthetic PPM or BMP per
+    doc_id (seeded gradient, dimensions a function of the id — see
+    :func:`..functions.imagecodec.synthetic_image`).  ``fmt='mixed'``
+    alternates formats by id parity so both codecs are exercised."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
 
-    ``real=True`` needs PIL → NotImplementedError here; the deterministic
-    fake tiles the source bytes to exactly ``width × height`` bytes, so
-    output sizes, schema and batch behavior match a real resizer's shape."""
+    def to_img(t: pa.Table) -> pa.Table:
+        from ..functions.imagecodec import synthetic_image
+
+        ids = t["doc_id"].to_pylist()
+        fmts = [("bmp" if i % 2 else "ppm") for i in ids] \
+            if fmt == "mixed" else [fmt] * len(ids)
+        payload = pa.array([synthetic_image(i, f)
+                            for i, f in zip(ids, fmts)], pa.binary())
+        return pa.table({"doc_id": t["doc_id"], "payload": payload,
+                         "media_type": pa.array([f"image/{f}" for f in fmts])})
+
+    return ds.map_batches(to_img, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def image_features(sf_dir: str, concurrency: int = 2, batch_size: int = 256):
+    """REAL image decode end-to-end: synthetic PPM/BMP payloads → actor-pool
+    :class:`PayloadFeaturizer(real=True)` → true (width, height) from the
+    decoded pixels plus mean luma.  The dimensions are id-derived, so the
+    (doc_id, width, height) projection is SQL-oracle-able — the oracle
+    checks that encode→decode recovered the true geometry; mean_lum is
+    numpy-golden-tested (pixel math is non-SQL)."""
+    ds = image_payloads_from_documents(sf_dir, fmt="mixed")
+    return ds.map_batches(PayloadFeaturizer,
+                          fn_constructor_kwargs={"real": True},
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def image_resized_features(sf_dir: str, width: int = 16, height: int = 12,
+                           concurrency: int = 2, batch_size: int = 256):
+    """featurize(real) ∘ resize(real): synthetic payloads → nearest-neighbor
+    resize (decode → index-grid resample → PPM re-encode) → featurize the
+    RESIZED payloads.  Every surviving row must report the target geometry —
+    the (doc_id, width, height) projection is constant-oracle-able.
+
+    Both actor pools autoscale from 1 (``concurrency=(1, N)``): two fixed
+    pools of N each would reserve 2N CPUs up front and starve the upstream
+    read tasks into a scheduling deadlock on small clusters (observed on
+    the 4-CPU test session)."""
+    ds = image_payloads_from_documents(sf_dir, fmt="mixed")
+    resized = ds.map_batches(
+        PayloadResizer,
+        fn_constructor_kwargs={"width": width, "height": height, "real": True},
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=(1, concurrency))
+    return resized.map_batches(PayloadFeaturizer,
+                               fn_constructor_kwargs={"real": True},
+                               batch_format="pandas", batch_size=batch_size,
+                               concurrency=(1, concurrency))
+
+
+class PayloadResizer:
+    """Actor-pool resize stage.
+
+    ``real=True`` decodes the payload (pure-numpy PPM/BMP), nearest-
+    neighbor-resizes to ``width × height`` via integer index grids, and
+    re-encodes as PPM — an actual pixels-in/pixels-out resize with no
+    external libs.  The deterministic fake tiles the source bytes to
+    exactly ``width × height`` bytes; both modes share the output schema
+    ``(doc_id, payload, width, height)``."""
 
     def __init__(self, width: int = 32, height: int = 32, real: bool = False) -> None:
-        if real and not _HAVE_PIL:
-            raise NotImplementedError(
-                "real image resize requires PIL, which is not available in "
-                "this container — run with real=False for the deterministic fake")
         self.width, self.height = width, height
+        self.real = real
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         target = self.width * self.height
@@ -108,9 +179,20 @@ class PayloadResizer:
             reps = target // len(b) + 1
             return (b * reps)[:target]
 
+        if self.real:
+            from ..functions.imagecodec import (decode_image, encode_ppm,
+                                                resize_nearest)
+
+            def real_resize(b: bytes) -> bytes:
+                return encode_ppm(resize_nearest(decode_image(bytes(b)),
+                                                 self.width, self.height))
+
+            payload = batch["payload"].map(real_resize)
+        else:
+            payload = batch["payload"].map(tile)
         return pd.DataFrame({
             "doc_id": batch["doc_id"].to_numpy(np.int64),
-            "payload": batch["payload"].map(tile),
+            "payload": payload,
             "width": np.full(len(batch), self.width, dtype=np.int32),
             "height": np.full(len(batch), self.height, dtype=np.int32),
         })

@@ -515,6 +515,14 @@ def queries() -> dict:
         .select_columns(["doc_id", "frame_idx", "frame_len"]),
         # REAL binary decode (int16 PCM view) — non-SQL, numpy-golden-tested
         "audio_window_energy": multimodal.audio_window_energy,
+        # REAL image decode (pure-numpy PPM/BMP): the geometry projection is
+        # SQL-oracle-able because the synthetic payload dims are id-derived —
+        # the oracle verifies encode→decode recovered the true (w, h)
+        "image_features": lambda sf: multimodal.image_features(sf)
+        .select_columns(["doc_id", "width", "height"]),
+        "image_resized_features": lambda sf:
+        multimodal.image_resized_features(sf)
+        .select_columns(["doc_id", "width", "height"]),
     }
 
 
@@ -1282,4 +1290,11 @@ def oracle_sql() -> dict:
                    octet_length(encode(text)) % 64 + 1 AS width,
                    octet_length(encode(text)) % 37 + 1 AS height
             FROM documents""",
+        # synthetic_image sizes: w = id % 24 + 8, h = id % 16 + 8 — the
+        # engine must recover these THROUGH a real encode→decode round trip
+        "image_features": """
+            SELECT doc_id, doc_id % 24 + 8 AS width, doc_id % 16 + 8 AS height
+            FROM documents""",
+        "image_resized_features": """
+            SELECT doc_id, 16 AS width, 12 AS height FROM documents""",
     }

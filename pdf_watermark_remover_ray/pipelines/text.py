@@ -18,6 +18,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -39,62 +40,91 @@ def _token_lists(s: pd.Series) -> pd.Series:
 
 
 class TextAnalyzer:
-    """Stateful batch stage: token stats + quality + language-ID."""
+    """Stateful batch stage: token stats + quality + language-ID.
+
+    Arrow-native hot path (round-4 verdict item 6): the batch stays a
+    ``pa.Table``; tokenization is ``pc.utf8_split_whitespace`` (its empty
+    boundary tokens masked out to match Python ``str.split()``), set
+    membership is ``pc.is_in`` over the FLATTENED token array, and the
+    per-document roll-ups are cumsum-diff segmented sums over the list
+    offsets — the text column crosses zero pandas round-trips.  A pandas
+    DataFrame input is still accepted (unit tests drive the class
+    directly) and converted once."""
 
     def __init__(self) -> None:
-        self.stop = set(STOPWORDS)
-        self.markers = {k: set(v) for k, v in LANG_MARKERS.items()}
+        import pyarrow.compute as pc
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].fillna("")
-        toks = _token_lists(text)
-        n_tokens = toks.str.len().astype(np.int64)
-        n_chars = text.str.len().astype(np.int64)
-        n_alpha = text.str.count(r"[A-Za-z]").astype(np.int64)
+        self.stop_arr = pa.array(sorted(STOPWORDS))
+        self.lang_arrs = {k: pa.array(sorted(v))
+                          for k, v in LANG_MARKERS.items()}
+        self._pc = pc
 
-        exploded = toks.explode()
-        idx = exploded.index
-        stop_hits = pd.Series(exploded.isin(self.stop).astype(np.int64), index=idx) \
-            .groupby(level=0).sum().reindex(batch.index, fill_value=0)
+    def __call__(self, batch) -> pa.Table:
+        pc = self._pc
+        t = pa.Table.from_pandas(batch, preserve_index=False) \
+            if isinstance(batch, pd.DataFrame) else batch
+        text = pc.fill_null(t["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_alpha = pc.count_substring_regex(text, "[A-Za-z]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
 
-        lang_counts = {}
-        for lang in LANG_ORDER:
-            hits = pd.Series(exploded.isin(self.markers[lang]).astype(np.int64), index=idx) \
-                .groupby(level=0).sum().reindex(batch.index, fill_value=0)
-            lang_counts[lang] = hits.to_numpy()
+        toks = pc.utf8_split_whitespace(text)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        flat = toks.flatten()
 
-        counts = np.stack([lang_counts[lang] for lang in LANG_ORDER])  # (4, n)
+        def seg_sum(hits: np.ndarray) -> np.ndarray:
+            cs = np.concatenate([[0], np.cumsum(hits, dtype=np.int64)])
+            return cs[ends] - cs[starts]
+
+        nonempty = pc.greater(pc.utf8_length(flat), 0) \
+            .to_numpy(zero_copy_only=False)
+        n_tokens = seg_sum(nonempty)
+        stop_hits = seg_sum(
+            pc.is_in(flat, value_set=self.stop_arr)
+            .to_numpy(zero_copy_only=False))
+        counts = np.stack([
+            seg_sum(pc.is_in(flat, value_set=self.lang_arrs[lang])
+                    .to_numpy(zero_copy_only=False))
+            for lang in LANG_ORDER])  # (4, n)
+
         best = counts.max(axis=0)
         # first language (in LANG_ORDER) achieving the max, 'und' if all zero
-        pred = np.full(len(batch), "und", dtype=object)
-        taken = np.zeros(len(batch), dtype=bool)
+        pred = np.full(len(t), "und", dtype=object)
+        taken = np.zeros(len(t), dtype=bool)
         for i, lang in enumerate(LANG_ORDER):
             win = (~taken) & (counts[i] == best) & (best > 0)
             pred[win] = lang
             taken |= win
 
-        alpha_ratio = np.where(n_chars > 0, n_alpha / n_chars.replace(0, 1), 0.0).astype(float)
-        stop_ratio = np.where(n_tokens > 0, stop_hits / n_tokens.replace(0, 1), 0.0).astype(float)
+        alpha_ratio = np.where(n_chars > 0, n_alpha / np.maximum(n_chars, 1), 0.0)
+        stop_ratio = np.where(n_tokens > 0, stop_hits / np.maximum(n_tokens, 1), 0.0)
         # quality from the UNROUNDED ratios: rounding first would park the
         # composite exactly on a .5e-7 boundary where numpy (half-even) and
         # DuckDB (half-away) round differently.
         quality = 0.5 * alpha_ratio + 0.5 * (1.0 - stop_ratio)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": batch["doc_id"].to_numpy(),
-                "n_chars": n_chars.to_numpy(),
-                "n_tokens": n_tokens.to_numpy(),
-                "alpha_ratio": round_half_away(alpha_ratio, 6),
-                "stop_ratio": round_half_away(stop_ratio, 6),
-                "lang_pred": pred,
-                "quality_score": round_half_away(quality, 6),
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(n_chars),
+                "n_tokens": pa.array(n_tokens),
+                "alpha_ratio": pa.array(round_half_away(alpha_ratio, 6)),
+                "stop_ratio": pa.array(round_half_away(stop_ratio, 6)),
+                "lang_pred": pa.array(pred, pa.string()),
+                "quality_score": pa.array(round_half_away(quality, 6)),
             }
         )
 
 
 def text_stats(sf_dir: str, concurrency: int = 2):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(TextAnalyzer, batch_format="pandas", batch_size=4096,
+    return ds.map_batches(TextAnalyzer, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=4096,
                           concurrency=concurrency)
 
 

@@ -131,7 +131,7 @@ def test_text_analyzer_edges():
     an = TextAnalyzer()
     df = pd.DataFrame({"doc_id": [1, 2, 3],
                        "text": ["", "the the the", "der und die der"]})
-    out = an(df)
+    out = an(df).to_pandas()
     assert list(out["n_tokens"]) == [0, 3, 4]
     assert out.loc[0, "lang_pred"] == "und"
     assert out.loc[1, "lang_pred"] == "en"
@@ -140,14 +140,11 @@ def test_text_analyzer_edges():
     assert out.loc[1, "stop_ratio"] == 1.0
 
 
-def test_multimodal_stub(planted_dir):
+def test_multimodal_fake_features(planted_dir):
     from pdf_watermark_remover_ray.pipelines.multimodal import (
-        PayloadFeaturizer,
         multimodal_features,
     )
 
-    with pytest.raises(NotImplementedError):
-        PayloadFeaturizer(real=True)
     out = multimodal_features(planted_dir).to_pandas().sort_values("doc_id")
     assert len(out) == 44
     row = out[out["doc_id"] == 40].iloc[0]
@@ -156,6 +153,69 @@ def test_multimodal_stub(planted_dir):
     import hashlib
 
     assert row["checksum"] == hashlib.md5(BASE.encode()).hexdigest()
+
+
+def test_image_codec_roundtrip():
+    """Pure-numpy PPM/BMP golden: decode(encode(img)) == img exactly, for
+    odd widths (BMP row padding) and comment-bearing PPM headers."""
+    from pdf_watermark_remover_ray.functions.imagecodec import (
+        decode_bmp, decode_image, decode_ppm, encode_bmp, encode_ppm,
+        resize_nearest, synthetic_image)
+
+    rng = np.random.default_rng(7)
+    for (h, w) in [(1, 1), (3, 5), (16, 9), (37, 41)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    hdr = b"P6\n# a comment\n3 2\n255\n" + bytes(range(18))
+    assert decode_ppm(hdr).shape == (2, 3, 3)
+    img = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+    r = resize_nearest(img, 32, 16)
+    ys = (np.arange(16) * 10) // 16
+    xs = (np.arange(32) * 7) // 32
+    assert np.array_equal(r, img[ys][:, xs])
+    for d in (0, 5, 123):
+        for f in ("ppm", "bmp"):
+            im = decode_image(synthetic_image(d, f))
+            assert im.shape == (d % 16 + 8, d % 24 + 8, 3)
+
+
+def test_image_real_decode_features(planted_dir):
+    """real=True featurize over REAL payload bytes: true geometry recovered
+    through encode→decode, mean_lum equals the numpy luma of the pixels;
+    real=True resize emits decodable PPMs at the target size with
+    nearest-neighbor-exact pixels."""
+    from pdf_watermark_remover_ray.functions.imagecodec import (
+        decode_image, resize_nearest, synthetic_image)
+    from pdf_watermark_remover_ray.pipelines.multimodal import (
+        image_features, image_resized_features)
+
+    out = image_features(planted_dir).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert len(out) == 44
+    ids = out["doc_id"].to_numpy()
+    assert (out["width"].to_numpy() == ids % 24 + 8).all()
+    assert (out["height"].to_numpy() == ids % 16 + 8).all()
+    for d in (0, 1, 43):  # ppm (even) and bmp (odd) payloads
+        img = decode_image(synthetic_image(d, "bmp" if d % 2 else "ppm"))
+        f = img.astype(np.float64)
+        lum = (0.299 * f[:, :, 0] + 0.587 * f[:, :, 1]
+               + 0.114 * f[:, :, 2]).mean()
+        got = out.loc[out["doc_id"] == d, "mean_lum"].iloc[0]
+        assert abs(got - round(lum, 6)) < 1e-9
+
+    rz = image_resized_features(planted_dir, width=16, height=12) \
+        .to_pandas()
+    assert len(rz) == 44
+    assert (rz["width"] == 16).all() and (rz["height"] == 12).all()
+    # pixel-exact: re-derive one resized payload independently
+    from pdf_watermark_remover_ray.pipelines.multimodal import PayloadResizer
+
+    res = PayloadResizer(width=16, height=12, real=True)(
+        pd.DataFrame({"doc_id": [6],
+                      "payload": [synthetic_image(6, "ppm")]}))
+    want = resize_nearest(decode_image(synthetic_image(6, "ppm")), 16, 12)
+    assert np.array_equal(decode_image(res["payload"].iloc[0]), want)
 
 
 def test_winnow_fingerprint_properties(planted_dir):
@@ -453,15 +513,17 @@ def test_resumable_batch_sink(planted_dir, tmp_path):
 
 def test_multimodal_resize_and_frames(planted_dir):
     """Resize fake tiles to exact target size; frame sampler emits every-n-th
-    frame as its own row with correct geometry; real=True honestly gated."""
+    frame as its own row with correct geometry; real=True rejects payloads
+    that aren't a decodable image format."""
     from pdf_watermark_remover_ray.pipelines.multimodal import (
         FrameSampler,
         PayloadResizer,
         multimodal_frames,
     )
 
-    with pytest.raises(NotImplementedError):
-        PayloadResizer(real=True)
+    with pytest.raises(ValueError):  # not PPM/BMP → real decode refuses
+        PayloadResizer(width=8, height=4, real=True)(
+            pd.DataFrame({"doc_id": [1], "payload": [b"not-an-image"]}))
     rs = PayloadResizer(width=8, height=4)
     out = rs(pd.DataFrame({"doc_id": [1, 2], "payload": [b"abc", b""]}))
     assert all(len(p) == 32 for p in out["payload"])
