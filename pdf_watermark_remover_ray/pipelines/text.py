@@ -134,17 +134,55 @@ class Fingerprinter:
 
     The k-gram hash is md5-based so the DuckDB oracle replays the sketch
     exactly (``('0x' || substring(md5(substring(text, i, 8)), 1, 16))``);
-    k-grams are factorized per batch so md5 runs once per UNIQUE gram, and
-    the per-document min is one segmented ``np.minimum.reduceat``."""
+    k-grams are deduped per batch so md5 runs once per UNIQUE gram, and
+    the per-document min is one segmented ``np.minimum.reduceat``.
+
+    Hot path (round-4 verdict item 6): when the batch is pure ASCII
+    (byte length == char length, the common case for web text after
+    normalization), gram extraction is a numpy sliding window over the
+    concatenated byte buffer — every w-byte gram becomes one fixed-width
+    void key, deduped with ``np.unique`` — no per-row Python loop and no
+    Python string objects for the grams.  Non-ASCII batches fall back to
+    character slicing (byte-grams ≠ char-grams there, and the oracle is
+    defined on characters)."""
 
     def __init__(self, window: int = 8) -> None:
         self.window = window
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.hashing import md5_u64
+    def _gram_keys_ascii(self, bufs: list[bytes], lens: np.ndarray):
+        """(counts, unique gram strings, inverse codes) via numpy windows.
 
-        text = batch["text"].fillna("")
-        md5 = text.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        Packs each w-byte gram (w ≤ 8) into one big-endian uint64 with w
+        shift-OR passes over the concatenated buffer, gathers the packed
+        keys at each document's gram positions (1-D gather), and dedups
+        with a single uint64 ``np.unique`` — gram bytes are only ever
+        materialized for the UNIQUE keys."""
+        w = self.window
+        counts = np.maximum(lens - w + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return counts, np.empty(0, dtype=object), np.empty(0, np.int64)
+        buf = np.frombuffer(b"".join(bufs), np.uint8)
+        n_win = len(buf) - w + 1
+        packed = np.zeros(n_win, np.uint64)
+        for j in range(w):  # big-endian: first gram byte in the high bits
+            packed |= buf[j:j + n_win].astype(np.uint64) << np.uint64(
+                8 * (w - 1 - j))
+        starts = np.cumsum(lens) - lens
+        cum0 = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum0, counts)
+        gpos = np.repeat(starts, counts) + within
+        # hash-based dedup (pd.factorize) — O(n), vs sort-based np.unique
+        # which argsorts all n gram keys and measured 3-4x slower here
+        codes, uniq_keys = pd.factorize(packed[gpos])
+        uniq_keys = np.asarray(uniq_keys, np.uint64)
+        ub = uniq_keys.astype(">u8").tobytes()
+        off = 8 - w
+        uniq = np.array([ub[i * 8 + off:(i + 1) * 8].decode("ascii")
+                         for i in range(len(uniq_keys))], dtype=object)
+        return counts, uniq, codes.astype(np.int64)
+
+    def _gram_keys_generic(self, text: pd.Series):
         w = self.window
         grams: list[str] = []
         counts = np.zeros(len(text), dtype=np.int64)
@@ -152,15 +190,30 @@ class Fingerprinter:
             n = max(len(s) - w + 1, 0)
             counts[pos] = n
             grams.extend(s[i:i + w] for i in range(n))
+        codes, uniq = pd.factorize(np.asarray(grams, dtype=object))
+        return counts, np.asarray(uniq, dtype=object), codes
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import md5_u64
+
+        text = batch["text"].fillna("")
+        bufs = [s.encode("utf-8") for s in text]
+        md5 = np.array([hashlib.md5(b).hexdigest() for b in bufs],
+                       dtype=object)
+        blens = np.fromiter((len(b) for b in bufs), np.int64, len(bufs))
+        nchars = np.fromiter((len(s) for s in text), np.int64, len(bufs))
+        if self.window <= 8 and (blens == nchars).all():  # pure ASCII
+            counts, uniq, codes = self._gram_keys_ascii(bufs, blens)
+        else:
+            counts, uniq, codes = self._gram_keys_generic(text)
         out = np.zeros(len(text), dtype=np.uint64)
         nz = np.flatnonzero(counts)
         if len(nz):
-            codes, uniq = pd.factorize(np.asarray(grams, dtype=object))
-            hv = md5_u64(np.asarray(uniq, dtype=object))[codes]
+            hv = md5_u64(uniq)[codes]
             seg = np.concatenate([[0], np.cumsum(counts[nz])[:-1]])
             out[nz] = np.minimum.reduceat(hv, seg)
         return pd.DataFrame(
-            {"doc_id": batch["doc_id"].to_numpy(), "fingerprint": md5.to_numpy(),
+            {"doc_id": batch["doc_id"].to_numpy(), "fingerprint": md5,
              "winnow64": out.view(np.int64)}
         )
 
