@@ -169,6 +169,18 @@ class StreamConfig:
     # windowed top-k: the k most frequent tools per (conv, tumbling window)
     # emitted on the ``wtopk`` stream (ties broken by tool name).
     wtopk_k: int = 3
+    # Open-state bound for pathological keys: the raw-row state kinds
+    # (users/tools join buffers, cepbuf) are bounded by event-time horizon
+    # x per-key RATE — one never-quiet, high-rate conversation can grow its
+    # buffered rows without limit inside the horizon (at 100 TB that is an
+    # actor OOM).  When set, each of those kinds keeps at most this many
+    # NEWEST rows per conv_id at every epoch close (deterministic: frames
+    # are key-sorted, the trim is a per-key tail), older rows are force-
+    # dropped, and the dropped counts land in the committed epoch marker
+    # (``capped_rows`` / ``capped``) — the dead-letter accounting pattern of
+    # ST2.  Aggregate kinds (sessions/wstats/wtools/sliding) stay one row
+    # per open key/window and need no cap.  None = unbounded (exact).
+    max_open_rows_per_key: int | None = None
 
     def __post_init__(self) -> None:
         """Pre-flight validation (reference P2/P3 analog: the UI rejects bad
@@ -202,6 +214,9 @@ class StreamConfig:
                             for t in self.cep_terms)),
             "timeout_within_us must be > 0": self.timeout_within_us > 0,
             "wtopk_k must be >= 1": self.wtopk_k >= 1,
+            "max_open_rows_per_key must be >= 1 when set":
+                self.max_open_rows_per_key is None
+                or self.max_open_rows_per_key >= 1,
         }
         bad = [msg for msg, ok in checks.items() if not ok]
         if bad:

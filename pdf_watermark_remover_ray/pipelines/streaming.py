@@ -97,6 +97,7 @@ class StatePartition:
                 restore_epoch, cfg.join_gap_us,
                 dedup_ttl_us=cfg.dedup_ttl_us,
                 cep_within_us=cfg.cep_within_us,
+                max_open_rows_per_key=cfg.max_open_rows_per_key,
             )
         else:
             self.store = SortedStateStore()
@@ -195,6 +196,12 @@ class StatePartition:
         if self.cfg.dedup_stream:
             emitted["dedup"] = self._emit_dedup(epoch, wm_after_us)
         t_emit = time.monotonic()
+        # Per-key open-state bound (after emissions' watermark evictions,
+        # before the snapshot, so checkpoints persist the CAPPED state and
+        # a resumed run replays the identical trim) — dead-letter counts go
+        # into the committed epoch marker, mirroring failed_files (ST2).
+        capped = self.store.apply_key_cap(self.cfg.max_open_rows_per_key) \
+            if self.cfg.max_open_rows_per_key is not None else {}
         mode = "full" if epoch % self.cfg.snapshot_full_every == 0 else "delta"
         if mode == "full":
             self._sync_seen_frame()  # exact-mode dedup index → store frame
@@ -215,6 +222,8 @@ class StatePartition:
             "rows": int(len(tbl)),
             "state_rows": state_rows,
             "max_ts_us": pmax,
+            "capped_rows": int(sum(capped.values())),
+            "capped": {k: int(v) for k, v in capped.items()},
             "emitted": {k: int(v) for k, v in emitted.items()},
             "close_s": round(time.monotonic() - t0, 4),
             "fold_s": round(t_fold - t0, 4),

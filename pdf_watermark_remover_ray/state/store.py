@@ -131,6 +131,42 @@ class SortedStateStore:
     # eviction — see restore_chain.  Exact mode (ttl=None) never evicts.
     _BULKY = ("users", "tools", "seen", "cepbuf")
     _OPEN = ("sessions", "wstats", "sliding", "wtools", "meta", "pend", "arep")
+    # Raw-row kinds whose per-key size is horizon x rate (the only state a
+    # single pathological key can blow up) — subject to the per-key cap.
+    _CAPPED = ("users", "tools", "cepbuf")
+
+    def apply_key_cap(self, cap: int) -> dict[str, int]:
+        """Bound each raw-row kind to the NEWEST ``cap`` rows per conv_id;
+        return per-kind dropped-row counts.
+
+        "Newest" ranks by (ts_us, turn_idx) within the key — the SAME ts
+        axis the watermark evictions use (cepbuf's sort key is turn_idx,
+        where a late-but-accepted row could out-rank rows the thresholds
+        later evict; ranking by ts closes that hole).  Restore-equivalent:
+        a cap applied at every epoch close (after the watermark evictions)
+        composes with a SINGLE cap applied after the restore chain's final
+        thresholds — any row the per-epoch cap dropped was ts-older than
+        >= cap rows of its key, each of which survives every later ts
+        threshold the dropped row would have survived, so the end-state
+        cap drops it again; a dropped row can never re-enter the tail.
+        """
+        dropped: dict[str, int] = {}
+        for kind in self._CAPPED:
+            df = self.frames[kind]
+            if len(df) <= cap:
+                continue
+            by_ts = df.sort_values(["conv_id", "ts_us", "turn_idx"],
+                                   kind="mergesort")
+            tail = by_ts.groupby("conv_id", sort=False).cumcount(
+                ascending=False).to_numpy() < cap
+            if tail.all():
+                continue
+            keep = np.zeros(len(df), dtype=bool)
+            keep[by_ts.index.to_numpy()[tail]] = True
+            dropped[kind] = int(len(df) - tail.sum())
+            # filtering the key-sorted frame preserves its sort order
+            self.frames[kind] = df[keep].reset_index(drop=True)
+        return dropped
 
     def snapshot(self, path: str, mode: str = "full",
                  delta: dict[str, pd.DataFrame] | None = None,
@@ -197,10 +233,15 @@ class SortedStateStore:
     def restore_chain(cls, path_for_epoch, restore_epoch: int,
                       join_gap_us: int,
                       dedup_ttl_us: int | None = None,
-                      cep_within_us: int | None = None) -> "SortedStateStore":
+                      cep_within_us: int | None = None,
+                      max_open_rows_per_key: int | None = None,
+                      ) -> "SortedStateStore":
         """Rebuild state at ``restore_epoch`` from the delta chain: walk
         snapshots backwards to the nearest full one, concat the bulky
-        appends forward, apply the final watermark eviction thresholds."""
+        appends forward, apply the final watermark eviction thresholds
+        (and, when configured, the per-key open-state cap — see
+        :meth:`apply_key_cap` for why one end-state application equals the
+        live run's per-epoch applications)."""
         store = cls()
         head = path_for_epoch(restore_epoch)
         if not os.path.exists(head):
@@ -241,6 +282,8 @@ class SortedStateStore:
             # mirror the live store's close-time eviction threshold
             cep = cep[cep["ts_us"] >= wm_last - cep_within_us]
         store.put("cepbuf", cep)
+        if max_open_rows_per_key is not None:
+            store.apply_key_cap(max_open_rows_per_key)
         return store
 
     @classmethod

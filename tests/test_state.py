@@ -124,3 +124,64 @@ def test_cepbuf_delta_chain_roundtrip(tmp_path):
 
     d4 = pq.read_table(path(4)).to_pandas()
     assert len(d4[d4["kind"] == "cepbuf"]) == 150  # epoch 4's appends only
+
+
+def test_key_cap_per_epoch_equals_end_state_cap():
+    """apply_key_cap's restore-equivalence claim: per-epoch
+    (threshold-evict, then cap) composes to the same final state as
+    (concat everything, final threshold, ONE cap) — including the nasty
+    case of a LATE-but-accepted row whose turn_idx outranks rows the ts
+    thresholds later evict (the reason the cap ranks by ts, not sort key)."""
+    cap = 3
+    # epoch appends for one hot conv: ts mostly increasing, one late row
+    # (high turn_idx, low ts) in epoch 2
+    epochs = [
+        ([10, 20, 30, 40, 50], [0, 1, 2, 3, 4]),
+        ([60, 70, 80], [5, 6, 7]),
+        ([15, 90, 100], [8, 9, 10]),   # ts=15 is late-but-accepted
+        ([110, 120], [11, 12]),
+    ]
+    wms = [0, 25, 60, 95]  # monotone per-epoch thresholds (keep ts >= wm)
+
+    def frame(ts, idx):
+        return pd.DataFrame({"conv_id": ["chot"] * len(ts),
+                             "ts_us": np.array(ts, np.int64),
+                             "turn_idx": np.array(idx, np.int32)})
+
+    live = SortedStateStore()
+    for (ts, idx), wm in zip(epochs, wms):
+        u = pd.concat([live.get("users"), frame(ts, idx)], ignore_index=True)
+        live.put("users", u[u["ts_us"] >= wm])
+        live.apply_key_cap(cap)
+
+    oneshot = SortedStateStore()
+    allrows = pd.concat([frame(ts, idx) for ts, idx in epochs],
+                        ignore_index=True)
+    oneshot.put("users", allrows[allrows["ts_us"] >= wms[-1]])
+    oneshot.apply_key_cap(cap)
+
+    pd.testing.assert_frame_equal(
+        live.get("users").reset_index(drop=True),
+        oneshot.get("users").reset_index(drop=True))
+    assert len(live.get("users")) == cap
+
+
+def test_key_cap_deterministic_and_counts():
+    """Cap keeps the ts-NEWEST rows per key (turn_idx tiebreak), returns
+    exact dropped counts, and leaves under-cap keys and non-capped kinds
+    untouched."""
+    s = SortedStateStore()
+    s.put("users", pd.DataFrame({
+        "conv_id": ["a"] * 5 + ["b"] * 2,
+        "ts_us": np.array([5, 4, 3, 2, 1, 9, 8], np.int64),
+        "turn_idx": np.arange(7, dtype=np.int32)}))
+    sess = pd.DataFrame({"conv_id": ["a"], "start_us": np.array([0], np.int64),
+                         "end_us": np.array([99], np.int64),
+                         "n": np.array([50], np.int64)})
+    s.put("sessions", sess)
+    dropped = s.apply_key_cap(2)
+    assert dropped == {"users": 3}
+    u = s.get("users")
+    assert u[u["conv_id"] == "a"]["ts_us"].tolist() == [4, 5]  # newest two
+    assert u[u["conv_id"] == "b"]["ts_us"].tolist() == [8, 9]
+    pd.testing.assert_frame_equal(s.get("sessions"), sess)  # aggregates untouched

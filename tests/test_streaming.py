@@ -732,3 +732,100 @@ def test_chaos_chain_with_cepp_and_cross_epoch_compaction(fixture, tmp_path):
     _check_outputs(out, golden)
     assert_stream_equal(read_stream(out, "cepp"), golden["cepp"],
                         ["conv_id", "turn_idx", "dt_us"])
+
+
+def _never_quiet_fixture(tmp_path) -> tuple[list[str], int]:
+    """Base stream + a planted NEVER-QUIET hot conversation: 400 turns at
+    50 ms spacing (total span 20 s < every gap/horizon), alternating
+    user/tool — its session never closes and, uncapped, its join/CEP
+    buffers hold every one of its turns at once near stream end."""
+    import pyarrow as pa
+
+    base = generate_transcripts(n_convs=24, mean_turns=8, seed=31)
+    bdf = base.to_pandas()
+    n = 400
+    start = int(bdf["arrival_us"].median())
+    ts = start + np.arange(n, dtype=np.int64) * 50_000
+    roles = np.where(np.arange(n) % 2 == 0, "user", "tool").astype(object)
+    hot = pd.DataFrame({
+        "conv_id": np.full(n, "chot", dtype=object),
+        "turn_idx": np.arange(n, dtype=np.int32),
+        "role": roles,
+        "text": np.array([f"hot turn {i}" for i in range(n)], dtype=object),
+        "tool": np.where(roles == "tool", "search", "").astype(object),
+        "ts": pd.to_datetime(ts, unit="us"),
+        "arrival_us": ts,
+    })
+    table = pa.Table.from_pandas(
+        pd.concat([bdf, hot], ignore_index=True), preserve_index=False
+    ).cast(base.schema)
+    d = tmp_path / "in_hot"
+    d.mkdir()
+    paths = write_transcripts(table, str(d), num_files=NUM_FILES, split_by="ts")
+    return paths, n
+
+
+def test_open_state_cap_bounds_hot_key(tmp_path):
+    """VERDICT r3 #7: per-key open-state bound.  A never-quiet hot conv
+    (a) grows raw-row state without limit uncapped, (b) stays bounded at
+    max_open_rows_per_key with force-dropped rows accounted exactly once
+    in committed markers, and (c) a restored partition reconstructs the
+    SAME capped state (per-key counts <= cap after a delta-chain restore)."""
+    from dataclasses import replace
+
+    from pdf_watermark_remover_ray.sinks.parquet import EpochSink
+    from pdf_watermark_remover_ray.state.store import SortedStateStore
+
+    paths, n_hot = _never_quiet_fixture(tmp_path)
+    CAP = 40
+
+    out0 = str(tmp_path / "out_nocap")
+    res0 = StreamingEngine(paths, out0, CFG, epoch_files=EPOCH_FILES).run()
+    peak0 = max(p["state_rows"] for m in res0["epochs"] for p in m["partitions"])
+    assert all(p["capped_rows"] == 0
+               for m in res0["epochs"] for p in m["partitions"])
+
+    cfg = replace(CFG, max_open_rows_per_key=CAP)
+    out1 = str(tmp_path / "out_cap")
+    res1 = StreamingEngine(paths, out1, cfg, epoch_files=EPOCH_FILES).run()
+    total_capped = sum(p["capped_rows"]
+                       for m in res1["epochs"] for p in m["partitions"])
+    assert total_capped > 0, "hot conv must trip the cap"
+    peak1 = max(p["state_rows"] for m in res1["epochs"] for p in m["partitions"])
+    assert peak1 < peak0, (peak1, peak0)
+
+    # the state a RESUMED actor would hold is per-key bounded
+    last = max(m["epoch"] for m in res1["epochs"])
+    sink = EpochSink(out1)
+    for pid in range(cfg.num_partitions):
+        store = SortedStateStore.restore_chain(
+            lambda e: sink.state_path(e, pid), last, cfg.join_gap_us,
+            dedup_ttl_us=cfg.dedup_ttl_us, cep_within_us=cfg.cep_within_us,
+            max_open_rows_per_key=CAP)
+        for kind in ("users", "tools", "cepbuf"):
+            df = store.get(kind)
+            if len(df):
+                assert df.groupby("conv_id").size().max() <= CAP, kind
+
+    # exactly-once under kill/resume WITH the cap: identical output streams
+    # and identical total capped accounting (markers commit once)
+    out2 = str(tmp_path / "out_cap_resume")
+    StreamingEngine(paths, out2, cfg, epoch_files=EPOCH_FILES).run(
+        kill_after_epoch=1)
+    res2 = StreamingEngine(paths, out2, cfg, epoch_files=EPOCH_FILES).run()
+    assert res2["epochs"][0]["epoch"] == 2
+    for stream, cols in (
+            ("turns", ["conv_id", "turn_idx", "role", "modified"]),
+            ("sessions", ["conv_id", "session_start_us", "session_end_us",
+                          "n_turns"]),
+            ("matches", ["conv_id", "user_turn_idx", "tool_turn_idx", "tool",
+                         "dt_us"]),
+            ("cep", ["conv_id", "turn_idx", "dt_us"]),
+            ("windows", ["conv_id", "window_start_us", "n_turns"])):
+        assert_stream_equal(read_stream(out2, stream),
+                            read_stream(out1, stream), cols)
+    cap2 = [p["capped_rows"] for e in (0, 1)
+            for p in EpochSink(out2).read_marker(e)["partitions"]]
+    cap1 = [p["capped_rows"] for e in (0, 1)
+            for p in EpochSink(out1).read_marker(e)["partitions"]]
+    assert cap2 == cap1
