@@ -106,6 +106,31 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # Drop ONLY the empty-new-schema RefBundle warning: Ray's AllToAll sort
+    # operator emits schema-less EMPTY blocks for empty reduce partitions
+    # (minimal repro: range(100) -> groupby(k).map_groups(f) warns with
+    # "new schema: PandasBlockSchema(names=[], ...)" before f is ever
+    # called) — Ray-internal, not a batch-fn bug; our own batch fns return
+    # typed empties (tests/test_round4_ops.py empty-input gates).  A GENUINE
+    # mismatch (two non-empty differing schemas) still passes the filter.
+    import logging as _logging
+
+    class _EmptySchemaNoise(_logging.Filter):
+        def filter(self, rec: _logging.LogRecord) -> bool:
+            m = rec.getMessage()
+            return not ("different schema" in m and
+                        ("new schema: ." in m or
+                         "new schema: PandasBlockSchema(names=[]" in m))
+
+    # filters don't propagate to child loggers: attach to the emitting
+    # module logger and to every installed ray/root handler
+    _logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySchemaNoise())
+    for _name in ("ray", "ray.data", ""):
+        for _h in _logging.getLogger(_name).handlers:
+            _h.addFilter(_EmptySchemaNoise())
+
     from pdf_watermark_remover_ray.config import StreamConfig
     from pdf_watermark_remover_ray.pipelines import dedup, relational, similarity, text
     from pdf_watermark_remover_ray.pipelines.streaming import StreamingEngine
@@ -328,9 +353,106 @@ def run_scaling() -> dict:
     }
 
 
+def run_streams_ab() -> dict:
+    """Per-stream marginal-cost table (VERDICT r3 #2): leave-one-group-out
+    headline runs vs the all-on baseline, so every default-on output
+    stream's share of the headline is attributable.  Runs at a REDUCED row
+    count (PWR_BENCH_ROWS, default 16M — its own input cache) because 9
+    configs x best-of-N at 80M rows would not fit a healthy-host window;
+    marginal PERCENTAGES are the durable result, not absolute seconds.
+    Paired streams that project from one state kind (windows+wstats,
+    wdistinct+wtopk, cep+cepk) A/B as one group — that is their real cost
+    granularity.  cepp (off by default) is measured as an ADD-one row."""
+    global BENCH_ROWS, CACHE
+    BENCH_ROWS = int(os.environ.get("PWR_BENCH_ROWS", "16000000"))
+    CACHE = f"/tmp/pwr_bench_cache/v2_rows{BENCH_ROWS}_seed{SEED}_f{BENCH_FILES}"
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    repeat = int(os.environ.get("PWR_BENCH_REPEAT", "2"))
+
+    import shutil
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR", log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from pdf_watermark_remover_ray.config import StreamConfig
+    from pdf_watermark_remover_ray.pipelines.streaming import StreamingEngine
+    from pdf_watermark_remover_ray.stages.cep import Term
+
+    paths = ensure_bench_input()
+    for p in paths:
+        with open(p, "rb") as f:
+            f.read()
+
+    ALL = ("sessions", "windows", "wstats", "sliding", "wdistinct", "wtopk",
+           "matches", "timeouts", "cep", "cepk", "dedup")
+    GROUPS = {
+        "sessions": ("sessions",),
+        "windows+wstats": ("windows", "wstats"),
+        "sliding": ("sliding",),
+        "wdistinct+wtopk": ("wdistinct", "wtopk"),
+        "matches": ("matches",),
+        "timeouts": ("timeouts",),
+        "cep+cepk": ("cep", "cepk"),
+        "dedup": ("dedup",),
+    }
+
+    def probe():
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tools.host_health import probe as p
+
+            return p(32)["parallel_speedup"]
+        except Exception:
+            return None
+
+    out_dir = f"{CACHE}/out_ab"
+
+    def run_once(cfg: StreamConfig) -> float:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        StreamingEngine(paths, out_dir, cfg, epoch_files=EPOCH_FILES,
+                        actor_cpus=0.1).run()
+        return round(time.monotonic() - t0, 3)
+
+    def best_of(cfg: StreamConfig) -> list[float]:
+        return [run_once(cfg) for _ in range(repeat)]
+
+    health_before = probe()
+    base_kw = dict(num_partitions=32, epoch_rows=BENCH_ROWS // 8)
+    runs = {"all_on": best_of(StreamConfig(**base_kw))}
+    for name, members in GROUPS.items():
+        off = tuple(s for s in ALL if s not in members)
+        runs[name] = best_of(StreamConfig(**base_kw, emit_streams=off))
+    runs["cepp_add"] = best_of(StreamConfig(**base_kw, cep_terms=(
+        Term(role="user", text_regex=r"\bstream\b"),
+        Term(role="tool", tool="search"), Term(role="assistant"))))
+    health_after = probe()
+    ray.shutdown()
+
+    base = min(runs["all_on"])
+    table = {}
+    for name in GROUPS:
+        off_s = min(runs[name])
+        table[name] = {"off_s": off_s, "marginal_s": round(base - off_s, 3),
+                       "marginal_pct": round(100 * (base - off_s) / base, 1)}
+    cepp = min(runs["cepp_add"])
+    table["cepp"] = {"on_s": cepp, "marginal_s": round(cepp - base, 3),
+                     "marginal_pct": round(100 * (cepp - base) / base, 1)}
+    return {"mode": "streams_ab", "rows": BENCH_ROWS, "num_cpus": num_cpus,
+            "baseline_s": base, "runs": runs, "marginal": table,
+            "host_parallel_speedup_before": health_before,
+            "host_parallel_speedup_after": health_after}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--streams-ab" in sys.argv:
+        print(json.dumps(run_streams_ab()))
     else:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")

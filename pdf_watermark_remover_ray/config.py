@@ -37,6 +37,12 @@ class ScrubConfig:
 # sit in the cepbuf state kind).
 ROLE_CODES = {"user": 0, "assistant": 1, "tool": 2}
 
+# Output streams a StreamConfig.emit_streams tuple may name ("turns"/"late"
+# are core and always on; "cepp" is governed by cep_terms).
+_OPTIONAL_STREAMS = frozenset((
+    "sessions", "windows", "wstats", "sliding", "wdistinct", "wtopk",
+    "matches", "timeouts", "cep", "cepk", "dedup"))
+
 
 @dataclass(frozen=True)
 class Tumbling:
@@ -169,6 +175,18 @@ class StreamConfig:
     # windowed top-k: the k most frequent tools per (conv, tumbling window)
     # emitted on the ``wtopk`` stream (ties broken by tool name).
     wtopk_k: int = 3
+    # Per-stream enablement: at 100 TB every default-on output stream has a
+    # real fold/emit/IO cost, so a consumer should pay only for the streams
+    # it reads.  None = all streams.  A tuple restricts the OPTIONAL streams
+    # (sessions, windows, wstats, sliding, wdistinct, wtopk, matches,
+    # timeouts, cep, cepk, dedup) — their folds, emissions AND state updates
+    # are skipped entirely when off; "turns" and "late" are core route
+    # outputs and always on; "cepp" is governed by cep_terms; "dedup"
+    # additionally requires dedup_stream (hash work happens at route time).
+    # Must be identical across a resume chain (epoch markers only carry
+    # counts for enabled streams; state kinds of disabled streams stay
+    # empty, so flipping a stream ON mid-chain would miss prior state).
+    emit_streams: tuple[str, ...] | None = None
     # Open-state bound for pathological keys: the raw-row state kinds
     # (users/tools join buffers, cepbuf) are bounded by event-time horizon
     # x per-key RATE — one never-quiet, high-rate conversation can grow its
@@ -217,10 +235,18 @@ class StreamConfig:
             "max_open_rows_per_key must be >= 1 when set":
                 self.max_open_rows_per_key is None
                 or self.max_open_rows_per_key >= 1,
+            "emit_streams must name known optional streams":
+                self.emit_streams is None
+                or all(s in _OPTIONAL_STREAMS for s in self.emit_streams),
         }
         bad = [msg for msg, ok in checks.items() if not ok]
         if bad:
             raise ValueError("invalid StreamConfig: " + "; ".join(bad))
+
+    def stream_on(self, name: str) -> bool:
+        """Is the optional output stream enabled under ``emit_streams``?
+        (Does not fold in dedup_stream / cep_terms — callers combine.)"""
+        return self.emit_streams is None or name in self.emit_streams
 
     @property
     def cep_codes(self) -> tuple[int, ...]:

@@ -169,31 +169,45 @@ class StatePartition:
         live = tbl.select(_INGEST_COLS + (
             ["pbits"] if "pbits" in tbl.column_names else [])).to_pandas()
         self._delta = {}  # per-epoch join-buffer appends (delta snapshot)
-        self._fold_sessions(live)
-        self._fold_wstats(live)  # one fold feeds BOTH windows and wstats
-        self._fold_wtools(live)  # one fold feeds BOTH wdistinct and wtopk
-        self._fold_sliding(live)
-        self._fold_join(live)
-        self._fold_timeouts(live)
+        on = self.cfg.stream_on  # per-stream enablement: skip the whole
+        # fold+state+emit path of a disabled stream (emit_streams=None ⇒ all)
+        emitted: dict[str, int] = {}
+        if on("sessions"):
+            self._fold_sessions(live)
+        if on("windows") or on("wstats"):
+            self._fold_wstats(live)  # one fold feeds BOTH windows and wstats
+        if on("wdistinct") or on("wtopk"):
+            self._fold_wtools(live)  # one fold feeds BOTH wdistinct and wtopk
+        if on("sliding"):
+            self._fold_sliding(live)
+        if on("matches"):
+            self._fold_join(live)
+        if on("timeouts"):
+            self._fold_timeouts(live)
         t_fold = time.monotonic()
 
-        n_windows, n_wstats = self._emit_tumbling(wm_after_us, epoch)
-        n_wdistinct, n_wtopk = self._emit_wtool_streams(wm_after_us, epoch)
-        emitted = {
-            "sessions": self._emit_sessions(wm_after_us, epoch),
-            "windows": n_windows,
-            "wstats": n_wstats,
-            "sliding": self._emit_sliding(wm_after_us, epoch),
-            "matches": self._emit_matches(wm_after_us, epoch),
-            "wdistinct": n_wdistinct,
-            "wtopk": n_wtopk,
-            "timeouts": self._emit_timeouts(wm_after_us, epoch),
-        }
-        emitted["cep"], emitted["cepk"], n_cepp = \
-            self._fold_emit_cep(live, wm_after_us, epoch)
-        if self.cfg.cep_terms is not None:
-            emitted["cepp"] = n_cepp
-        if self.cfg.dedup_stream:
+        # paired streams project from ONE state kind and emit together —
+        # requesting either member turns the group (fold + both files) on
+        if on("windows") or on("wstats"):
+            emitted["windows"], emitted["wstats"] = \
+                self._emit_tumbling(wm_after_us, epoch)
+        if on("wdistinct") or on("wtopk"):
+            emitted["wdistinct"], emitted["wtopk"] = \
+                self._emit_wtool_streams(wm_after_us, epoch)
+        if on("sessions"):
+            emitted["sessions"] = self._emit_sessions(wm_after_us, epoch)
+        if on("sliding"):
+            emitted["sliding"] = self._emit_sliding(wm_after_us, epoch)
+        if on("matches"):
+            emitted["matches"] = self._emit_matches(wm_after_us, epoch)
+        if on("timeouts"):
+            emitted["timeouts"] = self._emit_timeouts(wm_after_us, epoch)
+        if on("cep") or on("cepk") or self.cfg.cep_terms is not None:
+            emitted["cep"], emitted["cepk"], n_cepp = \
+                self._fold_emit_cep(live, wm_after_us, epoch)
+            if self.cfg.cep_terms is not None:
+                emitted["cepp"] = n_cepp
+        if self.cfg.dedup_stream and on("dedup"):
             emitted["dedup"] = self._emit_dedup(epoch, wm_after_us)
         t_emit = time.monotonic()
         # Per-key open-state bound (after emissions' watermark evictions,
@@ -1048,7 +1062,7 @@ def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig,
                 _emit_late_file(sink, late_tbl, epoch, file_idx)
                 acks = _route_table(live, actors, epoch,
                                     source_key=f"{f}#{b}", wait=False)
-                if cfg.dedup_stream:
+                if cfg.dedup_stream and cfg.stream_on("dedup"):
                     acks += _route_dedup(live, actors, epoch,
                                          cfg.num_partitions,
                                          source_key=f"{f}#{b}")

@@ -349,13 +349,11 @@ def test_q10_returned_items_matches_sql(sf_dir):
     _cmp(got, want)
 
 
-def test_round4_ops_on_empty_tables(tmp_path):
-    """P4 pass-through discipline for the new ops: zero-row inputs (same
-    schemas) produce zero-row outputs, never an exception."""
+def _write_empty_tables(d: str) -> None:
+    """Zero-row parquet tables with the canonical testdata schemas."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    d = str(tmp_path)
     pq.write_table(pa.table({
         "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string()),
         "lang": pa.array([], pa.string()), "source": pa.array([], pa.string()),
@@ -389,6 +387,13 @@ def test_round4_ops_on_empty_tables(tmp_path):
         "c_nationkey": pa.array([], pa.int32()),
         "c_acctbal": pa.array([], pa.float64()),
         "c_mktsegment": pa.array([], pa.string())}), f"{d}/customer.parquet")
+
+
+def test_round4_ops_on_empty_tables(tmp_path):
+    """P4 pass-through discipline for the new ops: zero-row inputs (same
+    schemas) produce zero-row outputs, never an exception."""
+    d = str(tmp_path)
+    _write_empty_tables(d)
 
     from pdf_watermark_remover_ray.functions.sampling import (
         capped_sample_per_group)
@@ -475,3 +480,56 @@ def test_token_entropy_matches_sql_and_bruteforce(sf_dir):
         h = -sum(c / len(toks) * math.log(c / len(toks))
                  for c in cnt.values())
         assert abs(g.loc[row["doc_id"], "entropy"] - h) < 1e-5
+
+
+def test_empty_block_schema_stability(tmp_path, sf_dir):
+    """VERDICT r3 #5 (typed empty batches): ops run on a ONE-ROW input —
+    which turns almost every hash partition / group / reduce block empty —
+    must produce the SAME column names and dtypes as on real data, i.e. our
+    batch fns return typed frames even when most of their blocks are empty.
+    (A FULLY empty input is a different, Ray-level case: read_parquet of a
+    zero-row file yields zero blocks, the UDF never runs and the dataset
+    has no schema at all — covered by the rows-only empty-tables test
+    above.  The benign 'RefBundle ... new schema: PandasBlockSchema(
+    names=[])' warnings come from the AllToAll sort's own empty reduce
+    partitions, emitted before any UDF runs — see bench.py's scoped log
+    filter.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    ts = pd.Timestamp("2023-11-15")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["the quick fox jumps"], pa.string()),
+        "lang": pa.array(["en"], pa.string()),
+        "source": pa.array(["s"], pa.string()),
+        "n_chars": pa.array([19], pa.int64())}), f"{d}/documents.parquet")
+    pq.write_table(pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "user_id": pa.array([7], pa.int64()),
+        "ts": pa.array([ts], pa.timestamp("us")),
+        "event_type": pa.array(["click"], pa.string()),
+        "props": pa.array([""], pa.string())}), f"{d}/events.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1], pa.int64()),
+        "o_custkey": pa.array([7], pa.int64()),
+        "o_orderstatus": pa.array(["O"], pa.string()),
+        "o_totalprice": pa.array([100.0], pa.float64()),
+        "o_orderdate": pa.array([ts], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"], pa.string())}),
+        f"{d}/orders.parquet")
+
+    from pdf_watermark_remover_ray.pipelines.relational import (
+        events_window_distinct, user_activity_outer)
+    from pdf_watermark_remover_ray.pipelines.text import (
+        repetition_scores, text_stats)
+
+    for fn in (repetition_scores, text_stats, user_activity_outer,
+               events_window_distinct):
+        tiny = fn(d).to_pandas()
+        real = fn(sf_dir).to_pandas()
+        assert len(tiny) >= 1 and len(real) > 0, fn.__name__
+        assert list(tiny.columns) == list(real.columns), fn.__name__
+        for c in real.columns:
+            assert tiny[c].dtype == real[c].dtype, (fn.__name__, c)

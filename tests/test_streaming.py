@@ -829,3 +829,46 @@ def test_open_state_cap_bounds_hot_key(tmp_path):
     cap1 = [p["capped_rows"] for e in (0, 1)
             for p in EpochSink(out1).read_marker(e)["partitions"]]
     assert cap2 == cap1
+
+
+def test_emit_streams_gating(fixture, tmp_path):
+    """Per-stream enablement: with emit_streams set, only the named streams
+    (plus core turns/late) fold, emit and write — and what IS emitted is
+    byte-identical to the all-on golden."""
+    from dataclasses import replace
+
+    table, paths, golden = fixture
+    cfg = replace(CFG, emit_streams=("sessions", "windows", "wstats"))
+    out = str(tmp_path / "out_gated")
+    res = StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES).run()
+
+    assert_stream_equal(read_stream(out, "turns"), golden["turns"],
+                        ["conv_id", "turn_idx", "role", "text", "modified"])
+    assert_stream_equal(read_stream(out, "sessions"), golden["sessions"],
+                        ["conv_id", "session_start_us", "session_end_us",
+                         "n_turns"])
+    assert_stream_equal(read_stream(out, "windows"), golden["windows"],
+                        ["conv_id", "window_start_us", "n_turns"])
+    for off in ("matches", "sliding", "dedup", "cep", "cepk", "timeouts",
+                "wdistinct", "wtopk"):
+        assert len(read_stream(out, off)) == 0, off
+    for m in res["epochs"]:
+        for p in m["partitions"]:
+            assert set(p["emitted"]) <= {"sessions", "windows", "wstats"}, p
+
+    # disabled kinds never enter state (snapshots stay lean)
+    from pdf_watermark_remover_ray.sinks.parquet import EpochSink
+    from pdf_watermark_remover_ray.state.store import SortedStateStore
+
+    last = max(m["epoch"] for m in res["epochs"])
+    sink = EpochSink(out)
+    for pid in range(cfg.num_partitions):
+        store = SortedStateStore.restore_chain(
+            lambda e: sink.state_path(e, pid), last, cfg.join_gap_us,
+            dedup_ttl_us=cfg.dedup_ttl_us, cep_within_us=cfg.cep_within_us)
+        for kind in ("users", "tools", "cepbuf", "seen", "sliding", "wtools",
+                     "pend", "arep"):
+            assert len(store.get(kind)) == 0, kind
+
+    with pytest.raises(ValueError):
+        replace(CFG, emit_streams=("sessions", "nosuch"))

@@ -132,6 +132,9 @@ if __name__ == "__main__":
     DataContext.get_current().enable_progress_bars = False
     rec = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json") if fast else None
+    for a in sys.argv[1:]:  # --out=PATH: record any run (e.g. sf0.1 spot-gate)
+        if a.startswith("--out="):
+            rec = a.split("=", 1)[1]
     rc = main(record_path=rec)
     ray.shutdown()
     sys.exit(rc)
