@@ -87,6 +87,28 @@ def main() -> int:
                 except Exception:
                     print(f"scaling bench failed rc={r2.returncode}: "
                           f"{r2.stderr[-400:]}", flush=True)
+                # same window: per-stream marginal-cost table (reduced rows)
+                r3 = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "bench.py"),
+                     "--streams-ab"], capture_output=True, text=True,
+                    timeout=5400, cwd=REPO)
+                line3 = r3.stdout.strip().splitlines()[-1] \
+                    if r3.stdout.strip() else ""
+                try:
+                    rec3 = json.loads(line3)
+                    if (rec3.get("host_parallel_speedup_after") or 0) \
+                            >= THRESHOLD * 0.8:
+                        with open(os.path.join(REPO, "BENCH_STREAMS_AB.json"),
+                                  "w") as f:
+                            json.dump(rec3, f, indent=1)
+                        print("STREAMS-AB recorded -> BENCH_STREAMS_AB.json",
+                              flush=True)
+                    else:
+                        print("streams-ab rejected: window degraded",
+                              flush=True)
+                except Exception:
+                    print(f"streams-ab failed rc={r3.returncode}: "
+                          f"{r3.stderr[-400:]}", flush=True)
                 return 0
             print(f"rejected: post-bench probe {post:.1f}x "
                   f"(ran into a degraded window)", flush=True)
