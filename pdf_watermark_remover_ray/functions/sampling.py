@@ -153,6 +153,109 @@ def decontaminate_split(sf_dir: str, train_pct: int = 90, val_pct: int = 5,
                            num_partitions=num_partitions)
 
 
+def ngram_decontaminate(sf_dir: str, n: int = 5, train_pct: int = 90,
+                        val_pct: int = 5, num_partitions: int = 16):
+    """N-GRAM overlap decontamination (the GPT-3 appendix-C discipline,
+    Brown et al. 2020): a TRAIN document is contaminated when it shares ANY
+    word ``n``-gram with any TEST document — catching partial/quoted
+    leakage that :func:`decontaminate_split`'s exact-text check misses.
+
+    Scale shape: explode docs to (gram, doc_id, is_test) rows with the
+    vectorized shifted-concat trick (no Python loop over tokens), ONE
+    content-keyed shuffle on the gram string co-locates every copy of a
+    gram (no broadcast of the test gram set — at 100 TB it does not fit),
+    per-partition membership is a vectorized ``isin``, and a second
+    narrow groupby on int doc_id folds hit flags.  Documents with fewer
+    than ``n`` tokens emit no grams and are clean by definition."""
+    import pyarrow as pa
+
+    from ..stages.partition import partitioned_map
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        b = _hash_bucket(df["doc_id"])
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                            "text": df["text"].fillna("").to_numpy(),
+                            "is_test": b >= train_pct + val_pct,
+                            "is_train": b < train_pct})
+        return out[out["is_train"] | out["is_test"]]
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()
+        cnt = toks.str.len().to_numpy(np.int64)
+        doc = np.repeat(np.arange(len(df)), cnt)
+        flat = np.concatenate([*toks, np.array([], dtype=object)]) \
+            .astype(object)
+        if len(flat) < n:
+            return pd.DataFrame({"gram": pd.Series([], dtype=object),
+                                 "doc_id": pd.Series([], dtype=np.int64),
+                                 "is_test": pd.Series([], dtype=bool)})
+        m = len(flat) - n + 1
+        ok = doc[:m] == doc[n - 1:]  # window stays inside one doc
+        g = flat[:m].copy()
+        for i in range(1, n):
+            g = g + " "
+            g = g + flat[i:m + i]
+        pos = doc[:m][ok]
+        return pd.DataFrame({
+            "gram": g[ok],
+            "doc_id": df["doc_id"].to_numpy(np.int64)[pos],
+            "is_test": df["is_test"].to_numpy(bool)[pos]})
+
+    gram_rows = tagged.map_batches(grams, batch_format="pandas")
+
+    def hit(df: pd.DataFrame) -> pd.DataFrame:
+        test_g = set(df.loc[df["is_test"].to_numpy(bool), "gram"])
+        tr = df[~df["is_test"].to_numpy(bool)]
+        hits = tr.loc[tr["gram"].isin(test_g), "doc_id"].unique()
+        return pd.DataFrame({"doc_id": hits.astype(np.int64),
+                             "hit": np.ones(len(hits), np.int64)})
+
+    hits = partitioned_map(gram_rows, hit, key="gram",
+                           num_partitions=num_partitions)
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        tr = df[df["is_train"].to_numpy(bool)]
+        return pd.DataFrame({"doc_id": tr["doc_id"].to_numpy(np.int64),
+                             "hit": np.zeros(len(tr), np.int64)})
+
+    seeds = tagged.map_batches(seed, batch_format="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64)[:1],
+             "contaminated": np.array([bool(df["hit"].max())])})
+
+    return seeds.union(hits).groupby("doc_id").map_groups(
+        fold, batch_format="pandas")
+
+
+def ngram_decontaminate_oracle_sql(n: int = 5, train_pct: int = 90,
+                                   val_pct: int = 5) -> str:
+    return f"""
+        WITH b AS (SELECT doc_id, coalesce(text, '') AS text,
+                          ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                          % 100 AS bkt
+                   FROM documents),
+        tk AS (SELECT doc_id, bkt,
+                      list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '') AS l
+               FROM b),
+        g AS (SELECT doc_id, bkt,
+                     array_to_string(list_slice(l, i, i + {n - 1}), ' ') AS gram
+              FROM tk, UNNEST(generate_series(1, len(l) - {n - 1})) AS t(i)
+              WHERE len(l) >= {n}),
+        hits AS (SELECT DISTINCT doc_id FROM g
+                 WHERE bkt < {train_pct} AND gram IN (
+                     SELECT gram FROM g WHERE bkt >= {train_pct + val_pct}))
+        SELECT doc_id, doc_id IN (SELECT doc_id FROM hits) AS contaminated
+        FROM b WHERE bkt < {train_pct}"""
+
+
 def decontaminate_oracle_sql(train_pct: int = 90, val_pct: int = 5) -> str:
     return f"""
         WITH b AS (SELECT doc_id, coalesce(text, '') AS text,

@@ -24,6 +24,8 @@ from ..functions.sampling import (
     capped_sample_per_group,
     decontaminate_oracle_sql,
     decontaminate_split,
+    ngram_decontaminate,
+    ngram_decontaminate_oracle_sql,
     mix_rebalanced_documents,
     mix_rebalanced_oracle_sql,
     sample_documents,
@@ -470,6 +472,8 @@ def queries() -> dict:
         "shuffle_documents": shuffle_documents,
         "stratified_sample_documents": stratified_sample_documents,
         "decontaminate_split": decontaminate_split,
+        # GPT-3-style n-gram overlap decontamination (partial-leakage check)
+        "ngram_decontaminate": ngram_decontaminate,
         "mix_rebalanced_documents": mix_rebalanced_documents,
         "user_daily_activity": relational.user_daily_activity,
         "partitioned_roundtrip": q_partitioned_roundtrip,
@@ -1133,6 +1137,7 @@ def oracle_sql() -> dict:
         "shuffle_documents": shuffle_oracle_sql(),
         "stratified_sample_documents": stratified_oracle_sql(),
         "decontaminate_split": decontaminate_oracle_sql(),
+        "ngram_decontaminate": ngram_decontaminate_oracle_sql(),
         "mix_rebalanced_documents": mix_rebalanced_oracle_sql(),
         "user_daily_activity": relational.user_daily_activity_oracle_sql(),
         "partitioned_roundtrip": """

@@ -293,3 +293,45 @@ def test_pack_and_shuffle_empty_input(tmp_path):
     assert len(p) == 0
     s = S.shuffle_documents(str(tmp_path)).to_pandas()
     assert len(s) == 0
+
+
+def test_ngram_decontaminate_planted_partial_leakage(tmp_path):
+    """The n-gram check catches PARTIAL leakage that the exact-text check
+    misses: a train doc quoting >= n consecutive words of a test doc is
+    flagged; sharing only shorter runs is not; < n-token docs are clean by
+    definition; and the flag set is partition-count invariant."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_remover_ray.functions.sampling import (
+        _hash_bucket, decontaminate_split, ngram_decontaminate)
+
+    ids = pd.Series(range(1000))
+    b = _hash_bucket(ids)
+    train_ids = ids[b < 90].tolist()
+    test_ids = ids[b >= 95].tolist()
+    secret = "alpha bravo charlie delta echo"  # a 5-gram in the test doc
+    t = pa.table({
+        "doc_id": pa.array([train_ids[0], train_ids[1], train_ids[2],
+                            train_ids[3], test_ids[0]], pa.int64()),
+        "text": [
+            f"intro words then {secret} and a different tail",  # partial quote
+            "totally unrelated text with many more words here",
+            "alpha bravo charlie unrelated delta echo",  # only a 3-word run
+            "tiny doc",                                   # < n tokens
+            f"the test document says {secret} verbatim",
+        ],
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    flags = ngram_decontaminate(str(tmp_path), n=5, num_partitions=4) \
+        .to_pandas().set_index("doc_id")["contaminated"].to_dict()
+    assert flags == {train_ids[0]: True, train_ids[1]: False,
+                     train_ids[2]: False, train_ids[3]: False}
+    # exact-text decontamination misses the partial quote
+    exact = decontaminate_split(str(tmp_path), num_partitions=4) \
+        .to_pandas().set_index("doc_id")["contaminated"].to_dict()
+    assert exact[train_ids[0]] is False or exact[train_ids[0]] == False  # noqa: E712
+    # partition invariance
+    flags17 = ngram_decontaminate(str(tmp_path), n=5, num_partitions=17) \
+        .to_pandas().set_index("doc_id")["contaminated"].to_dict()
+    assert flags17 == flags
