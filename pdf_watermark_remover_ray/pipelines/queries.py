@@ -490,6 +490,11 @@ def queries() -> dict:
         "ann_topk_lsh": similarity.ann_topk_lsh,
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "ann_topk_ivf_clustered": similarity.ann_topk_ivf_clustered,
+        # product quantization (Jégou et al. 2011): rows-only like IVF (the
+        # k-means codebook is not SQL-expressible); recall + artifact-size
+        # evidence in BASELINE.md, golden-tested in tests/test_pipelines.py
+        "ann_topk_pq": similarity.ann_topk_pq,
+        "ann_topk_pq_indexed": similarity.ann_topk_pq_indexed,
         "label_centroids": similarity.label_centroids,
         # text analysis
         "text_stats": text.text_stats,

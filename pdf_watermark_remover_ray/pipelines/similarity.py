@@ -456,3 +456,250 @@ def label_centroids_oracle_sql() -> str:
                round(avg(embedding[i]), 6) AS c
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
         GROUP BY label, i"""
+
+
+class PQCodebook:
+    """Product quantizer (Jégou et al. 2011) for inner-product scoring over
+    L2-NORMALIZED vectors: the dim-d vector splits into ``m_sub`` contiguous
+    subspaces, each quantized to one of ``k`` per-subspace centroids trained
+    by Lloyd k-means on the Dataset-native sample (:func:`_sample_embeddings`
+    — deterministic under any partitioning).  A vector encodes to ``m_sub``
+    uint8 codes: at dim=64/float32 that is 8 bytes vs 256 — the 32x memory
+    lever that lets a 100 TB embedding corpus's index stay in the object
+    store while the raw vectors stream from parquet only at (re)build time.
+    approx_IP(q, x) = Σ_s LUT[s, code_s(x)] with LUT[s, c] = q_s · C[s, c]
+    (asymmetric distance computation: the query stays exact)."""
+
+    def __init__(self, sample: np.ndarray, m_sub: int = 8, k: int = 256,
+                 iters: int = 10, seed: int = 42) -> None:
+        dim = sample.shape[1]
+        if dim % m_sub:
+            raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+        self.m_sub, self.k, self.dsub = m_sub, k, dim // m_sub
+        rng = np.random.default_rng(seed)
+        kk = min(k, len(sample))
+        self.C = np.zeros((m_sub, k, self.dsub))
+        for s in range(m_sub):
+            sub = sample[:, s * self.dsub:(s + 1) * self.dsub]
+            cent = sub[rng.choice(len(sub), size=kk, replace=False)].copy()
+            for _ in range(iters):
+                a = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1).argmin(1)
+                for c in range(kk):
+                    members = sub[a == c]
+                    if len(members):
+                        cent[c] = members.mean(0)
+            self.C[s, :kk] = cent
+
+    def encode(self, m: np.ndarray) -> np.ndarray:
+        """(n, dim) float → (n, m_sub) uint8 nearest-centroid codes.
+
+        argmin ||x − c||² = argmin (||c||² − 2 x·c): one (B, dsub) @
+        (dsub, k) matmul per subspace instead of a (B, k, dsub) broadcast
+        — ~10x fewer memory touches at k=256."""
+        codes = np.empty((len(m), self.m_sub), np.uint8)
+        for s in range(self.m_sub):
+            sub = m[:, s * self.dsub:(s + 1) * self.dsub]
+            c2 = (self.C[s] ** 2).sum(-1)  # (k,)
+            codes[:, s] = (c2[None, :] - 2.0 * (sub @ self.C[s].T)).argmin(1)
+        return codes
+
+    def lut(self, q: np.ndarray) -> np.ndarray:
+        """(dim,) query → (m_sub, k) inner-product lookup table."""
+        return np.einsum("sd,scd->sc",
+                         q.reshape(self.m_sub, self.dsub), self.C)
+
+    def score(self, luts: np.ndarray, codes: np.ndarray) -> np.ndarray:
+        """(Q, m_sub, k) LUTs x (B, m_sub) codes → (Q, B) approx IP: one
+        fancy-gather per subspace, no per-row Python."""
+        out = np.zeros((luts.shape[0], len(codes)))
+        for s in range(self.m_sub):
+            out += luts[:, s, codes[:, s]]
+        return out
+
+
+def ann_topk_pq(sf_dir: str, n_queries: int = 10, k: int = 5,
+                m_sub: int = 8, k_codes: int = 256, rerank: int = 20,
+                sample_n: int = 2048):
+    """ANN via product quantization: train codebooks on the Dataset-native
+    sample, encode each batch to uint8 codes, score ALL queries against the
+    batch with LUT gathers, keep per-batch partial top-k, tiny driver merge —
+    the :func:`ann_topk` pattern with the matmul replaced by code gathers.
+
+    ``rerank > 0``: keep the top ``rerank`` PQ candidates per (query, batch)
+    and re-score those EXACTLY (their float vectors are in-batch) — the
+    standard ADC+rerank recipe: PQ prunes, exact ranks, recall approaches
+    the exact scan at a fraction of the flops.  Returns
+    (query_id, vec_id, score) with score = approx IP (or exact cosine when
+    reranked), rounded like ann_topk."""
+    sample = _sample_embeddings(sf_dir, n=sample_n)
+    pq_ = PQCodebook(sample, m_sub=m_sub, k=k_codes)
+    qids, qm = _load_queries(sf_dir, n_queries)
+    luts = np.stack([pq_.lut(q) for q in qm])  # (Q, m_sub, k)
+    b_ref = ray.put((qids, qm, luts, pq_))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, qm_, luts_, pq2 = ray.get(b_ref)
+        ids = df["vec_id"].to_numpy(np.int64)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        sims = pq2.score(luts_, pq2.encode(m))  # (Q, B) approx IP
+        out = []
+        for qi in range(len(qids_)):
+            s = sims[qi].copy()
+            s[ids == qids_[qi]] = -np.inf  # exclude self
+            take = min(max(k, rerank), len(ids))
+            idx = np.argpartition(-s, take - 1)[:take]
+            if rerank:
+                exact = m[idx] @ qm_[qi]
+                exact[ids[idx] == qids_[qi]] = -np.inf
+                out.append(pd.DataFrame({"query_id": qids_[qi],
+                                         "vec_id": ids[idx],
+                                         "score": exact}))
+            else:
+                out.append(pd.DataFrame({"query_id": qids_[qi],
+                                         "vec_id": ids[idx],
+                                         "score": s[idx]}))
+        return pd.concat(out, ignore_index=True)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    partials = ds.map_batches(local_topk, batch_format="pandas",
+                              batch_size=4096).to_pandas()
+    partials = partials.sort_values(["query_id", "score", "vec_id"],
+                                    ascending=[True, False, True],
+                                    kind="mergesort")
+    out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["score"] = round_half_away(out["score"], 4)
+    return out[["query_id", "vec_id", "score"]]
+
+
+def pq_build(sf_dir: str, index_dir: str, m_sub: int = 8, k_codes: int = 256,
+             sample_n: int = 2048) -> PQCodebook:
+    """Write-once PQ code index: codebook (npz) + a codes parquet with
+    ``vec_id`` and ``m_sub`` uint8 columns — 8 bytes/vector at the default
+    dim-64/m_sub-8, a 32x smaller artifact than the float32 embedding
+    column.  Re-running with the index present is a no-op (marker file,
+    the sink's write-once idiom)."""
+    done = os.path.join(index_dir, "_DONE")
+    cb_path = os.path.join(index_dir, "codebook.npz")
+    if os.path.exists(done):
+        z = np.load(cb_path)
+        pq_ = PQCodebook.__new__(PQCodebook)
+        pq_.C = z["C"]
+        pq_.m_sub, pq_.k, pq_.dsub = (int(z["m_sub"]), int(z["k"]),
+                                      int(z["dsub"]))
+        return pq_
+    os.makedirs(index_dir, exist_ok=True)
+    sample = _sample_embeddings(sf_dir, n=sample_n)
+    pq_ = PQCodebook(sample, m_sub=m_sub, k=k_codes)
+    np.savez(cb_path, C=pq_.C, m_sub=pq_.m_sub, k=pq_.k, dsub=pq_.dsub)
+    pq_ref = ray.put(pq_)
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        pq2 = ray.get(pq_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        codes = pq2.encode(m / norms[:, None])
+        out = {"vec_id": df["vec_id"].to_numpy(np.int64)}
+        for s in range(pq2.m_sub):
+            out[f"c{s}"] = codes[:, s]
+        return pd.DataFrame(out)
+
+    ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]) \
+        .map_batches(enc, batch_format="pandas", batch_size=4096) \
+        .write_parquet(os.path.join(index_dir, "codes"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return pq_
+
+
+def ann_topk_pq_indexed(sf_dir: str, index_dir: str | None = None,
+                        n_queries: int = 10, k: int = 5, m_sub: int = 8,
+                        k_codes: int = 256, rerank: int = 20):
+    """ANN over the PERSISTED PQ code index: the query scan reads ONLY the
+    uint8 codes parquet (8 bytes/vector — the embedding column never leaves
+    storage), scores with LUT gathers, merges a global candidate top —
+    then ONE pruned read fetches just the ~n_queries x rerank candidate
+    embeddings (vec_id IN-filter pushed into the parquet scan) for exact
+    re-scoring.  This is the shape that pays at 100 TB: inline PQ
+    (:func:`ann_topk_pq`) re-encodes the corpus per query set, so its
+    flops EXCEED the exact matmul at small query counts; the indexed path
+    amortizes encoding into the one-time build and makes every later query
+    set an 8-byte-per-vector scan + a point-lookup read."""
+    import tempfile
+
+    qids, qm = _load_queries(sf_dir, n_queries)
+    own_tmp = index_dir is None
+    if own_tmp:
+        index_dir = tempfile.mkdtemp(prefix="pwr_pq_")
+    try:
+        pq_ = pq_build(sf_dir, index_dir, m_sub=m_sub, k_codes=k_codes)
+        luts = np.stack([pq_.lut(q) for q in qm])
+        ref = ray.put((qids, luts, pq_))
+        take_n = max(k, rerank)
+
+        def code_topk(df: pd.DataFrame) -> pd.DataFrame:
+            qids_, luts_, pq2 = ray.get(ref)
+            ids = df["vec_id"].to_numpy(np.int64)
+            codes = np.stack([df[f"c{s}"].to_numpy(np.uint8)
+                              for s in range(pq2.m_sub)], axis=1)
+            sims = pq2.score(luts_, codes)
+            out = []
+            for qi in range(len(qids_)):
+                s = sims[qi].copy()
+                s[ids == qids_[qi]] = -np.inf
+                t = min(take_n, len(ids))
+                idx = np.argpartition(-s, t - 1)[:t]
+                out.append(pd.DataFrame({"query_id": qids_[qi],
+                                         "vec_id": ids[idx],
+                                         "score": s[idx]}))
+            return pd.concat(out, ignore_index=True)
+
+        partials = ray.data.read_parquet(os.path.join(index_dir, "codes")) \
+            .map_batches(code_topk, batch_format="pandas", batch_size=8192) \
+            .to_pandas()
+        partials = partials.sort_values(["query_id", "score", "vec_id"],
+                                        ascending=[True, False, True],
+                                        kind="mergesort")
+        cand = partials.groupby("query_id", sort=True).head(take_n)
+        if not rerank:
+            out = cand.groupby("query_id", sort=True).head(k) \
+                .reset_index(drop=True)
+            out["score"] = round_half_away(out["score"], 4)
+            return out[["query_id", "vec_id", "score"]]
+
+        # exact re-scoring: one pruned point-lookup read of the candidates
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        want_ids = pa.array(sorted(set(cand["vec_id"].tolist())))
+        emb = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id").isin(want_ids)).to_pandas()
+        m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        pos = {int(v): i for i, v in enumerate(emb["vec_id"].to_numpy())}
+        rows = []
+        for qi in range(len(qids)):
+            cv = cand.loc[cand["query_id"] == qids[qi], "vec_id"] \
+                .to_numpy(np.int64)
+            s = m[[pos[int(v)] for v in cv]] @ qm[qi]
+            rows.append(pd.DataFrame({"query_id": qids[qi], "vec_id": cv,
+                                      "score": s}))
+        allr = pd.concat(rows, ignore_index=True) \
+            .sort_values(["query_id", "score", "vec_id"],
+                         ascending=[True, False, True], kind="mergesort")
+        out = allr.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        out["score"] = round_half_away(out["score"], 4)
+        return out[["query_id", "vec_id", "score"]]
+    finally:
+        if own_tmp:
+            import shutil
+
+            shutil.rmtree(index_dir, ignore_errors=True)

@@ -678,3 +678,47 @@ def test_heavy_hitters_high_cardinality(tmp_path):
     assert dict(zip(out["item"], out["n"])) == \
         {str(k): int(v) for k, v in want.items()}
     assert set(out["item"]) == {"1", "2", "3"}
+
+
+def test_pq_ann_recall_and_indexed_equivalence(planted_dir, tmp_path):
+    """PQ ANN goldens: (a) PQ+rerank recall@5 >= 0.8 on the fixture (the
+    usable-ANN bar the LSH rework set), (b) the persisted-index pure-PQ
+    path returns EXACTLY the inline pure-PQ results (same codebook, same
+    scoring, same merge), (c) the codes artifact is m_sub uint8 columns —
+    8 bytes/vector of payload vs 256 for float32 dim-64 embeddings, and
+    (d) a rebuild over the existing index dir is a no-op (write-once)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as papq
+
+    from pdf_watermark_remover_ray.pipelines.similarity import (
+        ann_topk, ann_topk_pq, ann_topk_pq_indexed, pq_build)
+
+    exact = ann_topk(planted_dir)
+    idx = str(tmp_path / "pq")
+    pq_build(planted_dir, idx)
+    rer = ann_topk_pq_indexed(planted_dir, index_dir=idx)
+    hits = n = 0
+    for q in exact["query_id"].unique():
+        e = set(exact.loc[exact.query_id == q, "vec_id"])
+        a = set(rer.loc[rer.query_id == q, "vec_id"])
+        hits += len(e & a)
+        n += len(e)
+    assert hits / n >= 0.8, hits / n
+
+    pure_idx = ann_topk_pq_indexed(planted_dir, index_dir=idx, rerank=0)
+    pure_inline = ann_topk_pq(planted_dir, rerank=0)
+    pd.testing.assert_frame_equal(pure_idx.reset_index(drop=True),
+                                  pure_inline.reset_index(drop=True))
+
+    files = glob.glob(f"{idx}/codes/*.parquet")
+    assert files
+    t = papq.read_table(files[0])
+    code_cols = [c for c in t.column_names if c.startswith("c")]
+    assert len(code_cols) == 8
+    assert all(str(t.schema.field(c).type) == "uint8" for c in code_cols)
+
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    pq_build(planted_dir, idx)  # no-op replay
+    assert {f: os.path.getmtime(f) for f in files} == mtimes
