@@ -66,6 +66,18 @@ def main(argv: list[str] | None = None) -> int:
                          "'|' so the regex may (split is maxsplit=2); empty "
                          "segments mean don't-care, e.g. "
                          "'user||error;;tool|exec|;;assistant||(a|b){2,3}'")
+    ap.add_argument("--emit-streams", default=None,
+                    help="comma-separated optional output streams to enable "
+                         "(sessions,windows,wstats,sliding,wdistinct,wtopk,"
+                         "matches,timeouts,cep,cepk,dedup); default: all. "
+                         "Disabled streams skip their fold/state/emit cost "
+                         "entirely. Must match across a resume chain.")
+    ap.add_argument("--max-open-rows-per-key", type=int, default=None,
+                    help="per-key open-state bound: each raw-row state kind "
+                         "(users/tools/cepbuf) keeps at most this many "
+                         "ts-newest rows per conversation; force-dropped "
+                         "counts land in the epoch markers (default: "
+                         "unbounded/exact)")
     ap.add_argument("--prune-state", action="store_true",
                     help="checkpoint GC: drop state snapshots below the "
                          "newest all-full epoch after the run")
@@ -109,7 +121,11 @@ def main(argv: list[str] | None = None) -> int:
                                          if r.strip()),
                        cep_within_us=args.cep_within_us,
                        wtopk_k=args.wtopk_k,
-                       timeout_within_us=args.timeout_within_us)
+                       timeout_within_us=args.timeout_within_us,
+                       emit_streams=tuple(
+                           s.strip() for s in args.emit_streams.split(",")
+                           if s.strip()) if args.emit_streams else None,
+                       max_open_rows_per_key=args.max_open_rows_per_key)
     eng = StreamingEngine(paths, args.out, cfg, epoch_files=args.epoch_files,
                           auto_hot_keys=args.auto_hot_keys)
     t0 = time.monotonic()

@@ -559,6 +559,11 @@ def test_job_entry_point(fixture, tmp_path):
            "--session-gap-us", str(CFG.session_gap_us),
            "--join-gap-us", str(CFG.join_gap_us),
            "--tumbling-us", str(CFG.tumbling_us),
+           # full stream set + a never-firing cap: exercises the flag
+           # plumbing while keeping outputs identical to the golden
+           "--emit-streams", "sessions,windows,wstats,sliding,wdistinct,"
+                             "wtopk,matches,timeouts,cep,cepk,dedup",
+           "--max-open-rows-per-key", "1000000",
            "--compact", "--strict"]
     proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
                           timeout=300)
