@@ -472,6 +472,7 @@ def queries() -> dict:
         "shuffle_documents": shuffle_documents,
         "stratified_sample_documents": stratified_sample_documents,
         "decontaminate_split": decontaminate_split,
+        "chunk_documents": text.chunk_documents,
         # GPT-3-style n-gram overlap decontamination (partial-leakage check)
         "ngram_decontaminate": ngram_decontaminate,
         "mix_rebalanced_documents": mix_rebalanced_documents,
@@ -1142,6 +1143,7 @@ def oracle_sql() -> dict:
         "shuffle_documents": shuffle_oracle_sql(),
         "stratified_sample_documents": stratified_oracle_sql(),
         "decontaminate_split": decontaminate_oracle_sql(),
+        "chunk_documents": text.chunk_documents_oracle_sql(),
         "ngram_decontaminate": ngram_decontaminate_oracle_sql(),
         "mix_rebalanced_documents": mix_rebalanced_oracle_sql(),
         "user_daily_activity": relational.user_daily_activity_oracle_sql(),

@@ -1283,3 +1283,50 @@ def token_entropy_oracle_sql() -> str:
         SELECT base.doc_id,
                round(coalesce(ln(n) - clogc / n, 0.0), 6) AS entropy
         FROM base LEFT JOIN agg USING (doc_id)"""
+
+
+def chunk_documents(sf_dir: str, chunk_tokens: int = 32):
+    """Split every document into consecutive ``chunk_tokens``-token chunks
+    (the RAG / training-prep chunking step; normalized single-space join,
+    trailing partial chunk kept).  Entirely per-document ⇒ NO shuffle: one
+    vectorized token explode per batch, chunk id = token_pos //
+    chunk_tokens, per-chunk text via a grouped join.  Exact DuckDB oracle
+    (generate_series step slicing) in queries.oracle_sql."""
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        n = toks.str.len().to_numpy(np.int64)
+        doc = np.repeat(np.arange(len(df)), n)
+        flat = np.concatenate([*toks, np.array([], dtype=object)]) \
+            .astype(object)
+        cum0 = np.concatenate([[0], np.cumsum(n)[:-1]])
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(cum0, n)
+        tk = pd.DataFrame({"d": doc, "c": pos // chunk_tokens, "w": flat})
+        agg = tk.groupby(["d", "c"], sort=True)["w"] \
+            .agg([("text", " ".join), ("n_tokens", "size")]).reset_index()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64)[agg["d"].to_numpy()],
+            "chunk_idx": agg["c"].to_numpy(np.int64),
+            "text": agg["text"].to_numpy(),
+            "n_tokens": agg["n_tokens"].to_numpy(np.int64)})
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]) \
+        .map_batches(chunks, batch_format="pandas", batch_size=4096)
+
+
+def chunk_documents_oracle_sql(chunk_tokens: int = 32) -> str:
+    c = chunk_tokens
+    return f"""
+        WITH tk AS (SELECT doc_id,
+                           list_filter(regexp_split_to_array(
+                               coalesce(text, ''), '\\s+'), x -> x <> '') AS l
+                    FROM documents)
+        SELECT doc_id, CAST((i - 1) // {c} AS BIGINT) AS chunk_idx,
+               array_to_string(list_slice(l, i, least(i + {c} - 1, len(l))),
+                               ' ') AS text,
+               CAST(least(i + {c} - 1, len(l)) - i + 1 AS BIGINT) AS n_tokens
+        FROM tk, UNNEST(generate_series(1, len(l), {c})) AS t(i)
+        WHERE len(l) >= 1"""

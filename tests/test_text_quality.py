@@ -335,3 +335,29 @@ def test_ngram_decontaminate_planted_partial_leakage(tmp_path):
     flags17 = ngram_decontaminate(str(tmp_path), n=5, num_partitions=17) \
         .to_pandas().set_index("doc_id")["contaminated"].to_dict()
     assert flags17 == flags
+
+
+def test_chunk_documents_planted(tmp_path):
+    """Chunk boundaries, trailing partial, empty doc, and reassembly: the
+    concatenation of a doc's chunks equals its normalized token stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_remover_ray.pipelines.text import chunk_documents
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a b c d e f g", "  x   y  ", ""],
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = chunk_documents(str(tmp_path), chunk_tokens=3).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 1, 1, 2]
+    assert list(out["text"]) == ["a b c", "d e f", "g", "x y"]
+    assert list(out["n_tokens"]) == [3, 3, 1, 2]
+    joined = " ".join(out[out["doc_id"] == 1]["text"])
+    assert joined == "a b c d e f g"
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(str(tmp_path), chunk_tokens=0)
