@@ -267,6 +267,18 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
           lambda: relational.q10_returned_items(sf_dir))
     timed("user_daily_locf",
           lambda: relational.user_daily_locf(sf_dir).materialize())
+    # round-4 session-2 additions
+    from pdf_watermark_remover_ray.functions.sampling import ngram_decontaminate
+    from pdf_watermark_remover_ray.pipelines.multimodal import image_features
+
+    timed("ngram_decontaminate",
+          lambda: ngram_decontaminate(sf_dir).materialize())
+    timed("chunk_documents",
+          lambda: text.chunk_documents(sf_dir).materialize())
+    timed("ann_topk_pq_indexed",
+          lambda: similarity.ann_topk_pq_indexed(
+              sf_dir, index_dir=f"{CACHE}/pq_index"))
+    timed("image_features", lambda: image_features(sf_dir).materialize())
 
     ray.shutdown()
     return _summary(timings, headline_runs, n_rows, sf_dir, num_cpus)
