@@ -442,6 +442,12 @@ def queries() -> dict:
         "q17_small_qty_revenue": relational.q17_small_quantity_revenue,
         "q18_large_orders": relational.q18_large_orders,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "q4_order_priority": relational.q4_order_priority,
+        "q8_market_share": relational.q8_market_share,
+        "q13_custdist": relational.q13_custdist,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "q22_global_sales": relational.q22_global_sales,
         "customers_without_events": relational.customers_without_events,
         "bloom_semijoin_revenue": relational.bloom_semijoin_revenue,
         "topk_orders_per_customer": relational.topk_orders_per_customer,
@@ -1044,6 +1050,12 @@ def oracle_sql() -> dict:
         "q17_small_qty_revenue": relational.q17_oracle_sql(),
         "q18_large_orders": relational.q18_oracle_sql(),
         "q19_disjunctive_revenue": relational.q19_oracle_sql(),
+        "q4_order_priority": relational.q4_oracle_sql(),
+        "q8_market_share": relational.q8_oracle_sql(),
+        "q13_custdist": relational.q13_oracle_sql(),
+        "q15_top_supplier": relational.q15_oracle_sql(),
+        "q21_waiting_suppliers": relational.q21_oracle_sql(),
+        "q22_global_sales": relational.q22_oracle_sql(),
         "customers_without_events":
             relational.customers_without_events_oracle_sql(),
         "bloom_semijoin_revenue": relational.bloom_semijoin_oracle_sql(),
