@@ -794,3 +794,59 @@ def dup_spans_oracle_sql(L: int = 16) -> str:
         SELECT doc_id, min(i) AS span_start,
                max(i) + {L - 1} AS span_end
         FROM grp GROUP BY doc_id, gid"""
+
+
+def semantic_dedup(sf_dir: str, threshold: float = 0.30):
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): within-cluster embedding-cosine near-dup pairs →
+    connected components → ONE representative (min ``vec_id``) per
+    component.  Output: ``(vec_id, rep_id, kept)`` for EVERY vector —
+    ``kept`` is the dedup keep list (representatives + singletons).
+
+    Composition of the scale-shaped pieces: :func:`embedding_dup_pairs`
+    (vectors shuffle once into label blocks, tiled matmuls inside) feeds
+    :func:`connected_components` (hash-to-min label propagation — only the
+    edge frontier shuffles, O(log diameter) rounds).  The driver holds only
+    the near-dup PAIR list and the final (vec_id, rep) map — never the
+    vectors (same boundedness contract as :func:`dedup_clusters`)."""
+    ids = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id"]).to_pandas()
+    if not len(ids):
+        return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                             "rep_id": pd.Series([], dtype=np.int64),
+                             "kept": pd.Series([], dtype=bool)})
+    vec_ids = np.sort(ids["vec_id"].to_numpy(np.int64))
+    pairs = embedding_dup_pairs(sf_dir, threshold).to_pandas()
+    if len(pairs):
+        edges = ray.data.from_pandas(pd.DataFrame({
+            "u": pairs["vec_a"].to_numpy(np.int64),
+            "v": pairs["vec_b"].to_numpy(np.int64)}))
+        comp = connected_components(edges).to_pandas()
+        rep = pd.Series(comp["label"].to_numpy(np.int64),
+                        index=comp["node"].to_numpy(np.int64))
+    else:
+        rep = pd.Series([], dtype=np.int64)
+    rep_ids = rep.reindex(vec_ids).fillna(
+        pd.Series(vec_ids, index=vec_ids)).to_numpy(np.int64)
+    return pd.DataFrame({"vec_id": vec_ids, "rep_id": rep_ids,
+                         "kept": vec_ids == rep_ids})
+
+
+def semantic_dedup_oracle_sql(threshold: float = 0.30) -> str:
+    return f"""
+        WITH RECURSIVE ed AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS u, b.vec_id AS v
+            FROM ed a JOIN ed b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.emb, b.emb) >= {threshold}),
+        edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        reach(node, lab) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node)
+        SELECT node AS vec_id, min(lab) AS rep_id,
+               (node = min(lab)) AS kept
+        FROM reach GROUP BY node"""

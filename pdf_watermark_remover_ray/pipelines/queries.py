@@ -492,6 +492,8 @@ def queries() -> dict:
         "dedup_clusters": dedup.dedup_clusters,
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        "semantic_dedup": dedup.semantic_dedup,
+        "bm25_topk": text.bm25_topk,
         # similarity search
         "ann_topk": similarity.ann_topk,
         "ann_topk_lsh": similarity.ann_topk_lsh,
@@ -1104,6 +1106,8 @@ def oracle_sql() -> dict:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.emb, b.emb) >= 0.30""",
         "label_centroids": similarity.label_centroids_oracle_sql(),
+        "semantic_dedup": dedup.semantic_dedup_oracle_sql(),
+        "bm25_topk": text.bm25_topk_oracle_sql(),
         "ann_topk": """
             WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                         FROM embeddings),

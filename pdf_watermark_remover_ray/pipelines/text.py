@@ -1330,3 +1330,160 @@ def chunk_documents_oracle_sql(chunk_tokens: int = 32) -> str:
                CAST(least(i + {c} - 1, len(l)) - i + 1 AS BIGINT) AS n_tokens
         FROM tk, UNNEST(generate_series(1, len(l), {c})) AS t(i)
         WHERE len(l) >= 1"""
+
+
+def bm25_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
+              terms_per_query: int = 3, k1: float = 1.2, b: float = 0.75):
+    """BM25 top-``k`` retrieval (Robertson/Lucene idf variant) over the
+    documents table — the sparse-retrieval complement to the dense ANN
+    family (``similarity.py``): keyword search over 100 TB of text is a
+    broadcast-scored scan, not an index lookup, until a posting-list layout
+    is justified.
+
+    Query sets are DERIVED deterministically from the corpus (the top
+    ``n_queries × terms_per_query`` document-frequency terms, dealt
+    round-robin so each query mixes high- and mid-df terms) — meaningful at
+    every scale factor, and the oracle derives the identical sets in SQL.
+
+    Scale shape: pass 1 computes per-term document frequencies (per-batch
+    distinct partials → vocabulary-bounded groupby) plus corpus token count
+    (one scalar per batch riding the same shuffle); only the ≤ nq·tpq query
+    terms broadcast via ``ray.put``.  Pass 2 scores each batch's docs against
+    ALL queries vectorized (tokens filtered to query terms with ``isin``,
+    one merge, one grouped sum) and emits a per-batch top-k partial per
+    query, so the driver merge sees ≤ batches × nq × k narrow rows — the
+    text never shuffles.  Ranking uses the ROUNDED score (6 dp) in both
+    engine and oracle so the cutoff is float-stable."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    empty = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                          "rank": pd.Series([], dtype=np.int64),
+                          "doc_id": pd.Series([], dtype=np.int64),
+                          "score": pd.Series([], dtype=float)})
+    n_docs = int(ds.count())
+    if n_docs == 0:
+        return empty
+
+    def df_partial(df: pd.DataFrame) -> pa.Table:
+        toks = _token_lists(df["text"])
+        ex = toks.explode().dropna()
+        pairs = pd.DataFrame({"doc": ex.index, "term": ex.to_numpy()}) \
+            .drop_duplicates()
+        vc = pairs["term"].value_counts()
+        ptoks = np.zeros(len(vc), np.int64)
+        if len(ptoks):
+            ptoks[0] = len(ex)  # batch token count rides the df shuffle once
+        return pa.table({"term": pa.array(vc.index.astype(str)),
+                         "partial_df": pa.array(vc.to_numpy(np.int64)),
+                         "partial_toks": pa.array(ptoks)})
+
+    dfs = ds.map_batches(df_partial, batch_format="pandas") \
+        .groupby("term").aggregate(
+            Sum("partial_df", alias_name="doc_freq"),
+            Sum("partial_toks", alias_name="toks")).to_pandas()
+    if not len(dfs) or not len(dfs.columns):
+        return empty
+    total_toks = int(dfs["toks"].sum())
+    avgdl = total_toks / n_docs
+    if avgdl == 0.0:
+        return empty
+
+    nq_terms = n_queries * terms_per_query
+    sel = dfs.sort_values(["doc_freq", "term"], ascending=[False, True],
+                          kind="mergesort").head(nq_terms).reset_index(drop=True)
+    sel["query_id"] = np.arange(len(sel), dtype=np.int64) % n_queries
+    qref = ray.put(sel[["term", "doc_freq", "query_id"]])
+
+    def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        q = _ray.get(qref)
+        toks = _token_lists(df["text"])
+        dl = toks.str.len().to_numpy(np.int64)
+        ex = toks.explode().dropna()
+        pairs = pd.DataFrame({"row": ex.index, "term": ex.to_numpy()})
+        pairs = pairs[pairs["term"].isin(q["term"])]
+        if not len(pairs):
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "doc_id": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=float)})
+        tf = pairs.groupby(["row", "term"], sort=False).size() \
+            .reset_index(name="tf").merge(q, on="term")
+        row_pos = df.index.get_indexer(tf["row"])
+        tfv = tf["tf"].to_numpy(np.float64)
+        dfv = tf["doc_freq"].to_numpy(np.float64)
+        dlv = dl[row_pos].astype(np.float64)
+        idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        part = idf * (tfv * (k1 + 1)) / (tfv + k1 * (1 - b + b * dlv / avgdl))
+        hits = pd.DataFrame({
+            "query_id": tf["query_id"].to_numpy(np.int64),
+            "doc_id": df["doc_id"].to_numpy(np.int64)[row_pos],
+            "part": part})
+        sc = hits.groupby(["query_id", "doc_id"], sort=False)["part"].sum() \
+            .reset_index(name="score")
+        sc["score"] = round_half_away(sc["score"].to_numpy(np.float64), 6)
+        sc = sc.sort_values(["query_id", "score", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        top = sc.groupby("query_id", sort=False).head(k)
+        return top[["query_id", "doc_id", "score"]].reset_index(drop=True)
+
+    partials = ds.map_batches(score_batch, batch_format="pandas",
+                              batch_size=4096).to_pandas()
+    if not len(partials) or "score" not in partials.columns:
+        return empty
+    partials = partials.sort_values(["query_id", "score", "doc_id"],
+                                    ascending=[True, False, True],
+                                    kind="mergesort")
+    out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def bm25_topk_oracle_sql(k: int = 10, n_queries: int = 5,
+                         terms_per_query: int = 3, k1: float = 1.2,
+                         b: float = 0.75) -> str:
+    nqt = n_queries * terms_per_query
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                x -> x <> '')) AS term
+            FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq
+                  FROM toks GROUP BY term),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                         CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                             / (SELECT count(*) FROM documents) AS avgdl),
+        qsel AS (SELECT term, doc_freq,
+                        row_number() OVER (ORDER BY doc_freq DESC, term ASC)
+                            AS rn
+                 FROM dfreq QUALIFY rn <= {nqt}),
+        qterms AS (SELECT term, doc_freq,
+                          CAST((rn - 1) % {n_queries} AS BIGINT) AS query_id
+                   FROM qsel),
+        scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   round(sum(
+                       ln((s.n_docs - q.doc_freq + 0.5)
+                          / (q.doc_freq + 0.5) + 1.0)
+                       * (tf.tf * ({k1} + 1))
+                       / (tf.tf + {k1} * (1 - {b}
+                                          + {b} * dl.dl / s.avgdl))), 6)
+                       AS score
+            FROM tf
+            JOIN qterms q USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY q.query_id, tf.doc_id)
+        SELECT query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+               doc_id, score
+        FROM scored QUALIFY rank <= {k}"""

@@ -132,3 +132,57 @@ def test_session3_ops_on_empty_tables(tmp_path):
         out = fn(d)
         assert len(out) == 0, fn.__name__
         assert len(out.columns) > 0, fn.__name__  # typed empty frame
+
+
+@pytest.mark.parametrize("name,tables", [
+    ("bm25_topk", ("documents",)),
+    ("semantic_dedup", ("embeddings",)),
+])
+def test_session3_llm_ops_match_sql(sf_dir, name, tables):
+    got = Q.queries()[name](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duck_sql(sf_dir, Q.oracle_sql()[name], tables=tables)
+    assert len(want) > 0, name
+    _cmp(got, want)
+
+
+def test_bm25_rank_semantics(sf_dir):
+    """Per query: ranks are 1..n (n ≤ k), scores non-increasing, and the
+    doc_id tiebreak is ascending within equal scores."""
+    out = Q.queries()["bm25_topk"](sf_dir)
+    for qid, g in out.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= 10
+        s = g["score"].to_numpy()
+        assert (np.diff(s) <= 0).all()
+        for _, tie in g.groupby("score"):
+            assert tie["doc_id"].is_monotonic_increasing
+
+
+def test_semantic_dedup_transitive_and_total():
+    """Planted chain A≈B≈C (A !≈ C directly) must collapse to ONE
+    component; orthogonal D stays a kept singleton; every vector appears
+    exactly once."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_remover_ray.pipelines.dedup import semantic_dedup
+
+    a = np.array([1.0, 0.0, 0.0, 0.0])
+    b = np.array([0.8, 0.6, 0.0, 0.0])          # cos(a,b)=0.8, cos(b,c)=0.6
+    c = np.array([0.0, 1.0, 0.0, 0.0])          # cos(a,c)=0.0 < θ
+    d = np.array([0.0, 0.0, 0.0, 1.0])
+    with tempfile.TemporaryDirectory() as tdir:
+        pq.write_table(pa.table({
+            "vec_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "embedding": pa.array([list(map(float, v))
+                                   for v in (a, b, c, d)],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0, 0, 0, 0], pa.int32()),
+        }), f"{tdir}/embeddings.parquet")
+        out = semantic_dedup(tdir, threshold=0.5)
+        assert list(out["vec_id"]) == [10, 11, 12, 13]
+        assert list(out["rep_id"]) == [10, 10, 10, 13]  # chain collapsed
+        assert list(out["kept"]) == [True, False, False, True]
