@@ -279,6 +279,14 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
           lambda: similarity.ann_topk_pq_indexed(
               sf_dir, index_dir=f"{CACHE}/pq_index"))
     timed("image_features", lambda: image_features(sf_dir).materialize())
+    # round-4 session-3 additions
+    timed("q4_order_priority", lambda: relational.q4_order_priority(sf_dir))
+    timed("q8_market_share", lambda: relational.q8_market_share(sf_dir))
+    timed("q13_custdist", lambda: relational.q13_custdist(sf_dir))
+    timed("q21_waiting_suppliers",
+          lambda: relational.q21_waiting_suppliers(sf_dir))
+    timed("bm25_topk", lambda: text.bm25_topk(sf_dir))
+    timed("semantic_dedup", lambda: dedup.semantic_dedup(sf_dir))
 
     ray.shutdown()
     return _summary(timings, headline_runs, n_rows, sf_dir, num_cpus)
