@@ -494,6 +494,7 @@ def queries() -> dict:
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "semantic_dedup": dedup.semantic_dedup,
         "bm25_topk": text.bm25_topk,
+        "bm25_topk_indexed": text.bm25_topk_indexed,
         # similarity search
         "ann_topk": similarity.ann_topk,
         "ann_topk_lsh": similarity.ann_topk_lsh,
@@ -1108,6 +1109,7 @@ def oracle_sql() -> dict:
         "label_centroids": similarity.label_centroids_oracle_sql(),
         "semantic_dedup": dedup.semantic_dedup_oracle_sql(),
         "bm25_topk": text.bm25_topk_oracle_sql(),
+        "bm25_topk_indexed": text.bm25_topk_oracle_sql(),
         "ann_topk": """
             WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                         FROM embeddings),

@@ -1487,3 +1487,193 @@ def bm25_topk_oracle_sql(k: int = 10, n_queries: int = 5,
                         ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
                doc_id, score
         FROM scored QUALIFY rank <= {k}"""
+
+
+def bm25_build_index(sf_dir: str, index_dir: str, num_buckets: int = 32):
+    """One-time inverted-index build for :func:`bm25_topk_indexed`.
+
+    Layout (all hive-partitioned by ``bucket = stable_hash(term) % B`` so a
+    query touches only its terms' directories):
+
+    - ``postings/bucket={b}/`` — (term, doc_id, tf, dl) posting rows with
+      the document length DENORMALIZED in, so query-time scoring needs no
+      doc-side lookup;
+    - ``df/bucket={b}/`` — (term, doc_freq) per-term document frequencies;
+    - ``meta.json`` — n_docs / total_tokens (the global scalars).
+
+    The corpus text is scanned exactly ONCE (build); queries afterwards
+    read 8-to-24-byte posting rows for pruned buckets only.  Per-bucket
+    writes inherit :func:`..sinks.batch.write_hive_partitioned`'s
+    one-task-per-key materialization — at 100 TB raise ``num_buckets`` (or
+    swap in the hash-shard sink) so a bucket fits a worker heap."""
+    import json as _json
+    import os
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..sinks.batch import write_hive_partitioned
+    from ..stages.partition import stable_hash
+
+    done = os.path.join(index_dir, "_DONE")
+    if os.path.exists(done):
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            return _json.load(f)
+    os.makedirs(index_dir, exist_ok=True)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    n_docs = int(ds.count())
+
+    def posting_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _token_lists(df["text"])
+        dl = toks.str.len().to_numpy(np.int64)
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({
+                "bucket": pd.Series([], dtype=np.int64),
+                "term": pd.Series([], dtype=str),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "tf": pd.Series([], dtype=np.int64),
+                "dl": pd.Series([], dtype=np.int64)})
+        row_pos = df.index.get_indexer(ex.index)
+        g = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64)[row_pos],
+                          "dl": dl[row_pos], "term": ex.to_numpy()}) \
+            .groupby(["doc_id", "dl", "term"], sort=False).size() \
+            .reset_index(name="tf")
+        g["bucket"] = (stable_hash(g["term"]) % num_buckets).astype(np.int64)
+        return g[["bucket", "term", "doc_id", "tf", "dl"]]
+
+    postings = ds.map_batches(posting_rows, batch_format="pandas",
+                              batch_size=4096)
+    write_hive_partitioned(postings, os.path.join(index_dir, "postings"),
+                           by="bucket")
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _token_lists(df["text"])
+        ex = toks.explode().dropna()
+        pairs = pd.DataFrame({"doc": ex.index, "term": ex.to_numpy()}) \
+            .drop_duplicates()
+        vc = pairs["term"].value_counts()
+        ptoks = np.zeros(len(vc), np.int64)
+        if len(ptoks):
+            ptoks[0] = len(ex)
+        return pd.DataFrame({"term": vc.index.astype(str),
+                             "partial_df": vc.to_numpy(np.int64),
+                             "partial_toks": ptoks})
+
+    dfs = ds.map_batches(df_partial, batch_format="pandas") \
+        .groupby("term").aggregate(
+            Sum("partial_df", alias_name="doc_freq"),
+            Sum("partial_toks", alias_name="toks"))
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = (stable_hash(df["term"]) % num_buckets).astype(np.int64)
+        return df
+
+    write_hive_partitioned(dfs.map_batches(add_bucket, batch_format="pandas"),
+                           os.path.join(index_dir, "df"), by="bucket")
+    total_toks = int(dfs.to_pandas()["toks"].sum()) if n_docs else 0
+    meta = {"n_docs": n_docs, "total_toks": total_toks,
+            "num_buckets": num_buckets}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        _json.dump(meta, f)
+    with open(done, "w") as f:
+        f.write("ok")
+    return meta
+
+
+def bm25_topk_indexed(sf_dir: str, index_dir: str | None = None,
+                      k: int = 10, n_queries: int = 5,
+                      terms_per_query: int = 3, k1: float = 1.2,
+                      b: float = 0.75):
+    """BM25 over the PERSISTED inverted index: identical results to
+    :func:`bm25_topk` (same oracle), different cost shape — the corpus text
+    is never rescanned.  Query terms map to hash buckets; ONLY those
+    ``postings/bucket={b}/`` directories are read (physical pruning via the
+    hive layout), filtered to the exact terms, scored vectorized, and the
+    per-(query, doc) partials merge through one narrow groupby before the
+    per-batch top-k partials reach the driver.  This is the 100 TB shape:
+    per query set, bytes read scale with the query terms' posting lists,
+    not the corpus."""
+    import os
+    import tempfile
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..sinks.batch import read_hive_partitioned
+    from ..stages.partition import stable_hash
+
+    empty = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                          "rank": pd.Series([], dtype=np.int64),
+                          "doc_id": pd.Series([], dtype=np.int64),
+                          "score": pd.Series([], dtype=float)})
+    own_tmp = index_dir is None
+    if own_tmp:
+        index_dir = tempfile.mkdtemp(prefix="pwr_bm25_")
+    meta = bm25_build_index(sf_dir, index_dir)
+    n_docs, total_toks = meta["n_docs"], meta["total_toks"]
+    num_buckets = meta["num_buckets"]
+    if n_docs == 0 or total_toks == 0:
+        return empty
+    avgdl = total_toks / n_docs
+
+    # query-set derivation — identical ordering to bm25_topk (df desc,
+    # term asc, round-robin deal); the df table is vocabulary-bounded
+    dfs = read_hive_partitioned(os.path.join(index_dir, "df"), "bucket") \
+        .to_pandas()
+    nq_terms = n_queries * terms_per_query
+    sel = dfs.sort_values(["doc_freq", "term"], ascending=[False, True],
+                          kind="mergesort").head(nq_terms).reset_index(drop=True)
+    sel["query_id"] = np.arange(len(sel), dtype=np.int64) % n_queries
+    qref = ray.put(sel[["term", "doc_freq", "query_id"]])
+
+    buckets = sorted(set((stable_hash(sel["term"]) % num_buckets).tolist()))
+    posts = read_hive_partitioned(os.path.join(index_dir, "postings"),
+                                  "bucket", values=buckets)
+
+    def score_postings(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        q = _ray.get(qref)
+        df = df.merge(q, on="term")  # pruned bucket still holds other terms
+        if not len(df):
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "doc_id": pd.Series([], dtype=np.int64),
+                                 "part": pd.Series([], dtype=float)})
+        tfv = df["tf"].to_numpy(np.float64)
+        dfv = df["doc_freq"].to_numpy(np.float64)
+        dlv = df["dl"].to_numpy(np.float64)
+        idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        part = idf * (tfv * (k1 + 1)) / (tfv + k1 * (1 - b + b * dlv / avgdl))
+        return pd.DataFrame({"query_id": df["query_id"].to_numpy(np.int64),
+                             "doc_id": df["doc_id"].to_numpy(np.int64),
+                             "part": part})
+
+    scored = posts.map_batches(score_postings, batch_format="pandas",
+                               batch_size=8192) \
+        .groupby(["query_id", "doc_id"]) \
+        .aggregate(Sum("part", alias_name="score"))
+
+    def topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["score"] = round_half_away(df["score"].to_numpy(np.float64), 6)
+        df = df.sort_values(["query_id", "score", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("query_id", sort=False).head(k) \
+            [["query_id", "doc_id", "score"]]
+
+    partials = scored.map_batches(topk_partial, batch_format="pandas") \
+        .to_pandas()
+    if not len(partials) or "score" not in partials.columns:
+        return empty
+    partials = partials.sort_values(["query_id", "score", "doc_id"],
+                                    ascending=[True, False, True],
+                                    kind="mergesort")
+    out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return out[["query_id", "rank", "doc_id", "score"]]

@@ -186,3 +186,18 @@ def test_semantic_dedup_transitive_and_total():
         assert list(out["vec_id"]) == [10, 11, 12, 13]
         assert list(out["rep_id"]) == [10, 10, 10, 13]  # chain collapsed
         assert list(out["kept"]) == [True, False, False, True]
+
+
+def test_bm25_indexed_equals_inline(sf_dir, tmp_path):
+    """The indexed path must return EXACTLY the inline path's rows (same
+    oracle contract), and the index must be reusable (second query run
+    skips the build via the done marker)."""
+    from pdf_watermark_remover_ray.pipelines.text import (
+        bm25_topk, bm25_topk_indexed)
+
+    idx = str(tmp_path / "bm25_idx")
+    a = bm25_topk(sf_dir).reset_index(drop=True)
+    b1 = bm25_topk_indexed(sf_dir, index_dir=idx).reset_index(drop=True)
+    b2 = bm25_topk_indexed(sf_dir, index_dir=idx).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b1)
+    pd.testing.assert_frame_equal(b1, b2)
