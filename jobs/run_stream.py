@@ -72,6 +72,9 @@ def main(argv: list[str] | None = None) -> int:
                          "matches,timeouts,cep,cepk,dedup); default: all. "
                          "Disabled streams skip their fold/state/emit cost "
                          "entirely. Must match across a resume chain.")
+    ap.add_argument("--enrich", action="store_true",
+                    help="emit the stream-table broadcast-join stream "
+                         "(tool turns decorated with the static dim)")
     ap.add_argument("--max-open-rows-per-key", type=int, default=None,
                     help="per-key open-state bound: each raw-row state kind "
                          "(users/tools/cepbuf) keeps at most this many "
@@ -125,6 +128,7 @@ def main(argv: list[str] | None = None) -> int:
                        emit_streams=tuple(
                            s.strip() for s in args.emit_streams.split(",")
                            if s.strip()) if args.emit_streams else None,
+                       enrich_stream=args.enrich,
                        max_open_rows_per_key=args.max_open_rows_per_key)
     eng = StreamingEngine(paths, args.out, cfg, epoch_files=args.epoch_files,
                           auto_hot_keys=args.auto_hot_keys)

@@ -134,6 +134,16 @@ class StreamConfig:
     # key would split its sessions/join state across actors (SURVEY.md §7.4
     # "Skew vs sessions").  Fixed for the run → deterministic replays.
     hot_keys: tuple[str, ...] = ()
+    # Stream-table BROADCAST join (the structured-streaming "lookup join"):
+    # tool-role turns are decorated at ROUTE time against this small static
+    # dimension (tool -> group, weight) and emitted to the ``enrich`` output
+    # stream.  The dim is a compile-time constant here; a runtime dim of any
+    # size ships once per run via ``ray.put`` and is probed per batch — it
+    # never shuffles, and the stream side never waits (map-side join).
+    # Default OFF so the headline pipeline's cost stays attributable.
+    enrich_stream: bool = False
+    enrich_dim: tuple[tuple[str, str, float], ...] = (
+        ("purchase", "g0", 0.1), ("error", "g1", 0.2), ("search", "g2", 0.3))
     # Streaming exact dedup: emit each distinct post-scrub text's first-seen
     # winner row to the ``dedup`` output stream.  Keyed by a 104-bit text
     # hash (two 52-bit halves — exact through the snapshot's int-as-float

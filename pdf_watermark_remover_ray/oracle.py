@@ -218,8 +218,20 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
         else pd.Series([], dtype=np.int32),
         "deadline_us": (lt["ts_us"].to_numpy(np.int64) + w) if len(lt)
         else pd.Series([], dtype=np.int64)})
+    tl = live[live["role"] == "tool"]
+    dim = {d[0]: (d[1], d[2]) for d in cfg.enrich_dim}
+    enrich = pd.DataFrame({
+        "conv_id": tl["conv_id"].to_numpy(),
+        "turn_idx": tl["turn_idx"].to_numpy(np.int32) if len(tl)
+        else pd.Series([], dtype=np.int32),
+        "tool": tl["tool"].to_numpy(),
+        "tool_group": [dim.get(t, ("unknown", 0.0))[0]
+                       for t in tl["tool"]],
+        "tool_weight": [dim.get(t, ("unknown", 0.0))[1]
+                        for t in tl["tool"]]})
     return {
         "turns": live[["conv_id", "turn_idx", "role", "text", "tool", "ts", "modified"]],
+        "enrich": enrich,
         "cep": cep,
         "cepk": cepk,
         "cepp": cepp,

@@ -268,6 +268,49 @@ def q_session_labels(sf_dir: str):
     return session_labels(_transcripts(sf_dir), GAP_US, num_partitions=16)
 
 
+def q_enriched_turns(sf_dir: str):
+    """Stream-table BROADCAST join, batch analog of the ``enrich`` output
+    stream (pipelines/streaming._emit_enrich_file): tool turns decorated
+    with the static dim (tool → group, weight), misses falling back to
+    ('unknown', 0.0) — left-join semantics without a shuffle (the dim ships
+    once via ``ray.put``; at any corpus size only the turn stream moves)."""
+    import ray as _ray
+
+    from ..config import StreamConfig
+
+    dim = StreamConfig().enrich_dim
+    tools = np.asarray([d[0] for d in dim], dtype=object)
+    order = np.argsort(tools)
+    ref = _ray.put((tools[order],
+                    np.asarray([d[1] for d in dim], dtype=object)[order],
+                    np.asarray([d[2] for d in dim], dtype=np.float64)[order]))
+
+    def probe(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tools_, groups_, weights_ = _ray.get(ref)
+        sub = t.filter(pc.equal(t["role"], "tool"))
+        tv = sub["tool"].to_numpy(zero_copy_only=False)
+        n = len(tv)
+        if len(tools_) and n:
+            pos = np.searchsorted(tools_, tv).clip(max=len(tools_) - 1)
+            hit = tools_[pos] == tv
+            g = np.where(hit, groups_[pos], "unknown")
+            w = np.where(hit, weights_[pos], 0.0)
+        else:
+            g = np.full(n, "unknown", dtype=object)
+            w = np.zeros(n, np.float64)
+        return pa.table({"conv_id": sub["conv_id"],
+                         "turn_idx": sub["turn_idx"],
+                         "tool": sub["tool"],
+                         "tool_group": pa.array(g.astype(str)),
+                         "tool_weight": pa.array(w)})
+
+    return _transcripts(sf_dir).map_batches(probe, batch_format="pyarrow",
+                                            zero_copy_batch=True)
+
+
 def q_cep_funnel(sf_dir: str):
     """CEP contiguous sequence: user → tool → assistant turns back-to-back in
     one conversation within a day (MATCH_RECOGNIZE ``SKIP TO NEXT ROW``)."""
@@ -407,6 +450,7 @@ def queries() -> dict:
         "events_orders_asof": q_events_orders_asof,
         "orders_events_asof_fwd": q_orders_events_asof_fwd,
         "session_labels": q_session_labels,
+        "enriched_turns": q_enriched_turns,
         "tool_latency_quantiles": q_tool_latency_quantiles,
         "dup_spans": dedup.dup_spans,
         "curate_corpus": _curate.curate_corpus,
@@ -938,6 +982,15 @@ def oracle_sql() -> dict:
             SELECT e.conv_id, e.turn_idx, e.epoch
             FROM e JOIN wm ON wm.epoch = e.epoch - 1
             WHERE epoch_us(e.ts) < wm.wm_after""",
+        "enriched_turns": f"""{t},
+            dim(d_tool, tool_group, tool_weight) AS (
+                VALUES ('purchase', 'g0', 0.1), ('error', 'g1', 0.2),
+                       ('search', 'g2', 0.3))
+            SELECT tr.conv_id, tr.turn_idx, tr.tool,
+                   coalesce(dim.tool_group, 'unknown') AS tool_group,
+                   coalesce(dim.tool_weight, 0.0) AS tool_weight
+            FROM transcripts tr LEFT JOIN dim ON dim.d_tool = tr.tool
+            WHERE tr.role = 'tool'""",
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -985,6 +985,44 @@ def _emit_late_file(sink: EpochSink, late: pa.Table, epoch: int, file_idx: int) 
     return len(out)
 
 
+def _emit_enrich_file(sink: EpochSink, live: pa.Table, cfg: StreamConfig,
+                      epoch: int, file_idx: int) -> int:
+    """Stage the stream-table BROADCAST-join rows of one input file: tool
+    turns decorated with the static dimension's (group, weight) — a map-side
+    lookup join (dim probed with one searchsorted per batch; misses keep
+    left-join semantics with 'unknown'/0.0).  Same staging/commit discipline
+    as the turns stream, so enrichment is exactly-once under replays."""
+    sub = live.filter(pc.equal(live["role"], "tool"))
+    idx = pc.sort_indices(
+        sub, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
+    sub = sub.take(idx)
+    tools = np.asarray([d[0] for d in cfg.enrich_dim], dtype=object)
+    order = np.argsort(tools)
+    tools = tools[order]
+    groups = np.asarray([d[1] for d in cfg.enrich_dim], dtype=object)[order]
+    weights = np.asarray([d[2] for d in cfg.enrich_dim],
+                         dtype=np.float64)[order]
+    tv = sub["tool"].to_numpy(zero_copy_only=False)
+    n = len(tv)
+    if len(tools) and n:
+        pos = np.searchsorted(tools, tv).clip(max=len(tools) - 1)
+        hit = tools[pos] == tv
+        g = np.where(hit, groups[pos], "unknown")
+        w = np.where(hit, weights[pos], 0.0)
+    else:
+        g = np.full(n, "unknown", dtype=object)
+        w = np.zeros(n, np.float64)
+    out = pa.table({
+        "conv_id": sub["conv_id"],
+        "turn_idx": sub["turn_idx"],
+        "tool": sub["tool"],
+        "tool_group": pa.array(g.astype(str)),
+        "tool_weight": pa.array(w),
+        "epoch": pa.array(np.full(n, epoch, dtype=np.int64))})
+    pq.write_table(out, sink.staging_path(epoch, "enrich", file_idx))
+    return n
+
+
 def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig,
                      out_dir: str, wm_prev_us: int, file_idx_base: int,
                      tracker=None):
@@ -1060,6 +1098,9 @@ def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig,
                 staged.append(sink.staging_path(epoch, "late", file_idx))
                 _emit_turns_file(sink, live, epoch, file_idx)
                 _emit_late_file(sink, late_tbl, epoch, file_idx)
+                if cfg.enrich_stream and cfg.stream_on("enrich"):
+                    staged.append(sink.staging_path(epoch, "enrich", file_idx))
+                    _emit_enrich_file(sink, live, cfg, epoch, file_idx)
                 acks = _route_table(live, actors, epoch,
                                     source_key=f"{f}#{b}", wait=False)
                 if cfg.dedup_stream and cfg.stream_on("dedup"):

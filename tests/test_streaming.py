@@ -877,3 +877,39 @@ def test_emit_streams_gating(fixture, tmp_path):
 
     with pytest.raises(ValueError):
         replace(CFG, emit_streams=("sessions", "nosuch"))
+
+
+def test_enrich_stream_matches_oracle_and_survives_kill(fixture, tmp_path):
+    """Stream-table broadcast join (``enrich`` output stream): tool turns
+    decorated with the static dim at route time, exactly-once — the
+    kill/resume run must emit the identical enriched rows."""
+    table, paths, golden = fixture
+    cfg = StreamConfig(
+        num_partitions=4, lateness_us=15_000_000,
+        session_gap_us=30_000_000, join_gap_us=30_000_000,
+        tumbling_us=60_000_000, scrub=ScrubConfig(), enrich_stream=True)
+    cols = ["conv_id", "turn_idx", "tool", "tool_group", "tool_weight"]
+
+    out = str(tmp_path / "out_enrich")
+    StreamingEngine(paths, out, cfg, epoch_files=EPOCH_FILES).run()
+    got = read_stream(out, "enrich")
+    assert_stream_equal(got, golden["enrich"], cols)
+    # dim semantics: hits carry the dim constants; misses keep left-join
+    # fallback ('unknown', 0.0) — both paths must appear in the fixture
+    dim = dict((d[0], (d[1], d[2])) for d in cfg.enrich_dim)
+    hits = got[got["tool"].isin(dim.keys())]
+    misses = got[~got["tool"].isin(dim.keys())]
+    assert len(hits) and len(misses)  # fixture exercises both join paths
+    for t, (g, w) in dim.items():
+        sub = got[got["tool"] == t]
+        assert (sub["tool_group"] == g).all()
+        assert (sub["tool_weight"] == w).all()
+    assert (misses["tool_group"] == "unknown").all()
+    assert (misses["tool_weight"] == 0.0).all()
+
+    out2 = str(tmp_path / "out_enrich_kill")
+    eng = StreamingEngine(paths, out2, cfg, epoch_files=EPOCH_FILES)
+    res = eng.run(kill_after_epoch=1)
+    assert res["killed_after"] == 1
+    StreamingEngine(paths, out2, cfg, epoch_files=EPOCH_FILES).run()
+    assert_stream_equal(read_stream(out2, "enrich"), golden["enrich"], cols)
