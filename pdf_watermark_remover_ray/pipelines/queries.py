@@ -509,6 +509,8 @@ def queries() -> dict:
         "order_priority_rollup": relational.order_priority_rollup,
         "order_priority_cube": relational.order_priority_cube,
         "orders_global_rank": relational.orders_global_rank,
+        "latest_user_event": relational.latest_user_event,
+        "order_price_ntile": relational.order_price_ntile,
         "user_event_pivot": relational.user_event_pivot,
         "prev_order_gap": relational.prev_order_gap,
         "running_revenue": relational.running_revenue,
@@ -539,6 +541,7 @@ def queries() -> dict:
         "semantic_dedup": dedup.semantic_dedup,
         "bm25_topk": text.bm25_topk,
         "bm25_topk_indexed": text.bm25_topk_indexed,
+        "quality_percentile_filter": text.quality_percentile_filter,
         # similarity search
         "ann_topk": similarity.ann_topk,
         "ann_topk_lsh": similarity.ann_topk_lsh,
@@ -1116,6 +1119,8 @@ def oracle_sql() -> dict:
             relational.customers_without_events_oracle_sql(),
         "bloom_semijoin_revenue": relational.bloom_semijoin_oracle_sql(),
         "orders_global_rank": relational.orders_global_rank_oracle_sql(),
+        "latest_user_event": relational.latest_user_event_oracle_sql(),
+        "order_price_ntile": relational.order_price_ntile_oracle_sql(),
         "events_range_sum": relational.events_range_sum_oracle_sql(),
         "users_with_events_and_orders":
             relational.users_with_events_and_orders_oracle_sql(),
@@ -1163,6 +1168,8 @@ def oracle_sql() -> dict:
         "semantic_dedup": dedup.semantic_dedup_oracle_sql(),
         "bm25_topk": text.bm25_topk_oracle_sql(),
         "bm25_topk_indexed": text.bm25_topk_oracle_sql(),
+        "quality_percentile_filter":
+            text.quality_percentile_filter_oracle_sql(),
         "ann_topk": """
             WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                         FROM embeddings),

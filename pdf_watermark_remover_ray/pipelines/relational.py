@@ -2333,3 +2333,133 @@ def q22_oracle_sql(recency_cutoff: str = "2000-01-01") -> str:
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderdate >= TIMESTAMP '{cut}')
         GROUP BY c_nationkey"""
+
+
+def latest_user_event(sf_dir: str, num_partitions: int = 16):
+    """Materialized UPSERT view (CDC "latest row per key wins"): each user's
+    most recent event, ties broken by largest event_id — the argmax-per-key
+    shape that compacts a changelog into current state.
+
+    Join-free two-level reduce: each batch keeps only its own per-user best
+    row (argmax partial — a batch contributes ≤ |its users| rows), then ONE
+    keyed co-location picks the global best per user.  The shuffle moves at
+    most one narrow row per (user, batch); the events stream itself never
+    re-sorts."""
+    def batch_best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["user_id"])
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "event_id": pd.Series([], dtype=np.int64),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "event_type": pd.Series([], dtype=str),
+                "value": pd.Series([], dtype=float)})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        best = df.groupby("user_id", sort=False).tail(1)
+        return pd.DataFrame({
+            "user_id": best["user_id"].to_numpy(np.int64),
+            "event_id": best["event_id"].to_numpy(np.int64),
+            "ts": best["ts"].to_numpy("datetime64[us]"),
+            "event_type": best["event_type"].astype(str).to_numpy(),
+            "value": best["value"].to_numpy(np.float64)})
+
+    partials = _read(sf_dir, "events",
+                     ["event_id", "user_id", "ts", "event_type", "value"]) \
+        .map_batches(batch_best, batch_format="pandas", batch_size=8192)
+    return partitioned_map(partials, batch_best, key="user_id",
+                           num_partitions=num_partitions)
+
+
+def latest_user_event_oracle_sql() -> str:
+    return """
+        SELECT user_id, event_id, ts, event_type, value
+        FROM events
+        WHERE user_id IS NOT NULL
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1"""
+
+
+def order_price_ntile(sf_dir: str, n: int = 4, num_buckets: int = 16):
+    """Global NTILE(n): every order assigned its n-quantile bucket in the
+    total ``(o_totalprice, o_orderkey)`` order — composed from the
+    distributed prefix-count global rank (no global sort operator), then a
+    vectorized rank→tile map with DuckDB's NTILE fill rule (the first
+    ``N % n`` tiles get ``⌈N/n⌉`` rows).
+
+    The value order reuses :func:`orders_global_rank`'s bucket machinery
+    over the PRICE domain: per-price counts roll up distributed, cut
+    points come from the cumulative counts, each bucket enumerates at its
+    exclusive-scan offset."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    n_rows = int(ds.count())
+    if n_rows == 0:
+        return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
+                             "tile": pd.Series([], dtype=np.int64)})
+
+    def price_counts(t: pa.Table) -> pa.Table:
+        vc = t["o_totalprice"].to_pandas().value_counts()
+        return pa.table({"price": pa.array(vc.index.to_numpy(np.float64)),
+                         "cnt": pa.array(vc.to_numpy(np.int64))})
+
+    counts = ds.map_batches(price_counts, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("price").aggregate(Sum("cnt", alias_name="n")).to_pandas() \
+        .sort_values("price").reset_index(drop=True)
+    cum = counts["n"].cumsum().to_numpy(np.int64)
+    prices = counts["price"].to_numpy(np.float64)
+    # num_buckets-1 cut prices; a bucket = a contiguous price range.
+    # offsets[b] = rows with price <= cut b-1 (exclusive-scan start of
+    # bucket b in the global value order)
+    targets = (np.arange(1, num_buckets) * n_rows) // num_buckets
+    cut_idx = np.clip(np.searchsorted(cum, targets, side="left"),
+                      0, len(counts) - 1)
+    ucuts = np.unique(prices[cut_idx])
+    offsets = np.concatenate(
+        [[0], cum[np.searchsorted(prices, ucuts, side="left")]])
+    cuts_ref = ray.put((ucuts, offsets))
+
+    # DuckDB NTILE fill: first (N % n) tiles take ceil(N/n), rest floor
+    base, extra = divmod(n_rows, n)
+    bounds = np.cumsum(np.array([base + 1] * extra + [base] * (n - extra),
+                                dtype=np.int64))
+    bounds_ref = ray.put(bounds)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        cts, _ = ray.get(cuts_ref)
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        # side='left': a cut price's own rows stay in the LOWER bucket,
+        # matching offsets[b] = rows <= cut b-1
+        b = np.searchsorted(cts, p, side="left")
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_totalprice": t["o_totalprice"],
+                         "bucket": pa.array(b.astype(np.int32))})
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # offsets[b] (rows in strictly-lower buckets) anchors this bucket's
+        # local enumeration in the exact global order
+        _, offs = ray.get(cuts_ref)
+        bounds_ = ray.get(bounds_ref)
+        b = int(df["bucket"].iloc[0])
+        df = df.sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
+        start = offs[b]
+        rank = start + np.arange(len(df), dtype=np.int64)  # 0-based
+        tile = np.searchsorted(bounds_, rank, side="right") + 1
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                             "tile": tile.astype(np.int64)})
+
+    return bucketed.groupby("bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+
+
+def order_price_ntile_oracle_sql(n: int = 4) -> str:
+    return f"""
+        SELECT o_orderkey,
+               CAST(ntile({n}) OVER (ORDER BY o_totalprice, o_orderkey)
+                    AS BIGINT) AS tile
+        FROM orders"""

@@ -1677,3 +1677,56 @@ def bm25_topk_indexed(sf_dir: str, index_dir: str | None = None,
     out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
     return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def quality_percentile_filter(sf_dir: str, q: float = 0.5):
+    """DYNAMIC-threshold corpus filter: keep each document at or above its
+    OWN SOURCE's q-th percentile of length — the data-dependent cousin of
+    the fixed-threshold :func:`quality_filter` (per-source thresholds adapt
+    to each source's distribution, the usual way web-corpus cuts are set).
+
+    Two-phase shape that holds at 10^12 docs: phase 1 computes the exact
+    per-source percentile as a distributed value-counts rollup (shuffle
+    moves DISTINCT (source, n_chars) pairs, domain-bounded — see
+    ``relational.quantile_rollup``); phase 2 broadcasts the |sources|-row
+    threshold table via ``ray.put`` and filters the scan vectorized.  The
+    corpus crosses the cluster once, thresholds never shuffle."""
+    import ray
+
+    from .relational import quantile_rollup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+    th = quantile_rollup(ds, "source", "n_chars", (q,),
+                         suffix="n_chars").to_pandas()
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                          "source": pd.Series([], dtype=str),
+                          "n_chars": pd.Series([], dtype=np.int64)})
+    if not len(th) or not len(th.columns):
+        return empty
+    col = f"p{int(round(q * 100))}_n_chars"
+    th = th.sort_values("source")
+    ref = ray.put((th["source"].to_numpy().astype(str),
+                   th[col].to_numpy(np.int64)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        srcs, cuts = ray.get(ref)
+        sv = t["source"].to_numpy(zero_copy_only=False).astype(str)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(srcs, sv).clip(max=max(len(srcs) - 1, 0))
+        hit = (srcs[pos] == sv) if len(srcs) else np.zeros(len(sv), bool)
+        mask = hit & (nc >= cuts[pos] if len(srcs) else False)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_percentile_filter_oracle_sql(q: float = 0.5) -> str:
+    return f"""
+        WITH th AS (SELECT source, quantile_disc(n_chars, {q}) AS cut
+                    FROM documents
+                    WHERE source IS NOT NULL AND n_chars IS NOT NULL
+                    GROUP BY source)
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d JOIN th ON th.source = d.source
+        WHERE d.n_chars >= th.cut"""

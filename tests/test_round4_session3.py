@@ -201,3 +201,45 @@ def test_bm25_indexed_equals_inline(sf_dir, tmp_path):
     b2 = bm25_topk_indexed(sf_dir, index_dir=idx).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b1)
     pd.testing.assert_frame_equal(b1, b2)
+
+
+@pytest.mark.parametrize("name,tables", [
+    ("latest_user_event", ("events",)),
+    ("order_price_ntile", ("orders",)),
+    ("quality_percentile_filter", ("documents",)),
+])
+def test_session3b_matches_sql(sf_dir, name, tables):
+    got = Q.queries()[name](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duck_sql(sf_dir, Q.oracle_sql()[name], tables=tables)
+    assert len(want) > 0, name
+    _cmp(got, want)
+
+
+def test_ntile_bucket_sizes(sf_dir):
+    """DuckDB NTILE fill rule: first (N % n) tiles get ceil(N/n) rows."""
+    import pyarrow.parquet as pq
+
+    out = Q.queries()["order_price_ntile"](sf_dir)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    n_rows = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    sizes = out["tile"].value_counts().sort_index()
+    base, extra = divmod(n_rows, 4)
+    want = [base + 1] * extra + [base] * (4 - extra)
+    assert list(sizes) == want
+
+
+def test_latest_user_event_is_argmax(sf_dir):
+    """One row per user; each row's ts is that user's max event ts."""
+    import duckdb
+
+    out = Q.queries()["latest_user_event"](sf_dir)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert out["user_id"].is_unique
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    mx = con.sql("SELECT user_id, max(ts) AS mts FROM events "
+                 "WHERE user_id IS NOT NULL GROUP BY user_id").df()
+    m = out.merge(mx, on="user_id")
+    assert (m["ts"] == m["mts"]).all()
