@@ -287,6 +287,9 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
           lambda: relational.q21_waiting_suppliers(sf_dir))
     timed("bm25_topk", lambda: text.bm25_topk(sf_dir))
     timed("semantic_dedup", lambda: dedup.semantic_dedup(sf_dir))
+    # round-4 session-4 additions
+    timed("customer_supplier_pagerank",
+          lambda: relational.customer_supplier_pagerank(sf_dir))
 
     ray.shutdown()
     return _summary(timings, headline_runs, n_rows, sf_dir, num_cpus)

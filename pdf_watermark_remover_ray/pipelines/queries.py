@@ -511,6 +511,7 @@ def queries() -> dict:
         "orders_global_rank": relational.orders_global_rank,
         "latest_user_event": relational.latest_user_event,
         "order_price_ntile": relational.order_price_ntile,
+        "customer_supplier_pagerank": relational.customer_supplier_pagerank,
         "user_event_pivot": relational.user_event_pivot,
         "prev_order_gap": relational.prev_order_gap,
         "running_revenue": relational.running_revenue,
@@ -1121,6 +1122,8 @@ def oracle_sql() -> dict:
         "orders_global_rank": relational.orders_global_rank_oracle_sql(),
         "latest_user_event": relational.latest_user_event_oracle_sql(),
         "order_price_ntile": relational.order_price_ntile_oracle_sql(),
+        "customer_supplier_pagerank":
+            relational.customer_supplier_pagerank_oracle_sql(),
         "events_range_sum": relational.events_range_sum_oracle_sql(),
         "users_with_events_and_orders":
             relational.users_with_events_and_orders_oracle_sql(),

@@ -2463,3 +2463,218 @@ def order_price_ntile_oracle_sql(n: int = 4) -> str:
                CAST(ntile({n}) OVER (ORDER BY o_totalprice, o_orderkey)
                     AS BIGINT) AS tile
         FROM orders"""
+
+
+def customer_supplier_pagerank(sf_dir: str, iters: int = 3,
+                               damping: float = 0.85,
+                               num_partitions: int = 16):
+    """PageRank (fixed ``iters`` damped power iterations) over the bipartite
+    customer-supplier trade graph -- the engine's ITERATIVE-algorithm shape
+    (connected components is the other; both keep per-node state as a
+    DATASET, never a driver structure, so node count scales past memory).
+
+    Graph: an undirected edge per distinct (customer, supplier) pair that
+    co-occurs on an order.  Nodes are int64-encoded (``2*custkey`` /
+    ``2*suppkey+1``) so every shuffle moves only narrow int columns; the
+    string namespace (``c:<id>`` / ``s:<id>``) is restored once at output.
+
+    NO ``Dataset.join`` anywhere: each keyed step is the repo's standard
+    co-group -- union two same-schema frames, hash-partition on the key,
+    one ``groupby("part").map_groups`` with a vectorized pandas merge
+    inside the partition (same machinery as ``connected_components``,
+    ``dedup.py:553``).  Per iteration that is two narrow shuffles (edges +
+    rank messages out, inflow sum in) -- the canonical BSP step; a Pregel
+    engine would pin edge partitions in actors to shuffle only messages,
+    which this docstring notes as the scale-up path.  The small per-node
+    rank table is materialized per round to keep the lazy plan flat.
+    Dangling mass does not exist by construction (symmetrized graph =>
+    deg >= 1 for every node).  Ranks round to 9 dp; the oracle replays the
+    identical 3-iteration chain in SQL."""
+    if _pq_rows(sf_dir, "orders") == 0 or _pq_rows(sf_dir, "lineitem") == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype=str),
+                             "rank": pd.Series([], dtype=float)})
+
+    P = num_partitions
+
+    # --- build edges: co-group lineitem and orders on orderkey -----------
+    # uniform co-group schema: (part, key, val, side)  side 0=orders 1=li
+    def ord_rows(t: pa.Table) -> pd.DataFrame:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({"part": (ok % P).astype(np.int32), "key": ok,
+                             "val": ck, "side": np.int8(0)})
+
+    def li_rows(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "key": t["l_orderkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "val": t["l_suppkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)}).drop_duplicates()
+        df.insert(0, "part", (df["key"].to_numpy() % P).astype(np.int32))
+        df["side"] = np.int8(1)
+        return df
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(ord_rows, batch_format="pyarrow", zero_copy_batch=True)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]) \
+        .map_batches(li_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def cogroup_edges(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["key", "val"]]
+        l = g[g["side"] == 1][["key", "val"]].drop_duplicates()
+        m = l.merge(o, on="key", suffixes=("_s", "_c"))
+        if not len(m):
+            return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                                 "dst": pd.Series([], dtype=np.int64)})
+        c = 2 * m["val_c"].to_numpy(np.int64)
+        s = 2 * m["val_s"].to_numpy(np.int64) + 1
+        out = pd.DataFrame({"src": np.concatenate([c, s]),
+                            "dst": np.concatenate([s, c])}).drop_duplicates()
+        return out
+
+    pairs = orders.union(li).groupby("part").map_groups(
+        cogroup_edges, batch_format="pandas")
+
+    # global edge dedup + exact degrees: src co-located in one pass
+    def dedup_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["src", "dst"]].drop_duplicates()
+
+    edges = partitioned_map(pairs, dedup_part, key="src",
+                            num_partitions=P).materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["src"].value_counts()  # exact: src co-located upstream,
+        # and the batch boundary == partition boundary is NOT assumed --
+        # partials are summed below
+        return pd.DataFrame({"node": vc.index.to_numpy(np.int64),
+                             "partial_d": vc.to_numpy(np.int64)})
+
+    degrees = edges.map_batches(deg_partial, batch_format="pandas") \
+        .groupby("node").aggregate(Sum("partial_d", alias_name="deg")) \
+        .materialize()
+    n_nodes = int(degrees.count())
+    if n_nodes == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype=str),
+                             "rank": pd.Series([], dtype=float)})
+
+    # node-state co-group schema: (part, key, dst, x, side) side 0=state
+    def state_schema(node: np.ndarray, dst: np.ndarray, x: np.ndarray,
+                     side: int) -> pd.DataFrame:
+        return pd.DataFrame({"part": (node % P).astype(np.int32),
+                             "key": node, "dst": dst, "x": x,
+                             "side": np.int8(side)})
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src"].to_numpy(np.int64)
+        return state_schema(src, df["dst"].to_numpy(np.int64),
+                            np.full(len(df), np.nan), 1)
+
+    edge_msgs = edges.map_batches(edge_rows, batch_format="pandas") \
+        .materialize()
+
+    def init_rank(df: pd.DataFrame) -> pd.DataFrame:
+        node = df["node"].to_numpy(np.int64)
+        return pd.DataFrame({"node": node,
+                             "deg": df["deg"].to_numpy(np.int64),
+                             "rank": np.full(len(df), 1.0 / n_nodes)})
+
+    ranks = degrees.map_batches(init_rank, batch_format="pandas") \
+        .materialize()
+
+    def contrib_rows(df: pd.DataFrame) -> pd.DataFrame:
+        node = df["node"].to_numpy(np.int64)
+        c = df["rank"].to_numpy(np.float64) / df["deg"].to_numpy(np.int64)
+        return state_schema(node, np.zeros(len(df), np.int64), c, 0)
+
+    def flow(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["side"] == 0][["key", "x"]]
+        ed = g[g["side"] == 1][["key", "dst"]]
+        m = ed.merge(st, on="key")
+        if not len(m):
+            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                 "partial_r": pd.Series([], dtype=float)})
+        gsum = m.groupby("dst", sort=False)["x"].sum()
+        return pd.DataFrame({"node": gsum.index.to_numpy(np.int64),
+                             "partial_r": gsum.to_numpy(np.float64)})
+
+    def damp(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["side"] == 0][["key", "dst"]].rename(columns={"dst": "deg"})
+        msg = g[g["side"] == 1]
+        if not len(st):
+            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                 "deg": pd.Series([], dtype=np.int64),
+                                 "rank": pd.Series([], dtype=float)})
+        r_in = msg.groupby("key", sort=False)["x"].sum()
+        st = st.set_index("key")
+        r = r_in.reindex(st.index, fill_value=0.0).to_numpy(np.float64)
+        node = st.index.to_numpy(np.int64)
+        return pd.DataFrame({"node": node,
+                             "deg": st["deg"].to_numpy(np.int64),
+                             "rank": (1.0 - damping) / n_nodes + damping * r})
+
+    def deg_rows(df: pd.DataFrame) -> pd.DataFrame:
+        node = df["node"].to_numpy(np.int64)
+        return state_schema(node, df["deg"].to_numpy(np.int64),
+                            np.full(len(df), np.nan), 0)
+
+    deg_msgs = degrees.map_batches(deg_rows, batch_format="pandas") \
+        .materialize()
+
+    for _ in range(iters):
+        c = ranks.map_batches(contrib_rows, batch_format="pandas")
+        inflow = edge_msgs.union(c).groupby("part").map_groups(
+            flow, batch_format="pandas")
+
+        def msg_rows(df: pd.DataFrame) -> pd.DataFrame:
+            node = df["node"].to_numpy(np.int64)
+            return state_schema(node, np.zeros(len(df), np.int64),
+                                df["partial_r"].to_numpy(np.float64), 1)
+
+        msgs = inflow.map_batches(msg_rows, batch_format="pandas")
+        ranks = deg_msgs.union(msgs).groupby("part").map_groups(
+            damp, batch_format="pandas").materialize()
+
+    out = ranks.to_pandas()
+    node_i = out["node"].to_numpy(np.int64)
+    names = np.where(node_i % 2 == 0,
+                     np.char.add("c:", (node_i // 2).astype(str)),
+                     np.char.add("s:", (node_i // 2).astype(str)))
+    return pd.DataFrame({"node": names.astype(str),
+                         "rank": round_half_away(
+                             out["rank"].to_numpy(np.float64), 9)}) \
+        .sort_values("node").reset_index(drop=True)
+
+
+def customer_supplier_pagerank_oracle_sql(iters: int = 3,
+                                          damping: float = 0.85) -> str:
+    assert iters == 3, "oracle replays exactly 3 iterations"
+    d = damping
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS c,
+                            's:' || CAST(l.l_suppkey AS VARCHAR) AS s
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        edges AS (SELECT c AS src, s AS dst FROM pairs
+                  UNION SELECT s, c FROM pairs),
+        deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+        n AS (SELECT count(*) AS n_nodes FROM deg),
+        r0 AS (SELECT node, deg, 1.0 / n.n_nodes AS rank FROM deg, n),
+        r1 AS (SELECT e.dst AS node, d.deg,
+                      (1.0 - {d}) / n.n_nodes
+                      + {d} * sum(r.rank / r.deg) AS rank
+               FROM edges e JOIN r0 r ON r.node = e.src
+               JOIN deg d ON d.node = e.dst CROSS JOIN n
+               GROUP BY e.dst, d.deg, n.n_nodes),
+        r2 AS (SELECT e.dst AS node, d.deg,
+                      (1.0 - {d}) / n.n_nodes
+                      + {d} * sum(r.rank / r.deg) AS rank
+               FROM edges e JOIN r1 r ON r.node = e.src
+               JOIN deg d ON d.node = e.dst CROSS JOIN n
+               GROUP BY e.dst, d.deg, n.n_nodes),
+        r3 AS (SELECT e.dst AS node, d.deg,
+                      (1.0 - {d}) / n.n_nodes
+                      + {d} * sum(r.rank / r.deg) AS rank
+               FROM edges e JOIN r2 r ON r.node = e.src
+               JOIN deg d ON d.node = e.dst CROSS JOIN n
+               GROUP BY e.dst, d.deg, n.n_nodes)
+        SELECT node, round(rank, 9) AS rank FROM r3"""
