@@ -449,3 +449,45 @@ def capped_sample_oracle_sql(cap: int = 3) -> str:
             PARTITION BY coalesce(lang, ''), coalesce(source, '')
             ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
                      doc_id) <= {cap}"""
+
+def weighted_sample_documents(sf_dir: str, k: int = 100):
+    """Deterministic weighted sample WITHOUT replacement (top-``k``):
+    Efraimidis–Spirakis A-ES keys ``u^(1/w)`` with ``u`` a seedless
+    md5-of-id uniform and ``w = max(n_chars, 1)`` — longer documents are
+    proportionally likelier, re-runs pick identical rows, and the whole
+    selection is a distributed top-k (each batch emits at most ``k``
+    candidate rows; the driver merges ≤ k·num_batches candidates), never a
+    global sort.  The text column is never read — the weight comes from the
+    ``n_chars`` metadata column.  (Efraimidis & Spirakis 2006, "Weighted
+    random sampling with a reservoir" — public.)"""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        w = np.maximum(df["n_chars"].to_numpy(np.float64), 1.0)
+        u = md5_u64(ids.astype(str)).astype(np.float64) / 2.0 ** 64
+        key = u ** (1.0 / w)
+        out = pd.DataFrame({"doc_id": ids, "weight": w.astype(np.int64),
+                            "key": key})
+        return out.sort_values(["key", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    cand = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    top = cand.sort_values(["key", "doc_id"],
+                           ascending=[False, True]).head(k)
+    return pd.DataFrame({"doc_id": top["doc_id"].to_numpy(np.int64),
+                         "weight": top["weight"].to_numpy(np.int64)}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def weighted_sample_oracle_sql(k: int = 100) -> str:
+    return f"""
+        SELECT doc_id, CAST(greatest(n_chars, 1) AS BIGINT) AS weight
+        FROM documents
+        QUALIFY row_number() OVER (ORDER BY
+            pow(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                    / 18446744073709551616.0,
+                1.0 / greatest(n_chars, 1)) DESC,
+            doc_id) <= {k}
+        ORDER BY doc_id"""

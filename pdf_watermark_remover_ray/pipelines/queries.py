@@ -22,6 +22,8 @@ from ..functions.scrub import scrub_dataset
 from ..functions.sampling import (
     capped_sample_oracle_sql,
     capped_sample_per_group,
+    weighted_sample_documents,
+    weighted_sample_oracle_sql,
     decontaminate_oracle_sql,
     decontaminate_split,
     ngram_decontaminate,
@@ -463,6 +465,7 @@ def queries() -> dict:
         "cms_user_counts": cms_user_counts,
         "user_activity_outer": relational.user_activity_outer,
         "capped_sample_per_group": capped_sample_per_group,
+        "weighted_sample_documents": weighted_sample_documents,
         "events_window_distinct": relational.events_window_distinct,
         "user_daily_locf": relational.user_daily_locf,
         "order_percent_rank": relational.order_percent_rank,
@@ -510,6 +513,8 @@ def queries() -> dict:
         "order_priority_cube": relational.order_priority_cube,
         "orders_global_rank": relational.orders_global_rank,
         "latest_user_event": relational.latest_user_event,
+        "lineitem_regression_stats": relational.lineitem_regression_stats,
+        "user_mode_event": relational.user_mode_event,
         "order_price_ntile": relational.order_price_ntile,
         "customer_supplier_pagerank": relational.customer_supplier_pagerank,
         "user_event_pivot": relational.user_event_pivot,
@@ -899,6 +904,7 @@ def oracle_sql() -> dict:
         "cms_user_counts": cms_oracle_sql(),
         "user_activity_outer": relational.user_activity_outer_oracle_sql(),
         "capped_sample_per_group": capped_sample_oracle_sql(),
+        "weighted_sample_documents": weighted_sample_oracle_sql(),
         "events_window_distinct":
             relational.events_window_distinct_oracle_sql(),
         "user_daily_locf": relational.user_daily_locf_oracle_sql(),
@@ -1121,6 +1127,9 @@ def oracle_sql() -> dict:
         "bloom_semijoin_revenue": relational.bloom_semijoin_oracle_sql(),
         "orders_global_rank": relational.orders_global_rank_oracle_sql(),
         "latest_user_event": relational.latest_user_event_oracle_sql(),
+        "lineitem_regression_stats":
+            relational.lineitem_regression_stats_oracle_sql(),
+        "user_mode_event": relational.user_mode_event_oracle_sql(),
         "order_price_ntile": relational.order_price_ntile_oracle_sql(),
         "customer_supplier_pagerank":
             relational.customer_supplier_pagerank_oracle_sql(),

@@ -2678,3 +2678,113 @@ def customer_supplier_pagerank_oracle_sql(iters: int = 3,
                JOIN deg d ON d.node = e.dst CROSS JOIN n
                GROUP BY e.dst, d.deg, n.n_nodes)
         SELECT node, round(rank, 9) AS rank FROM r3"""
+
+def lineitem_regression_stats(sf_dir: str):
+    """Per-flag two-column moment aggregates: corr / covar_samp /
+    regr_slope / regr_intercept of (l_quantity, l_extendedprice) — the
+    engine's bivariate-statistics shape.
+
+    Mergeable sufficient statistics (n, Σx, Σy, Σxx, Σyy, Σxy) are computed
+    per batch with x/y SHIFTED by fixed pivots (corr/covar/slope are
+    shift-invariant; the pivots keep Σxx ~ n·var instead of n·mean² so the
+    naive-sums formula stays within ~1e-12 of DuckDB's streaming kernels),
+    then one tiny groupby-sum merges them — the classic one-pass parallel
+    aggregate; nothing but 6 doubles per (batch, group) ever shuffles."""
+    X0, Y0 = 25.0, 40000.0  # fixed pivots ≈ column centers (any constant ok)
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        x = df["l_quantity"].to_numpy(np.float64) - X0
+        y = df["l_extendedprice"].to_numpy(np.float64) - Y0
+        df = pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                           "x": x, "y": y, "xx": x * x, "yy": y * y,
+                           "xy": x * y, "n": np.int64(1)})
+        g = df.groupby("l_returnflag", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("l_returnflag").aggregate(
+            Sum("x", alias_name="sx"), Sum("y", alias_name="sy"),
+            Sum("xx", alias_name="sxx"), Sum("yy", alias_name="syy"),
+            Sum("xy", alias_name="sxy"), Sum("n", alias_name="n")) \
+        .to_pandas()
+    n = m["n"].to_numpy(np.float64)
+    cxy = m["sxy"] - m["sx"] * m["sy"] / n     # n·covar_pop numerators
+    cxx = m["sxx"] - m["sx"] ** 2 / n
+    cyy = m["syy"] - m["sy"] ** 2 / n
+    slope = cxy / cxx
+    mean_x, mean_y = m["sx"] / n + X0, m["sy"] / n + Y0
+    out = pd.DataFrame({
+        "l_returnflag": m["l_returnflag"],
+        "n": m["n"].astype(np.int64),
+        "corr_qty_price": round_half_away(
+            (cxy / np.sqrt(cxx * cyy)).to_numpy(np.float64), 7),
+        "covar_qty_price": round_half_away(
+            (cxy / (n - 1)).to_numpy(np.float64), 4),
+        "slope": round_half_away(slope.to_numpy(np.float64), 7),
+        "intercept": round_half_away(
+            (mean_y - slope * mean_x).to_numpy(np.float64), 4),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def lineitem_regression_stats_oracle_sql() -> str:
+    return """
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(corr(l_extendedprice, l_quantity), 7)
+                   AS corr_qty_price,
+               round(covar_samp(l_extendedprice, l_quantity), 4)
+                   AS covar_qty_price,
+               round(regr_slope(l_extendedprice, l_quantity), 7) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4)
+                   AS intercept
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+
+def user_mode_event(sf_dir: str, num_partitions: int = 16):
+    """Per-user MODE of event_type (most frequent value; ties break to the
+    lexicographically smallest) — the argmax-of-counts shape, distinct from
+    argmax-by-timestamp (``latest_user_event``).
+
+    Stage 1 collapses to per-(user, type) partial counts inside each batch
+    (vocabulary-bounded: at most |users|×|types| rows leave any batch);
+    stage 2 merges counts and takes the per-user argmax inside ONE
+    hash-partitioned vectorized pass — no per-user Python loop."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["user_id"])
+        g = df.groupby(["user_id", "event_type"], sort=False) \
+            .size().reset_index(name="pn")
+        g["user_id"] = g["user_id"].astype(np.int64)
+        return g
+
+    counts = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["user_id", "event_type"]) \
+        .aggregate(Sum("pn", alias_name="n"))
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        # sort (n desc, event_type asc) then keep first per user
+        df = df.sort_values(["n", "event_type"],
+                            ascending=[False, True], kind="mergesort")
+        top = df.drop_duplicates("user_id")
+        return pd.DataFrame({"user_id": top["user_id"].to_numpy(np.int64),
+                             "mode_event": top["event_type"].to_numpy(),
+                             "n": top["n"].to_numpy(np.int64)})
+
+    return partitioned_map(counts, argmax, key="user_id",
+                           num_partitions=num_partitions)
+
+
+def user_mode_event_oracle_sql() -> str:
+    return """
+        WITH c AS (SELECT user_id, event_type, count(*) AS n
+                   FROM events WHERE user_id IS NOT NULL
+                   GROUP BY user_id, event_type)
+        SELECT user_id, event_type AS mode_event, n
+        FROM c
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) = 1"""

@@ -32,3 +32,50 @@ def test_pagerank_mass_conservation(sf_dir):
     assert (out["rank"] > 0).all()
     # bipartite namespacing survived the int64 round-trip
     assert set(out["node"].str[:2].unique()) == {"c:", "s:"}
+
+
+@pytest.mark.parametrize("name,tables", [
+    ("lineitem_regression_stats", ("lineitem",)),
+    ("user_mode_event", ("events",)),
+    ("weighted_sample_documents", ("documents",)),
+])
+def test_session4_matches_sql(sf_dir, name, tables):
+    got = Q.queries()[name](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duck_sql(sf_dir, Q.oracle_sql()[name], tables=tables)
+    assert len(want) > 0, name
+    _cmp(got, want)
+
+
+def test_regression_stats_bounds(sf_dir):
+    out = Q.queries()["lineitem_regression_stats"](sf_dir)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert (out["corr_qty_price"].abs() <= 1.0).all()
+    # slope and covariance agree in sign (slope = covar / var_x, var_x > 0)
+    assert (np.sign(out["slope"]) == np.sign(out["covar_qty_price"])).all()
+
+
+def test_weighted_sample_is_exact_topk(sf_dir):
+    """The distributed partial-top-k must equal the single-pass A-ES top-k
+    computed directly (catches a too-small per-batch candidate cut)."""
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_remover_ray.functions.hashing import md5_u64
+
+    out = Q.queries()["weighted_sample_documents"](sf_dir)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "n_chars"]).to_pandas()
+    ids = t["doc_id"].to_numpy(np.int64)
+    w = np.maximum(t["n_chars"].to_numpy(np.float64), 1.0)
+    u = md5_u64(ids.astype(str)).astype(np.float64) / 2.0 ** 64
+    key = u ** (1.0 / w)
+    order = np.lexsort((ids, -key))[:100]
+    assert set(out["doc_id"]) == set(ids[order])
+
+
+def test_user_mode_event_unique_users(sf_dir):
+    out = Q.queries()["user_mode_event"](sf_dir)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert out["user_id"].is_unique
+    assert (out["n"] >= 1).all()
