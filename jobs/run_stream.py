@@ -81,6 +81,11 @@ def main(argv: list[str] | None = None) -> int:
                          "ts-newest rows per conversation; force-dropped "
                          "counts land in the epoch markers (default: "
                          "unbounded/exact)")
+    ap.add_argument("--reshard-from", type=int, default=None,
+                    help="elastic rescale mode: re-split the checkpoint at "
+                         "--out from THIS partition count to --partitions, "
+                         "print the summary and exit (run before resuming "
+                         "with the new --partitions; no input is read)")
     ap.add_argument("--prune-state", action="store_true",
                     help="checkpoint GC: drop state snapshots below the "
                          "newest all-full epoch after the run")
@@ -111,6 +116,28 @@ def main(argv: list[str] | None = None) -> int:
 
         sep = ";;" if ";;" in args.cep_pred else ","
         cep_terms = tuple(_slot(s) for s in args.cep_pred.split(sep) if s)
+    if args.reshard_from is not None:
+        from dataclasses import replace as _replace
+
+        from pdf_watermark_remover_ray.state.reshard import (
+            read_layout, reshard_checkpoint)
+
+        base = StreamConfig(num_partitions=args.reshard_from,
+                            lateness_us=args.lateness_us,
+                            session_gap_us=args.session_gap_us,
+                            join_gap_us=args.join_gap_us,
+                            tumbling_us=args.tumbling_us,
+                            dedup_ttl_us=args.dedup_ttl_us,
+                            cep_within_us=args.cep_within_us,
+                            max_open_rows_per_key=args.max_open_rows_per_key)
+        lay = read_layout(args.out)  # auto-detected hot keys are part of
+        if lay:                      # the persisted layout: carry them over
+            base = _replace(base, hot_keys=tuple(lay["hot_keys"]))
+        summary = reshard_checkpoint(
+            args.out, base, _replace(base, num_partitions=args.partitions))
+        print(json.dumps(summary))
+        return 0
+
     cfg = StreamConfig(num_partitions=args.partitions,
                        cep_terms=cep_terms,
                        lateness_us=args.lateness_us,

@@ -60,6 +60,8 @@ from ..functions.scrub import make_scrub_batch_fn
 from ..sinks.parquet import EpochSink
 from ..stages.partition import partition_table
 from ..stages.windows import wtopk_project
+from ..state.reshard import (checkpoint_state_path, layout_matches,
+                             layout_of, read_layout, write_layout)
 from ..state.store import SortedStateStore, merge_session_intervals
 
 INF_US = (1 << 62)
@@ -92,8 +94,13 @@ class StatePartition:
         # independently of conversation skew.
         self.dedup_buffer: dict[int, dict[str, pa.Table]] = {}
         if restore_epoch >= 0:
+            # resolve through the persisted layout: a committed reshard's
+            # FULL snapshot replaces the chain head at its epoch, so the
+            # delta walk never crosses into pre-reshard routing
+            layout = read_layout(self.sink.out_dir)
             self.store = SortedStateStore.restore_chain(
-                lambda e: self.sink.state_path(e, partition_id),
+                lambda e: checkpoint_state_path(self.sink, layout, e,
+                                                partition_id),
                 restore_epoch, cfg.join_gap_us,
                 dedup_ttl_us=cfg.dedup_ttl_us,
                 cep_within_us=cfg.cep_within_us,
@@ -1169,6 +1176,23 @@ class StreamingEngine:
             hk = self._detect_or_load_hot_keys(hot_key_frac, hot_key_sample_files)
             if hk:
                 self.cfg = _replace(self.cfg, hot_keys=hk)
+        # Partition-layout guard: the key→partition routing (P + hot keys)
+        # is part of the checkpoint's meaning.  Persist it write-once; a
+        # resume under a DIFFERENT layout would silently split every key's
+        # state from its future rows, so refuse it and point at the
+        # sanctioned rescale path (state/reshard.reshard_checkpoint).
+        layout = read_layout(out_dir)
+        if layout is None:
+            write_layout(out_dir, layout_of(self.cfg))
+        elif not layout_matches(layout, self.cfg):
+            raise ValueError(
+                f"StreamingEngine: checkpoint at {out_dir} was written with "
+                f"P={layout['num_partitions']} hot_keys="
+                f"{layout['hot_keys']}; resuming with "
+                f"P={self.cfg.num_partitions} hot_keys="
+                f"{list(self.cfg.hot_keys)} would mis-route keyed state. "
+                f"Run state.reshard.reshard_checkpoint(out_dir, old_cfg, "
+                f"new_cfg) first.")
         self.epochs = [self.paths[i:i + epoch_files]
                        for i in range(0, len(self.paths), epoch_files)]
         self._tracker = None

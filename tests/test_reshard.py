@@ -1,0 +1,78 @@
+"""Elastic rescale: resume a checkpoint into a DIFFERENT partition count
+(state re-split by the new routing, atomic layout commit) and still emit
+exactly the single-process oracle's rows — plus the layout guard that
+refuses an un-resharded mismatched resume."""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import pytest
+
+from pdf_watermark_remover_ray.config import StreamConfig
+from pdf_watermark_remover_ray.pipelines.streaming import StreamingEngine
+from pdf_watermark_remover_ray.state.reshard import (read_layout,
+                                                     reshard_checkpoint)
+
+from test_streaming import CFG, EPOCH_FILES, _check_outputs, fixture  # noqa: F401
+
+
+@pytest.mark.parametrize("new_p", [8, 2], ids=["grow-4to8", "shrink-4to2"])
+def test_rescale_resume_exactly_once(fixture, tmp_path, new_p):  # noqa: F811
+    table, paths, golden = fixture
+    out = str(tmp_path / "out")
+    eng = StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES)
+    res = eng.run(kill_after_epoch=1)
+    assert res["killed_after"] == 1
+
+    new_cfg = replace(CFG, num_partitions=new_p)
+    summary = reshard_checkpoint(out, CFG, new_cfg)
+    assert summary["epoch"] == 1
+    assert summary["new_total"] == new_p
+    assert sum(summary["rows_moved"].values()) > 0  # state actually moved
+
+    eng2 = StreamingEngine(paths, out, new_cfg, epoch_files=EPOCH_FILES)
+    res2 = eng2.run()
+    assert res2["epochs"][0]["epoch"] == 2
+    _check_outputs(out, golden)
+
+
+def test_mismatched_resume_refused(fixture, tmp_path):  # noqa: F811
+    table, paths, golden = fixture
+    out = str(tmp_path / "out")
+    StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES) \
+        .run(kill_after_epoch=1)
+    with pytest.raises(ValueError, match="reshard"):
+        StreamingEngine(paths, out, replace(CFG, num_partitions=8),
+                        epoch_files=EPOCH_FILES)
+
+
+def test_reshard_then_second_rescale_and_kill(fixture, tmp_path):  # noqa: F811
+    """Two consecutive rescales with a kill between them: the layout's
+    latest reshard epoch must anchor every later delta-chain walk."""
+    table, paths, golden = fixture
+    out = str(tmp_path / "out")
+    StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES) \
+        .run(kill_after_epoch=1)
+    cfg8 = replace(CFG, num_partitions=8)
+    reshard_checkpoint(out, CFG, cfg8)
+    res = StreamingEngine(paths, out, cfg8, epoch_files=EPOCH_FILES) \
+        .run(kill_after_epoch=3)
+    assert res["killed_after"] == 3
+    cfg2 = replace(CFG, num_partitions=2)
+    reshard_checkpoint(out, cfg8, cfg2)
+    layout = read_layout(out)
+    assert layout["num_partitions"] == 2
+    assert layout["reshard"]["epoch"] == 3
+    StreamingEngine(paths, out, cfg2, epoch_files=EPOCH_FILES).run()
+    _check_outputs(out, golden)
+
+
+def test_reshard_requires_matching_old_cfg(fixture, tmp_path):  # noqa: F811
+    table, paths, golden = fixture
+    out = str(tmp_path / "out")
+    StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES) \
+        .run(kill_after_epoch=1)
+    with pytest.raises(ValueError, match="does not match"):
+        reshard_checkpoint(out, replace(CFG, num_partitions=7),
+                           replace(CFG, num_partitions=8))
