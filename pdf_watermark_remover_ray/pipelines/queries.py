@@ -564,6 +564,7 @@ def queries() -> dict:
         "token_counts": text.token_counts,
         "quality_filter": text.quality_filter,
         "top_bigrams": text.top_bigrams,
+        "token_cooccurrence": text.token_cooccurrence,
         "rarest_terms": text.rarest_terms,
         "tfidf_top_terms": text.tfidf_top_terms,
         "unigram_surprisal": text.unigram_surprisal,
@@ -1341,6 +1342,17 @@ def oracle_sql() -> dict:
             SELECT bigram, count(*) AS n
             FROM b GROUP BY bigram
             ORDER BY n DESC, bigram LIMIT 20""",
+        "token_cooccurrence": f"""
+            WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+            p AS (SELECT doc_id, unnest(toks) AS term,
+                         unnest(generate_series(1, len(toks))) AS pos
+                  FROM t),
+            pr AS (SELECT least(a.term, b.term) || ' ' ||
+                          greatest(a.term, b.term) AS pair
+                   FROM p a JOIN p b ON b.doc_id = a.doc_id
+                       AND b.pos > a.pos AND b.pos <= a.pos + 3)
+            SELECT pair, count(*) AS n FROM pr GROUP BY pair
+            ORDER BY n DESC, pair LIMIT 30""",
         "rarest_terms": f"""
             WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
             tok AS (SELECT DISTINCT doc_id, term

@@ -1730,3 +1730,62 @@ def quality_percentile_filter_oracle_sql(q: float = 0.5) -> str:
         SELECT d.doc_id, d.source, d.n_chars
         FROM documents d JOIN th ON th.source = d.source
         WHERE d.n_chars >= th.cut"""
+
+def token_cooccurrence(sf_dir: str, window: int = 3, k: int = 30,
+                       num_partitions: int = 16):
+    """Corpus-level skip-gram co-occurrence: the ``k`` most frequent
+    UNORDERED token pairs within ``window`` positions of each other — the
+    counting core of PMI / word2vec-style association statistics
+    (generalizes :func:`top_bigrams`, which is the ``window=1`` ordered
+    case).
+
+    Fully vectorized: one exploded token array per batch with doc-boundary
+    masks; each offset 1..window is a shifted-array compare (no Python
+    loop over rows), pairs canonicalize by elementwise min/max, and each
+    batch pre-aggregates to DISTINCT (pair, count) partials — the shuffle
+    and the driver merge scale with the PAIR VOCABULARY (bounded by the
+    top-k block merge), never the corpus.  Ties break (count desc, pair
+    asc) to match the oracle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        ex = _token_lists(df["text"]).explode().dropna()
+        empty = pa.table({"pair": pa.array([], pa.string()),
+                          "partial_n": pa.array([], pa.int64())})
+        if len(ex) < 2:
+            return empty
+        tok = ex.to_numpy(dtype=str)
+        doc = ex.index.to_numpy()
+        parts = []
+        for off in range(1, window + 1):
+            if off >= len(tok):
+                break
+            a, b = tok[:-off], tok[off:]
+            same = doc[:-off] == doc[off:]
+            if not same.any():
+                continue
+            a, b = a[same], b[same]
+            swap = a > b
+            lo = np.where(swap, b, a)
+            hi = np.where(swap, a, b)
+            parts.append(np.char.add(np.char.add(lo, " "), hi))
+        if not parts:
+            return empty
+        vc = pd.Series(np.concatenate(parts)).value_counts()
+        return pa.table({"pair": pa.array(vc.index.to_numpy(dtype=str)),
+                         "partial_n": pa.array(vc.to_numpy(np.int64))})
+
+    counts = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("pair").aggregate(Sum("partial_n", alias_name="n"))
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "pair"], ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    merged = counts.map_batches(block_topk, batch_format="pandas").to_pandas()
+    return merged.sort_values(["n", "pair"], ascending=[False, True],
+                              kind="mergesort").head(k).reset_index(drop=True)

@@ -79,3 +79,23 @@ def test_user_mode_event_unique_users(sf_dir):
     out = out.to_pandas() if hasattr(out, "to_pandas") else out
     assert out["user_id"].is_unique
     assert (out["n"] >= 1).all()
+
+
+def test_token_cooccurrence_matches_sql(sf_dir):
+    got = Q.queries()["token_cooccurrence"](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duck_sql(sf_dir, Q.oracle_sql()["token_cooccurrence"],
+                    tables=("documents",))
+    assert len(want) > 0
+    _cmp(got, want)
+
+
+def test_token_cooccurrence_pairs_canonical(sf_dir):
+    """Pairs are unordered (canonicalized lo <= hi) and counts positive."""
+    out = Q.queries()["token_cooccurrence"](sf_dir)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    lo = out["pair"].str.split(" ").str[0]
+    hi = out["pair"].str.split(" ").str[-1]
+    assert (lo <= hi).all()
+    assert (out["n"] > 0).all()
+    assert out["n"].is_monotonic_decreasing
