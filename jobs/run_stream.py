@@ -81,6 +81,10 @@ def main(argv: list[str] | None = None) -> int:
                          "ts-newest rows per conversation; force-dropped "
                          "counts land in the epoch markers (default: "
                          "unbounded/exact)")
+    ap.add_argument("--wquant-ps", default=None,
+                    help="comma-separated integer percents (e.g. '50,95') "
+                         "to enable the windowed-percentile stream "
+                         "(nearest-rank over post-scrub text length)")
     ap.add_argument("--reshard-from", type=int, default=None,
                     help="elastic rescale mode: re-split the checkpoint at "
                          "--out from THIS partition count to --partitions, "
@@ -156,6 +160,9 @@ def main(argv: list[str] | None = None) -> int:
                            s.strip() for s in args.emit_streams.split(",")
                            if s.strip()) if args.emit_streams else None,
                        enrich_stream=args.enrich,
+                       wquant_ps=tuple(int(x) for x in
+                                       args.wquant_ps.split(","))
+                       if args.wquant_ps else None,
                        max_open_rows_per_key=args.max_open_rows_per_key)
     eng = StreamingEngine(paths, args.out, cfg, epoch_files=args.epoch_files,
                           auto_hot_keys=args.auto_hot_keys)

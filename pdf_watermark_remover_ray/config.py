@@ -41,7 +41,7 @@ ROLE_CODES = {"user": 0, "assistant": 1, "tool": 2}
 # are core and always on; "cepp" is governed by cep_terms).
 _OPTIONAL_STREAMS = frozenset((
     "sessions", "windows", "wstats", "sliding", "wdistinct", "wtopk",
-    "matches", "timeouts", "cep", "cepk", "dedup"))
+    "matches", "timeouts", "cep", "cepk", "dedup", "wquant"))
 
 
 @dataclass(frozen=True)
@@ -209,6 +209,16 @@ class StreamConfig:
     # ST2.  Aggregate kinds (sessions/wstats/wtools/sliding) stay one row
     # per open key/window and need no cap.  None = unbounded (exact).
     max_open_rows_per_key: int | None = None
+    # Windowed PERCENTILES (wquant stream): nearest-rank p-th percentiles of
+    # the post-scrub text length per (conv, tumbling window).  Percentiles
+    # are NOT decomposable from n/sum/min/max, so the state is per-(conv,
+    # window, length-value) counts (the wtools trick: value-bounded, folds
+    # by groupby-sum, one eviction).  Integer percents keep the rank target
+    # exact integer arithmetic — ceil(n*p/100) — identical in engine and
+    # oracle (a float q*N ceil can flip on representation error).  None =
+    # stream off (the default; it never costs the headline), like cep_terms
+    # governs cepp.
+    wquant_ps: tuple[int, ...] | None = None
 
     def __post_init__(self) -> None:
         """Pre-flight validation (reference P2/P3 analog: the UI rejects bad
@@ -245,6 +255,11 @@ class StreamConfig:
             "max_open_rows_per_key must be >= 1 when set":
                 self.max_open_rows_per_key is None
                 or self.max_open_rows_per_key >= 1,
+            "wquant_ps must be 1-4 integer percents in [1, 100]":
+                self.wquant_ps is None
+                or (1 <= len(self.wquant_ps) <= 4
+                    and all(isinstance(q, int) and 1 <= q <= 100
+                            for q in self.wquant_ps)),
             "emit_streams must name known optional streams":
                 self.emit_streams is None
                 or all(s in _OPTIONAL_STREAMS for s in self.emit_streams),

@@ -108,6 +108,32 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
         .agg(n_turns=("c", "size"), sum_chars=("c", "sum"),
              min_chars=("c", "min"), max_chars=("c", "max"))
     )
+    # windowed nearest-rank percentiles of the text length (wquant): same
+    # integer rank target as the engine — ceil(n*p/100) over value-sorted
+    # per-window counts
+    if cfg.wquant_ps:
+        wq = (pd.DataFrame({"conv_id": live["conv_id"].to_numpy(),
+                            "window_start_us": ws, "val": n_chars})
+              .groupby(["conv_id", "window_start_us", "val"], as_index=False)
+              .size().rename(columns={"size": "n"})
+              .sort_values(["conv_id", "window_start_us", "val"],
+                           kind="mergesort"))
+        g = wq.groupby(["conv_id", "window_start_us"], sort=False)
+        tot = g["n"].transform("sum").to_numpy(np.int64)
+        cum = g["n"].cumsum().to_numpy(np.int64)
+        first = ~wq.duplicated(["conv_id", "window_start_us"]).to_numpy()
+        base = wq[first]
+        wquant = pd.DataFrame({
+            "conv_id": base["conv_id"].to_numpy(),
+            "window_start_us": base["window_start_us"].to_numpy(np.int64),
+            "n_turns": tot[first]})
+        for p in cfg.wquant_ps:
+            sel = wq[cum >= (tot * p + 99) // 100]                 .drop_duplicates(["conv_id", "window_start_us"])
+            wquant[f"p{p}_chars"] = sel["val"].to_numpy(np.int64)
+    else:
+        wquant = pd.DataFrame({"conv_id": pd.Series([], dtype=str),
+                               "window_start_us": pd.Series([], dtype=np.int64),
+                               "n_turns": pd.Series([], dtype=np.int64)})
     # windowed COUNT DISTINCT + top-k of tools (tool-role turns only) —
     # both project from the per-(conv, window, tool) count table, exactly
     # like the engine's shared wtools state
@@ -241,6 +267,7 @@ def streaming_oracle(table: pa.Table, num_files: int, epoch_files: int,
         "sessions": sessions,
         "windows": windows,
         "wstats": wstats,
+        "wquant": wquant,
         "wdistinct": wdistinct,
         "wtopk": wtopk,
         "sliding": sliding,

@@ -185,6 +185,8 @@ class StatePartition:
             self._fold_wstats(live)  # one fold feeds BOTH windows and wstats
         if on("wdistinct") or on("wtopk"):
             self._fold_wtools(live)  # one fold feeds BOTH wdistinct and wtopk
+        if self.cfg.wquant_ps is not None and on("wquant"):
+            self._fold_wquant(live)
         if on("sliding"):
             self._fold_sliding(live)
         if on("matches"):
@@ -201,6 +203,8 @@ class StatePartition:
         if on("wdistinct") or on("wtopk"):
             emitted["wdistinct"], emitted["wtopk"] = \
                 self._emit_wtool_streams(wm_after_us, epoch)
+        if self.cfg.wquant_ps is not None and on("wquant"):
+            emitted["wquant"] = self._emit_wquant(wm_after_us, epoch)
         if on("sessions"):
             emitted["sessions"] = self._emit_sessions(wm_after_us, epoch)
         if on("sliding"):
@@ -380,6 +384,66 @@ class StatePartition:
         return n_wdistinct, n_wtopk
 
     _SLIDING_BOUND_KEY = "sliding_emit_bound"
+
+
+    def _fold_wquant(self, live: pd.DataFrame) -> int:
+        """Windowed-percentile state: per-(conv, tumbling window,
+        length-value) counts.  Exact quantiles are not decomposable from
+        scalar aggregates, but the VALUE DOMAIN (post-scrub text length) is
+        discrete, so per-value counts fold by groupby-sum exactly like the
+        wtools state — bounded by open windows x distinct lengths."""
+        if len(live) == 0:
+            return 0
+        ws = self.cfg.tumbling_spec.assign(live["ts_us"].to_numpy(np.int64))
+        new = pd.DataFrame({"conv_id": live["conv_id"].to_numpy(),
+                            "window_start_us": ws,
+                            "val": live["n_chars"].to_numpy(np.int64),
+                            "n": np.ones(len(live), dtype=np.int64)})
+        alln = pd.concat([self.store.get("wquant"), new], ignore_index=True)
+        agg = alln.groupby(["conv_id", "window_start_us", "val"], sort=False,
+                           as_index=False)["n"].sum()
+        self.store.put("wquant", agg)
+        return len(agg)
+
+    def _emit_wquant(self, wm_us: int, epoch: int) -> int:
+        """Emit nearest-rank percentiles per closed window (strict rule
+        ``window_start + size <= wm``): with the state value-sorted per
+        window, percentile p is the first value whose running count reaches
+        ``ceil(n * p / 100)`` — integer arithmetic, so the engine and the
+        single-process oracle compute the identical rank target."""
+        ps = self.cfg.wquant_ps
+        w = self.store.get("wquant")
+        size = self.cfg.tumbling_us
+        done_mask = (w["window_start_us"].to_numpy(np.int64, copy=False)
+                     + size <= wm_us) if len(w) else np.zeros(0, dtype=bool)
+        done = w[done_mask].sort_values(
+            ["conv_id", "window_start_us", "val"], kind="mergesort")
+        self.store.put("wquant", w[~done_mask])
+        fields = [("conv_id", pa.string()), ("window_start_us", pa.int64()),
+                  ("n_turns", pa.int64())] +             [(f"p{p}_chars", pa.int64()) for p in ps]
+        schema = pa.schema(fields)
+        if not len(done):
+            out = pd.DataFrame({f.name: pd.Series(
+                [], dtype=str if f.name == "conv_id" else np.int64)
+                for f in schema})
+            return self._write("wquant", epoch, out, schema)
+        grp = done.groupby(["conv_id", "window_start_us"], sort=False)
+        tot = grp["n"].transform("sum").to_numpy(np.int64)
+        cum = grp["n"].cumsum().to_numpy(np.int64)
+        base = done.drop_duplicates(["conv_id", "window_start_us"])
+        out = pd.DataFrame({
+            "conv_id": base["conv_id"].to_numpy(),
+            "window_start_us": base["window_start_us"].to_numpy(np.int64),
+            "n_turns": tot[~done.duplicated(
+                ["conv_id", "window_start_us"]).to_numpy()]})
+        for p in ps:
+            target = (tot * p + 99) // 100  # ceil(n*p/100), integer-exact
+            sel = done[cum >= target].drop_duplicates(
+                ["conv_id", "window_start_us"])
+            # every group hits (1 <= target <= tot), in base's sorted order
+            assert len(sel) == len(out)
+            out[f"p{p}_chars"] = sel["val"].to_numpy(np.int64)
+        return self._write("wquant", epoch, out, schema)
 
     def _fold_sliding(self, live: pd.DataFrame) -> int:
         """Sliding windows via gcd-bucket pre-aggregation: the fold only

@@ -33,7 +33,7 @@ import os
 
 STREAMS = ("turns", "sessions", "matches", "windows", "wstats", "sliding",
            "wdistinct", "wtopk", "late", "dedup", "cep", "cepk", "cepp",
-           "timeouts", "enrich")
+           "timeouts", "enrich", "wquant")
 
 
 class EpochSink:

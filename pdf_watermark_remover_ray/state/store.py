@@ -70,6 +70,12 @@ _EMPTY = {
     # bounded open-state kinds → full-snapshot every epoch like sessions.
     "pend": {"conv_id": str, "turn_idx": np.int32, "ts_us": np.int64},
     "arep": {"conv_id": str, "ts_us": np.int64},
+    # per-window per-LENGTH-VALUE counts: the windowed-percentile state
+    # (wquant stream) — exact quantiles fold as groupby-sum because the
+    # value domain (post-scrub text length) is discrete; bounded by open
+    # windows x distinct lengths, so it full-snapshots like wtools.
+    "wquant": {"conv_id": str, "window_start_us": np.int64, "val": np.int64,
+               "n": np.int64},
 }
 
 _SORT_KEYS = {
@@ -84,11 +90,12 @@ _SORT_KEYS = {
     "cepbuf": ["conv_id", "turn_idx"],
     "pend": ["conv_id", "ts_us", "turn_idx"],
     "arep": ["conv_id", "ts_us"],
+    "wquant": ["conv_id", "window_start_us", "val"],
 }
 
 # Superset schema used by the single-file snapshot.
 _SNAP_COLS = ["kind", "conv_id", "start_us", "end_us", "n", "ts_us", "turn_idx", "tool",
-              "window_start_us", "sum_c", "min_c", "max_c", "h1", "h2"]
+              "window_start_us", "sum_c", "min_c", "max_c", "h1", "h2", "val"]
 
 
 def _empty_frame(kind: str) -> pd.DataFrame:
@@ -130,7 +137,8 @@ class SortedStateStore:
     # the chain's per-hash ts marks and (TTL mode) applies the wm − ttl
     # eviction — see restore_chain.  Exact mode (ttl=None) never evicts.
     _BULKY = ("users", "tools", "seen", "cepbuf")
-    _OPEN = ("sessions", "wstats", "sliding", "wtools", "meta", "pend", "arep")
+    _OPEN = ("sessions", "wstats", "sliding", "wtools", "meta", "pend",
+             "arep", "wquant")
     # Raw-row kinds whose per-key size is horizon x rate (the only state a
     # single pathological key can blow up) — subject to the per-key cap.
     _CAPPED = ("users", "tools", "cepbuf")
