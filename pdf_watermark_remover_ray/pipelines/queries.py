@@ -559,6 +559,7 @@ def queries() -> dict:
         "ann_topk_pq": similarity.ann_topk_pq,
         "ann_topk_pq_indexed": similarity.ann_topk_pq_indexed,
         "label_centroids": similarity.label_centroids,
+        "kmeans_embeddings": similarity.kmeans_embeddings,
         # text analysis
         "text_stats": text.text_stats,
         "token_counts": text.token_counts,
@@ -1178,6 +1179,7 @@ def oracle_sql() -> dict:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.emb, b.emb) >= 0.30""",
         "label_centroids": similarity.label_centroids_oracle_sql(),
+        "kmeans_embeddings": similarity.kmeans_embeddings_oracle_sql(),
         "semantic_dedup": dedup.semantic_dedup_oracle_sql(),
         "bm25_topk": text.bm25_topk_oracle_sql(),
         "bm25_topk_indexed": text.bm25_topk_oracle_sql(),

@@ -703,3 +703,117 @@ def ann_topk_pq_indexed(sf_dir: str, index_dir: str | None = None,
             import shutil
 
             shutil.rmtree(index_dir, ignore_errors=True)
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 3):
+    """Distributed Lloyd k-means over the FULL embeddings table — the
+    broadcast-iterate shape (vs :class:`IVFIndex`, which trains on a sample
+    inside one actor): each iteration broadcasts the k×d centroid matrix
+    once via ``ray.put``, every batch assigns locally (vectorized argmin,
+    ties → lowest centroid id) and pre-aggregates to per-cluster partial
+    sums (k rows × (d+1) floats per batch — the shuffle/driver merge is
+    bounded by k × n_batches, never the corpus), and the driver folds the
+    tiny partials into new centroids.
+
+    Determinism: seeds are the k vectors with the smallest
+    ``md5_u64(str(vec_id))`` (rank also by vec_id), and every new centroid
+    rounds to 6 dp — so the engine's numpy sums and the oracle's SQL sums
+    (which add in different orders) cannot drift across iterations.  Empty
+    clusters keep their previous centroid.  Output: (vec_id, cluster)."""
+    from ..functions.hashing import md5_u64
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(np.int64)
+        h = md5_u64(ids.astype(str))
+        o = np.lexsort((ids, h))[:k]
+        return pd.DataFrame({"vec_id": ids[o],
+                             "h": h[o].view(np.int64),
+                             "embedding": df["embedding"].to_numpy()[o]})
+
+    cand = ds.map_batches(seed_partial, batch_format="pandas").to_pandas()
+    cand["hu"] = cand["h"].to_numpy(np.int64).view(np.uint64)
+    cand = cand.sort_values(["hu", "vec_id"]).head(k)
+    C = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
+
+    def make_partial(ref):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            import ray as _ray
+
+            cm = _ray.get(ref)
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            d = ((m[:, None, :] - cm[None, :, :]) ** 2).sum(-1)
+            a = np.argmin(d, axis=1)
+            out = {"cid": np.arange(len(cm), dtype=np.int64),
+                   "n": np.bincount(a, minlength=len(cm)).astype(np.int64)}
+            for j in range(m.shape[1]):
+                out[f"s{j}"] = np.bincount(a, weights=m[:, j],
+                                           minlength=len(cm))
+            return pd.DataFrame(out)
+        return partial
+
+    for _ in range(iters):
+        ref = ray.put(C)
+        parts = ds.map_batches(make_partial(ref),
+                               batch_format="pandas").to_pandas()
+        g = parts.groupby("cid", sort=True).sum()
+        n = g["n"].to_numpy(np.float64)
+        sums = g[[f"s{j}" for j in range(C.shape[1])]].to_numpy(np.float64)
+        with np.errstate(invalid="ignore"):
+            newc = sums / n[:, None]
+        newc = np.where(n[:, None] > 0, round_half_away(newc, 6), C)
+        C = newc
+
+    ref = ray.put(C)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        cm = _ray.get(ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d = ((m[:, None, :] - cm[None, :, :]) ** 2).sum(-1)
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(np.int64),
+                             "cluster": np.argmin(d, axis=1).astype(np.int64)})
+
+    out = ds.map_batches(assign, batch_format="pandas").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def kmeans_embeddings_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """SQL replay of the exact iteration chain: same md5 seeds, same
+    squared-distance argmin with cid tie-break, same 6-dp centroid
+    rounding, same empty-cluster carry-forward."""
+    hash_expr = ("('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 16))"
+                 "::UBIGINT")
+    sql = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+                   FROM embeddings),
+        c0 AS (SELECT CAST(row_number() OVER (ORDER BY {hash_expr}, vec_id)
+                           - 1 AS BIGINT) AS cid, vec
+               FROM e ORDER BY {hash_expr}, vec_id LIMIT {k})"""
+    prev = "c0"
+    for i in range(1, iters + 1):
+        sql += f""",
+        a{i} AS (SELECT vec_id, vec,
+                       (SELECT c.cid FROM {prev} c
+                        ORDER BY list_distance(e.vec, c.vec), c.cid
+                        LIMIT 1) AS cid
+                FROM e),
+        m{i} AS (SELECT cid, list(v ORDER BY pos) AS vec FROM (
+                    SELECT cid, pos, round(avg(x), 6) AS v FROM (
+                        SELECT cid, unnest(vec) AS x,
+                               generate_subscripts(vec, 1) AS pos
+                        FROM a{i})
+                    GROUP BY cid, pos)
+                GROUP BY cid),
+        c{i} AS (SELECT p.cid, coalesce(m.vec, p.vec) AS vec
+                FROM {prev} p LEFT JOIN m{i} m ON m.cid = p.cid)"""
+        prev = f"c{i}"
+    sql += f"""
+        SELECT vec_id,
+               (SELECT c.cid FROM {prev} c
+                ORDER BY list_distance(e.vec, c.vec), c.cid
+                LIMIT 1) AS cluster
+        FROM e ORDER BY vec_id"""
+    return sql

@@ -99,3 +99,14 @@ def test_token_cooccurrence_pairs_canonical(sf_dir):
     assert (lo <= hi).all()
     assert (out["n"] > 0).all()
     assert out["n"].is_monotonic_decreasing
+
+
+def test_kmeans_embeddings_matches_sql(sf_dir):
+    got = Q.queries()["kmeans_embeddings"](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duck_sql(sf_dir, Q.oracle_sql()["kmeans_embeddings"],
+                    tables=("embeddings",))
+    assert len(want) > 0
+    _cmp(got, want)
+    # non-degenerate: more than one cluster actually used
+    assert got["cluster"].nunique() > 1
