@@ -515,6 +515,7 @@ def queries() -> dict:
         "latest_user_event": relational.latest_user_event,
         "lineitem_regression_stats": relational.lineitem_regression_stats,
         "user_mode_event": relational.user_mode_event,
+        "event_value_mad": relational.event_value_mad,
         "order_price_ntile": relational.order_price_ntile,
         "customer_supplier_pagerank": relational.customer_supplier_pagerank,
         "user_event_pivot": relational.user_event_pivot,
@@ -1132,6 +1133,7 @@ def oracle_sql() -> dict:
         "lineitem_regression_stats":
             relational.lineitem_regression_stats_oracle_sql(),
         "user_mode_event": relational.user_mode_event_oracle_sql(),
+        "event_value_mad": relational.event_value_mad_oracle_sql(),
         "order_price_ntile": relational.order_price_ntile_oracle_sql(),
         "customer_supplier_pagerank":
             relational.customer_supplier_pagerank_oracle_sql(),

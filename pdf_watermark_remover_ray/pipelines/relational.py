@@ -2788,3 +2788,60 @@ def user_mode_event_oracle_sql() -> str:
         FROM c
         QUALIFY row_number() OVER (PARTITION BY user_id
                                    ORDER BY n DESC, event_type) = 1"""
+
+def event_value_mad(sf_dir: str):
+    """Per-event-type MEDIAN ABSOLUTE DEVIATION of ``value`` — the robust
+    dispersion statistic, and the engine's two-pass-with-broadcast-statistic
+    shape: pass 1 computes each type's exact interpolated median over the
+    distributed value-counts topology (:func:`quantile_cont_rollup`); the
+    tiny per-type median table broadcasts ONCE via ``ray.put``; pass 2 runs
+    the SAME topology over the derived ``|value - median|`` column.  Both
+    passes replay DuckDB's quantile_cont IEEE operation order, so the
+    doubles hash-match the oracle bit-for-bit with no rounding.  Continuous
+    values mean the per-(key, deviation) counts don't collapse — the
+    shuffle is sort-of-values-scale, the honest cost of an exact MAD."""
+    import ray as _ray
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        return df.dropna(subset=["event_type", "value"])
+
+    ds = ds.map_batches(clean, batch_format="pandas")
+    med = quantile_cont_rollup(ds, "event_type", "value", (0.5,),
+                               suffix="value").to_pandas()
+    ref = _ray.put(pd.Series(med["c50_value"].to_numpy(np.float64),
+                             index=med["event_type"].to_numpy()))
+
+    def deviations(df: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(ref)
+        dev = (df["value"].to_numpy(np.float64)
+               - m.reindex(df["event_type"]).to_numpy(np.float64))
+        return pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                             "dev": np.abs(dev)})
+
+    mad = quantile_cont_rollup(ds.map_batches(deviations,
+                                              batch_format="pandas"),
+                               "event_type", "dev", (0.5,),
+                               suffix="dev").to_pandas()
+    out = med.merge(mad[["event_type", "c50_dev"]], on="event_type")
+    return pd.DataFrame({"event_type": out["event_type"],
+                         "n": out["n"].to_numpy(np.int64),
+                         "med_value": out["c50_value"].to_numpy(np.float64),
+                         "mad_value": out["c50_dev"].to_numpy(np.float64)}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+def event_value_mad_oracle_sql() -> str:
+    return """
+        WITH m AS (SELECT event_type, count(value) AS n,
+                          median(value) AS med_value
+                   FROM events
+                   WHERE event_type IS NOT NULL AND value IS NOT NULL
+                   GROUP BY event_type)
+        SELECT e.event_type, m.n, m.med_value,
+               median(abs(e.value - m.med_value)) AS mad_value
+        FROM events e JOIN m USING (event_type)
+        WHERE e.value IS NOT NULL
+        GROUP BY e.event_type, m.n, m.med_value
+        ORDER BY event_type"""

@@ -110,3 +110,13 @@ def test_kmeans_embeddings_matches_sql(sf_dir):
     _cmp(got, want)
     # non-degenerate: more than one cluster actually used
     assert got["cluster"].nunique() > 1
+
+
+def test_event_value_mad_matches_sql(sf_dir):
+    got = Q.queries()["event_value_mad"](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duck_sql(sf_dir, Q.oracle_sql()["event_value_mad"],
+                    tables=("events",))
+    assert len(want) > 0
+    _cmp(got, want)
+    assert (got["mad_value"] >= 0).all()
