@@ -453,6 +453,8 @@ def run_streams_ab() -> dict:
     runs["cepp_add"] = best_of(StreamConfig(**base_kw, cep_terms=(
         Term(role="user", text_regex=r"\bstream\b"),
         Term(role="tool", tool="search"), Term(role="assistant"))))
+    runs["wquant_add"] = best_of(StreamConfig(**base_kw,
+                                              wquant_ps=(50, 95)))
     health_after = probe()
     ray.shutdown()
 
@@ -465,6 +467,9 @@ def run_streams_ab() -> dict:
     cepp = min(runs["cepp_add"])
     table["cepp"] = {"on_s": cepp, "marginal_s": round(cepp - base, 3),
                      "marginal_pct": round(100 * (cepp - base) / base, 1)}
+    wq = min(runs["wquant_add"])
+    table["wquant"] = {"on_s": wq, "marginal_s": round(wq - base, 3),
+                       "marginal_pct": round(100 * (wq - base) / base, 1)}
     return {"mode": "streams_ab", "rows": BENCH_ROWS, "num_cpus": num_cpus,
             "baseline_s": base, "runs": runs, "marginal": table,
             "host_parallel_speedup_before": health_before,
