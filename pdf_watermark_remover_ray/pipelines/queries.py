@@ -542,6 +542,7 @@ def queries() -> dict:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "winnow_dup_pairs": dedup.winnow_dup_pairs,
+        "edit_dup_pairs": dedup.edit_dup_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
@@ -1375,6 +1376,34 @@ def oracle_sql() -> dict:
             FROM documents""".format(hits=" + ".join(
             f"len(regexp_extract_all(text, '{g}'))"
             for g in text.CONTAMINATION_NGRAMS)),
+        "edit_dup_pairs": """
+            WITH w AS (SELECT doc_id,
+                              unnest(generate_series(1, greatest(length(coalesce(text, '')) - 7, 0))) AS i,
+                              coalesce(text, '') AS t
+                       FROM documents),
+            h AS (SELECT doc_id,
+                         ('0x' || substring(md5(substring(t, i, 8)), 1, 16))::UBIGINT AS hw
+                  FROM w),
+            m AS (SELECT doc_id, min(hw) AS mn FROM h GROUP BY doc_id),
+            s AS (SELECT doc_id,
+                         CAST(CASE WHEN mn >= 9223372036854775808::UBIGINT
+                                   THEN mn::HUGEINT - 18446744073709551616::HUGEINT
+                                   ELSE mn::HUGEINT END AS BIGINT) AS winnow64
+                  FROM m),
+            cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM s a JOIN s b ON a.winnow64 = b.winnow64
+                                      AND a.doc_id < b.doc_id
+                     WHERE a.winnow64 <> 0)
+            SELECT c.doc_a, c.doc_b,
+                   CAST(levenshtein(coalesce(da.text, ''),
+                                    coalesce(db.text, '')) AS BIGINT) AS dist
+            FROM cand c
+            JOIN documents da ON da.doc_id = c.doc_a
+            JOIN documents db ON db.doc_id = c.doc_b
+            WHERE levenshtein(coalesce(da.text, ''), coalesce(db.text, ''))
+                  <= 0.2 * greatest(length(coalesce(da.text, '')),
+                                    length(coalesce(db.text, '')))
+            ORDER BY c.doc_a, c.doc_b""",
         "winnow_dup_pairs": """
             WITH w AS (SELECT doc_id,
                               unnest(generate_series(1, greatest(length(coalesce(text, '')) - 7, 0))) AS i,

@@ -120,3 +120,42 @@ def test_event_value_mad_matches_sql(sf_dir):
     assert len(want) > 0
     _cmp(got, want)
     assert (got["mad_value"] >= 0).all()
+
+
+def test_edit_dup_pairs_matches_sql(sf_dir):
+    got = Q.queries()["edit_dup_pairs"](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duck_sql(sf_dir, Q.oracle_sql()["edit_dup_pairs"],
+                    tables=("documents",))
+    assert len(want) > 0
+    _cmp(got, want)
+
+
+def test_levenshtein_kernel():
+    from pdf_watermark_remover_ray.pipelines.dedup import _levenshtein
+
+    assert _levenshtein("", "") == 0
+    assert _levenshtein("abc", "") == 3
+    assert _levenshtein("kitten", "sitting") == 3
+    assert _levenshtein("flaw", "lawn") == 2
+    assert _levenshtein("abc", "abc") == 0
+    # agreement with a reference O(n*m) scalar DP on random strings
+    import random
+
+    rng = random.Random(7)
+
+    def ref(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[-1]
+
+    for _ in range(25):
+        a = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 30)))
+        b = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 30)))
+        assert _levenshtein(a, b) == ref(a, b), (a, b)
