@@ -290,6 +290,13 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     # round-4 session-4 additions
     timed("customer_supplier_pagerank",
           lambda: relational.customer_supplier_pagerank(sf_dir))
+    timed("customer_supplier_pagerank_pinned",
+          lambda: relational.customer_supplier_pagerank_pinned(sf_dir))
+    timed("edit_dup_pairs", lambda: dedup.edit_dup_pairs(sf_dir))
+    timed("token_cooccurrence", lambda: text.token_cooccurrence(sf_dir))
+    timed("event_value_mad", lambda: relational.event_value_mad(sf_dir))
+    timed("kmeans_embeddings",
+          lambda: similarity.kmeans_embeddings(sf_dir))
 
     ray.shutdown()
     return _summary(timings, headline_runs, n_rows, sf_dir, num_cpus)

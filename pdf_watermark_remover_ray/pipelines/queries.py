@@ -518,6 +518,8 @@ def queries() -> dict:
         "event_value_mad": relational.event_value_mad,
         "order_price_ntile": relational.order_price_ntile,
         "customer_supplier_pagerank": relational.customer_supplier_pagerank,
+        "customer_supplier_pagerank_pinned":
+            relational.customer_supplier_pagerank_pinned,
         "user_event_pivot": relational.user_event_pivot,
         "prev_order_gap": relational.prev_order_gap,
         "running_revenue": relational.running_revenue,
@@ -1137,6 +1139,8 @@ def oracle_sql() -> dict:
         "event_value_mad": relational.event_value_mad_oracle_sql(),
         "order_price_ntile": relational.order_price_ntile_oracle_sql(),
         "customer_supplier_pagerank":
+            relational.customer_supplier_pagerank_oracle_sql(),
+        "customer_supplier_pagerank_pinned":
             relational.customer_supplier_pagerank_oracle_sql(),
         "events_range_sum": relational.events_range_sum_oracle_sql(),
         "users_with_events_and_orders":

@@ -2465,36 +2465,14 @@ def order_price_ntile_oracle_sql(n: int = 4) -> str:
         FROM orders"""
 
 
-def customer_supplier_pagerank(sf_dir: str, iters: int = 3,
-                               damping: float = 0.85,
-                               num_partitions: int = 16):
-    """PageRank (fixed ``iters`` damped power iterations) over the bipartite
-    customer-supplier trade graph -- the engine's ITERATIVE-algorithm shape
-    (connected components is the other; both keep per-node state as a
-    DATASET, never a driver structure, so node count scales past memory).
-
-    Graph: an undirected edge per distinct (customer, supplier) pair that
-    co-occurs on an order.  Nodes are int64-encoded (``2*custkey`` /
-    ``2*suppkey+1``) so every shuffle moves only narrow int columns; the
-    string namespace (``c:<id>`` / ``s:<id>``) is restored once at output.
-
-    NO ``Dataset.join`` anywhere: each keyed step is the repo's standard
-    co-group -- union two same-schema frames, hash-partition on the key,
-    one ``groupby("part").map_groups`` with a vectorized pandas merge
-    inside the partition (same machinery as ``connected_components``,
-    ``dedup.py:553``).  Per iteration that is two narrow shuffles (edges +
-    rank messages out, inflow sum in) -- the canonical BSP step; a Pregel
-    engine would pin edge partitions in actors to shuffle only messages,
-    which this docstring notes as the scale-up path.  The small per-node
-    rank table is materialized per round to keep the lazy plan flat.
-    Dangling mass does not exist by construction (symmetrized graph =>
-    deg >= 1 for every node).  Ranks round to 9 dp; the oracle replays the
-    identical 3-iteration chain in SQL."""
+def _trade_graph(sf_dir: str, P: int):
+    """Shared builder for the PageRank variants: the symmetrized
+    customer-supplier edge Dataset (int64-encoded nodes, globally deduped,
+    hash-partitioned by src with the partition column RETAINED) plus the
+    per-node degree Dataset and the node count.  Returns (None, None, 0)
+    when either input table is empty."""
     if _pq_rows(sf_dir, "orders") == 0 or _pq_rows(sf_dir, "lineitem") == 0:
-        return pd.DataFrame({"node": pd.Series([], dtype=str),
-                             "rank": pd.Series([], dtype=float)})
-
-    P = num_partitions
+        return None, None, 0
 
     # --- build edges: co-group lineitem and orders on orderkey -----------
     # uniform co-group schema: (part, key, val, side)  side 0=orders 1=li
@@ -2535,9 +2513,11 @@ def customer_supplier_pagerank(sf_dir: str, iters: int = 3,
     pairs = orders.union(li).groupby("part").map_groups(
         cogroup_edges, batch_format="pandas")
 
-    # global edge dedup + exact degrees: src co-located in one pass
+    # global edge dedup + exact degrees: src co-located in one pass; the
+    # partition column stays on the rows (functionally dependent on src)
+    # so the pinned variant can route whole partitions to their actors
     def dedup_part(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["src", "dst"]].drop_duplicates()
+        return df[["src", "dst", "part"]].drop_duplicates(["src", "dst"])
 
     edges = partitioned_map(pairs, dedup_part, key="src",
                             num_partitions=P).materialize()
@@ -2552,10 +2532,51 @@ def customer_supplier_pagerank(sf_dir: str, iters: int = 3,
     degrees = edges.map_batches(deg_partial, batch_format="pandas") \
         .groupby("node").aggregate(Sum("partial_d", alias_name="deg")) \
         .materialize()
-    n_nodes = int(degrees.count())
+    return edges, degrees, int(degrees.count())
+
+
+_EMPTY_PR = {"node": pd.Series([], dtype=str),
+             "rank": pd.Series([], dtype=float)}
+
+
+def _pr_format(node_i: np.ndarray, rank: np.ndarray) -> pd.DataFrame:
+    names = np.where(node_i % 2 == 0,
+                     np.char.add("c:", (node_i // 2).astype(str)),
+                     np.char.add("s:", (node_i // 2).astype(str)))
+    return pd.DataFrame({"node": names.astype(str),
+                         "rank": round_half_away(rank, 9)}) \
+        .sort_values("node").reset_index(drop=True)
+
+
+def customer_supplier_pagerank(sf_dir: str, iters: int = 3,
+                               damping: float = 0.85,
+                               num_partitions: int = 16):
+    """PageRank (fixed ``iters`` damped power iterations) over the bipartite
+    customer-supplier trade graph -- the engine's ITERATIVE-algorithm shape
+    (connected components is the other; both keep per-node state as a
+    DATASET, never a driver structure, so node count scales past memory).
+
+    Graph: an undirected edge per distinct (customer, supplier) pair that
+    co-occurs on an order.  Nodes are int64-encoded (``2*custkey`` /
+    ``2*suppkey+1``) so every shuffle moves only narrow int columns; the
+    string namespace (``c:<id>`` / ``s:<id>``) is restored once at output.
+
+    NO ``Dataset.join`` anywhere: each keyed step is the repo's standard
+    co-group -- union two same-schema frames, hash-partition on the key,
+    one ``groupby("part").map_groups`` with a vectorized pandas merge
+    inside the partition (same machinery as ``connected_components``,
+    ``dedup.py:553``).  Per iteration that is two narrow shuffles (edges +
+    rank messages out, inflow sum in) -- the canonical BSP step; a Pregel
+    engine would pin edge partitions in actors to shuffle only messages,
+    which this docstring notes as the scale-up path.  The small per-node
+    rank table is materialized per round to keep the lazy plan flat.
+    Dangling mass does not exist by construction (symmetrized graph =>
+    deg >= 1 for every node).  Ranks round to 9 dp; the oracle replays the
+    identical 3-iteration chain in SQL."""
+    P = num_partitions
+    edges, degrees, n_nodes = _trade_graph(sf_dir, P)
     if n_nodes == 0:
-        return pd.DataFrame({"node": pd.Series([], dtype=str),
-                             "rank": pd.Series([], dtype=float)})
+        return pd.DataFrame(_EMPTY_PR)
 
     # node-state co-group schema: (part, key, dst, x, side) side 0=state
     def state_schema(node: np.ndarray, dst: np.ndarray, x: np.ndarray,
@@ -2635,14 +2656,8 @@ def customer_supplier_pagerank(sf_dir: str, iters: int = 3,
             damp, batch_format="pandas").materialize()
 
     out = ranks.to_pandas()
-    node_i = out["node"].to_numpy(np.int64)
-    names = np.where(node_i % 2 == 0,
-                     np.char.add("c:", (node_i // 2).astype(str)),
-                     np.char.add("s:", (node_i // 2).astype(str)))
-    return pd.DataFrame({"node": names.astype(str),
-                         "rank": round_half_away(
-                             out["rank"].to_numpy(np.float64), 9)}) \
-        .sort_values("node").reset_index(drop=True)
+    return _pr_format(out["node"].to_numpy(np.int64),
+                      out["rank"].to_numpy(np.float64))
 
 
 def customer_supplier_pagerank_oracle_sql(iters: int = 3,
@@ -2845,3 +2860,120 @@ def event_value_mad_oracle_sql() -> str:
         WHERE e.value IS NOT NULL
         GROUP BY e.event_type, m.n, m.med_value
         ORDER BY event_type"""
+
+class _PRPartition:
+    """One pinned edge partition of the Pregel-style PageRank: the actor
+    holds its src-partition's edges and per-node ranks for the whole run,
+    so iterations ship ONLY pre-combined rank messages (the Dataset
+    variant re-shuffles the full edge set every round — at 10^12 edges
+    that is the dominant cost; here edges cross the object store once)."""
+
+    def __init__(self, pid: int, P: int, damping: float, n_nodes: int):
+        self.pid, self.P = pid, P
+        self.damping, self.n = damping, n_nodes
+        self._chunks: list[pd.DataFrame] = []
+
+    def load(self, df: pd.DataFrame) -> int:
+        self._chunks.append(df[["src", "dst"]])
+        return len(df)
+
+    def finalize(self) -> int:
+        """Index the partition once: per-edge src positions for O(E) local
+        contribution gathers, per-target-part edge slices pre-sorted so
+        emit() is P vectorized groupby-sums with zero per-iteration setup."""
+        from ..stages.partition import stable_hash
+
+        e = pd.concat(self._chunks, ignore_index=True) if self._chunks else \
+            pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                          "dst": pd.Series([], dtype=np.int64)})
+        self._chunks = []
+        src = e["src"].to_numpy(np.int64)
+        dst = e["dst"].to_numpy(np.int64)
+        # local nodes + EXACT degrees (all rows of a src live here)
+        self.nodes, self.deg = np.unique(src, return_counts=True)
+        self.rank = np.full(len(self.nodes), 1.0 / self.n) if self.n else \
+            np.zeros(0)
+        # per-edge index into the local node array
+        src_pos = np.searchsorted(self.nodes, src)
+        tpart = (stable_hash(pd.Series(dst)) % self.P).astype(np.int64)
+        order = np.argsort(tpart, kind="stable")
+        self._src_pos = src_pos[order]
+        self._dst = dst[order]
+        self._bounds = np.searchsorted(tpart[order], np.arange(self.P + 1))
+        return len(self.nodes)
+
+    def emit(self):
+        """One tuple of P pre-combined message frames (dst, c) — the local
+        combiner sums per dst inside each target slice before anything
+        ships (the classic Pregel combine)."""
+        contrib = self.rank / self.deg if len(self.nodes) else np.zeros(0)
+        c_edge = contrib[self._src_pos] if len(self._src_pos) else np.zeros(0)
+        out = []
+        for q in range(self.P):
+            lo, hi = int(self._bounds[q]), int(self._bounds[q + 1])
+            if hi <= lo:
+                out.append(pd.DataFrame(
+                    {"dst": pd.Series([], dtype=np.int64),
+                     "c": pd.Series([], dtype=np.float64)}))
+                continue
+            g = pd.DataFrame({"dst": self._dst[lo:hi],
+                              "c": c_edge[lo:hi]}) \
+                .groupby("dst", sort=True, as_index=False)["c"].sum()
+            out.append(g)
+        return tuple(out)
+
+    def apply(self, *frames) -> int:
+        msgs = pd.concat(frames, ignore_index=True)
+        r_in = msgs.groupby("dst", sort=True)["c"].sum() \
+            .reindex(self.nodes, fill_value=0.0).to_numpy(np.float64)
+        self.rank = (1.0 - self.damping) / self.n + self.damping * r_in
+        return len(self.nodes)
+
+    def collect(self) -> pd.DataFrame:
+        return pd.DataFrame({"node": self.nodes, "rank": self.rank})
+
+
+def customer_supplier_pagerank_pinned(sf_dir: str, iters: int = 3,
+                                      damping: float = 0.85,
+                                      num_partitions: int = 8,
+                                      actor_cpus: float = 0.25):
+    """Pregel-style PageRank: same graph, same math, same oracle as
+    :func:`customer_supplier_pagerank`, but the edge partitions are PINNED
+    in long-lived actors (the deliberate drop below the Dataset API — the
+    one semantic Datasets can't express is state that must NOT move
+    between supersteps).  Edges cross the object store exactly once at
+    load; each iteration ships only per-target pre-combined rank messages,
+    routed actor-to-actor as object refs (the driver passes refs, never
+    data).  This is the 10^12-edge scale path the Dataset variant's
+    docstring points at; both stay registered so the oracle gates both."""
+    P = num_partitions
+    edges, degrees, n_nodes = _trade_graph(sf_dir, P)
+    if n_nodes == 0:
+        return pd.DataFrame(_EMPTY_PR)
+
+    cls = ray.remote(num_cpus=actor_cpus)(_PRPartition)
+    actors = [cls.remote(p, P, damping, n_nodes) for p in range(P)]
+
+    def push(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["part"].iloc[0])
+        ray.get(actors[pid].load.remote(g[["src", "dst"]]))
+        return pd.DataFrame({"pid": np.array([pid], dtype=np.int64),
+                             "rows": np.array([len(g)], dtype=np.int64)})
+
+    # route each edge partition to its actor cluster-side (the streaming
+    # router pattern); the driver sees only (pid, rows) acks
+    edges.groupby("part").map_groups(push, batch_format="pandas") \
+        .materialize()
+    ray.get([a.finalize.remote() for a in actors])
+
+    for _ in range(iters):
+        outs = [a.emit.options(num_returns=P).remote() for a in actors]
+        ray.get([actors[q].apply.remote(*[outs[p][q] for p in range(P)])
+                 for q in range(P)])
+
+    out = pd.concat(ray.get([a.collect.remote() for a in actors]),
+                    ignore_index=True)
+    for a in actors:
+        ray.kill(a)
+    return _pr_format(out["node"].to_numpy(np.int64),
+                      out["rank"].to_numpy(np.float64))

@@ -13,20 +13,23 @@ from conftest import assert_frames_match as _cmp
 from conftest import duck_sql
 
 
-def test_pagerank_matches_sql(sf_dir):
+@pytest.fixture(scope="module")
+def pagerank_result(sf_dir):
     got = Q.queries()["customer_supplier_pagerank"](sf_dir)
-    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    return got.to_pandas() if hasattr(got, "to_pandas") else got
+
+
+def test_pagerank_matches_sql(sf_dir, pagerank_result):
     want = duck_sql(sf_dir, Q.oracle_sql()["customer_supplier_pagerank"],
                     tables=("lineitem", "orders"))
     assert len(want) > 0
-    _cmp(got, want)
+    _cmp(pagerank_result, want)
 
 
-def test_pagerank_mass_conservation(sf_dir):
+def test_pagerank_mass_conservation(sf_dir, pagerank_result):
     """A symmetrized graph has no dangling nodes, so total rank mass is
     exactly 1 after any number of damped iterations (up to rounding)."""
-    out = Q.queries()["customer_supplier_pagerank"](sf_dir)
-    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    out = pagerank_result
     assert out["node"].is_unique
     assert abs(out["rank"].sum() - 1.0) < 1e-6
     assert (out["rank"] > 0).all()
@@ -159,3 +162,12 @@ def test_levenshtein_kernel():
         a = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 30)))
         b = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 30)))
         assert _levenshtein(a, b) == ref(a, b), (a, b)
+
+
+def test_pagerank_pinned_equals_dataset_variant(sf_dir, pagerank_result):
+    """The Pregel-style pinned-actor variant must emit exactly the Dataset
+    variant's rows (same graph, same math, same rounding)."""
+    b = Q.queries()["customer_supplier_pagerank_pinned"](sf_dir)
+    b = b.to_pandas() if hasattr(b, "to_pandas") else b
+    pd.testing.assert_frame_equal(pagerank_result.reset_index(drop=True),
+                                  b.reset_index(drop=True))
