@@ -570,6 +570,7 @@ def queries() -> dict:
         "quality_filter": text.quality_filter,
         "top_bigrams": text.top_bigrams,
         "token_cooccurrence": text.token_cooccurrence,
+        "bpe_pair_counts": text.bpe_pair_counts,
         "rarest_terms": text.rarest_terms,
         "tfidf_top_terms": text.tfidf_top_terms,
         "unigram_surprisal": text.unigram_surprisal,
@@ -1361,6 +1362,15 @@ def oracle_sql() -> dict:
                    FROM p a JOIN p b ON b.doc_id = a.doc_id
                        AND b.pos > a.pos AND b.pos <= a.pos + 3)
             SELECT pair, count(*) AS n FROM pr GROUP BY pair
+            ORDER BY n DESC, pair LIMIT 30""",
+        "bpe_pair_counts": f"""
+            WITH t AS (SELECT {TOKENS_SQL} AS toks FROM documents),
+            w AS (SELECT unnest(toks) AS word FROM t),
+            wc AS (SELECT word, count(*) AS wn FROM w GROUP BY word),
+            p AS (SELECT substring(word, i, 2) AS pair, wn
+                  FROM wc,
+                       UNNEST(generate_series(1, length(word) - 1)) AS s(i))
+            SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM p GROUP BY pair
             ORDER BY n DESC, pair LIMIT 30""",
         "rarest_terms": f"""
             WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),

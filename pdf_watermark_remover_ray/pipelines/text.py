@@ -1789,3 +1789,53 @@ def token_cooccurrence(sf_dir: str, window: int = 3, k: int = 30,
     merged = counts.map_batches(block_topk, batch_format="pandas").to_pandas()
     return merged.sort_values(["n", "pair"], ascending=[False, True],
                               kind="mergesort").head(k).reset_index(drop=True)
+
+def bpe_pair_counts(sf_dir: str, k: int = 30):
+    """The first BPE merge step of tokenizer training: corpus-weighted
+    counts of ADJACENT CHARACTER pairs, computed over the UNIQUE-word
+    vocabulary with word frequencies as weights (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units" —
+    public).  The top pair is what a BPE trainer would merge first.
+
+    Two vocabulary-bounded stages: (1) word frequencies — per-batch
+    value_counts partials, one vocab-sized groupby-sum; (2) overlapping
+    char-pair explode over the VOCAB (not the corpus: each unique word's
+    pairs extract once and carry its weight), partial pair sums, one
+    pair-vocabulary groupby-sum, block top-k, tiny driver merge.  The
+    corpus text crosses the wire once; everything downstream scales with
+    vocabulary."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    from ray.data.aggregate import Sum
+
+    def word_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = _token_lists(df["text"]).explode().dropna().value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(),
+                             "partial_n": vc.to_numpy(np.int64)})
+
+    vocab = ds.map_batches(word_partial, batch_format="pandas") \
+        .groupby("word").aggregate(Sum("partial_n", alias_name="wn"))
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["word"].astype(str)
+        pairs = w.str.findall(r"(?=(..))")  # overlapping char 2-grams
+        ex = pairs.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({"pair": pd.Series([], dtype=str),
+                                 "partial_n": pd.Series([], dtype=np.int64)})
+        wn = df["wn"].reindex(ex.index).to_numpy(np.int64)
+        g = pd.DataFrame({"pair": ex.to_numpy(), "n": wn}) \
+            .groupby("pair", sort=False)["n"].sum()
+        return pd.DataFrame({"pair": g.index.to_numpy(),
+                             "partial_n": g.to_numpy(np.int64)})
+
+    counts = vocab.map_batches(pair_partial, batch_format="pandas") \
+        .groupby("pair").aggregate(Sum("partial_n", alias_name="n"))
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "pair"], ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    merged = counts.map_batches(block_topk, batch_format="pandas").to_pandas()
+    return merged.sort_values(["n", "pair"], ascending=[False, True],
+                              kind="mergesort").head(k).reset_index(drop=True)

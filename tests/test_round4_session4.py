@@ -171,3 +171,13 @@ def test_pagerank_pinned_equals_dataset_variant(sf_dir, pagerank_result):
     b = b.to_pandas() if hasattr(b, "to_pandas") else b
     pd.testing.assert_frame_equal(pagerank_result.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_bpe_pair_counts_matches_sql(sf_dir):
+    got = Q.queries()["bpe_pair_counts"](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duck_sql(sf_dir, Q.oracle_sql()["bpe_pair_counts"],
+                    tables=("documents",))
+    assert len(want) > 0
+    _cmp(got, want)
+    assert (got["pair"].str.len() == 2).all()
