@@ -516,6 +516,7 @@ def queries() -> dict:
         "lineitem_regression_stats": relational.lineitem_regression_stats,
         "user_mode_event": relational.user_mode_event,
         "event_value_mad": relational.event_value_mad,
+        "events_zorder_pruned": relational.events_zorder_pruned,
         "order_price_ntile": relational.order_price_ntile,
         "customer_supplier_pagerank": relational.customer_supplier_pagerank,
         "customer_supplier_pagerank_pinned":
@@ -1138,6 +1139,7 @@ def oracle_sql() -> dict:
             relational.lineitem_regression_stats_oracle_sql(),
         "user_mode_event": relational.user_mode_event_oracle_sql(),
         "event_value_mad": relational.event_value_mad_oracle_sql(),
+        "events_zorder_pruned": relational.events_zorder_oracle_sql(),
         "order_price_ntile": relational.order_price_ntile_oracle_sql(),
         "customer_supplier_pagerank":
             relational.customer_supplier_pagerank_oracle_sql(),

@@ -2977,3 +2977,134 @@ def customer_supplier_pagerank_pinned(sf_dir: str, iters: int = 3,
         ray.kill(a)
     return _pr_format(out["node"].to_numpy(np.int64),
                       out["rank"].to_numpy(np.float64))
+
+def _interleave16(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Morton/Z-order interleave of two 16-bit columns into one int64 —
+    vectorized magic-number bit spreading (public technique, e.g. the
+    "Interleave bits by Binary Magic Numbers" page of Sean Anderson's Bit
+    Twiddling Hacks)."""
+    def spread(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.int64) & 0xFFFF
+        x = (x | (x << 8)) & 0x00FF00FF
+        x = (x | (x << 4)) & 0x0F0F0F0F
+        x = (x | (x << 2)) & 0x33333333
+        x = (x | (x << 1)) & 0x55555555
+        return x
+
+    return spread(a) | (spread(b) << 1)
+
+
+def events_zorder_pruned(sf_dir: str, user_lo: int = 1, user_hi: int = 6,
+                         day_lo: int = 19728, day_hi: int = 19742,
+                         n_files: int = 16):
+    """Physical-layout op: Z-ORDER the events table on (user_id, day) and
+    answer a 2-D range query through parquet footer min/max pruning.
+
+    The point of the z-curve: a sort on ONE column makes only that
+    column's per-file ranges tight; sorting by the interleaved Morton code
+    makes BOTH columns' per-file min/max tight simultaneously, so a
+    rectangle query prunes files on either dimension.  Layout: z-bucket =
+    top bits of the Morton code (``n_files`` buckets, one file each,
+    written hive-partitioned with commit markers); query: footer
+    min/max intersection picks the files, pyarrow row filters finish the
+    job.  Results are layout-transparent (the oracle is the plain SQL
+    range query); the PRUNING (files opened < files written) is asserted
+    by pytest, not the oracle."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..sinks.batch import write_hive_partitioned
+
+    if _pq_rows(sf_dir, "events") == 0:
+        return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                             "user_id": pd.Series([], dtype=np.int64),
+                             "day": pd.Series([], dtype=np.int64)})
+
+    def add_z(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["user_id"])
+        u = df["user_id"].to_numpy(np.int64)
+        day = (df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        z = _interleave16(u, day)
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(np.int64),
+                             "user_id": u, "day": day, "z": z})
+
+    zds = _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(add_z, batch_format="pandas").materialize()
+
+    # rank-based bucket bounds from per-batch evenly-ranked z samples (the
+    # boundary-sampling trick Ray's own sort uses) — top-bits bucketing
+    # would collapse when the key space is sparsely used
+    def z_sample(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.sort(df["z"].to_numpy(np.int64))
+        idx = np.linspace(0, len(z) - 1, num=min(64, len(z))).astype(int)
+        return pd.DataFrame({"z": z[idx]})
+
+    samp = np.sort(zds.map_batches(z_sample, batch_format="pandas")
+                   .to_pandas()["z"].to_numpy(np.int64))
+    bounds = samp[np.linspace(0, len(samp) - 1,
+                              num=n_files + 1).astype(int)][1:-1] \
+        if len(samp) > n_files else np.array([], dtype=np.int64)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["zbucket"] = np.searchsorted(
+            bounds, df["z"].to_numpy(np.int64)).astype(np.int64)
+        return df
+
+    ds = zds.map_batches(add_bucket, batch_format="pandas")
+
+    work = tempfile.mkdtemp(prefix="pwr_zorder_")
+    try:
+        write_hive_partitioned(ds, work, by="zbucket")
+        files = sorted(glob.glob(f"{work}/zbucket=*/*.parquet"))
+        opened = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            hit = False
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                cols = {row.column(i).path_in_schema: row.column(i).statistics
+                        for i in range(row.num_columns)}
+                su, sd = cols.get("user_id"), cols.get("day")
+                if su is None or sd is None or not su.has_min_max \
+                        or not sd.has_min_max:
+                    hit = True  # no stats: cannot prune, must read
+                    break
+                if (su.min <= user_hi and su.max >= user_lo
+                        and sd.min <= day_hi and sd.max >= day_lo):
+                    hit = True
+                    break
+            if hit:
+                opened.append(f)
+        events_zorder_pruned.last_prune = (len(opened), len(files))
+        if not opened:
+            return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                                 "user_id": pd.Series([], dtype=np.int64),
+                                 "day": pd.Series([], dtype=np.int64)})
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(opened).to_table(
+            columns=["event_id", "user_id", "day"],
+            filter=((pads.field("user_id") >= user_lo)
+                    & (pads.field("user_id") <= user_hi)
+                    & (pads.field("day") >= day_lo)
+                    & (pads.field("day") <= day_hi)))
+        return t.to_pandas().sort_values("event_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def events_zorder_oracle_sql(user_lo: int = 1, user_hi: int = 6,
+                             day_lo: int = 19728, day_hi: int = 19742) -> str:
+    return f"""
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM events
+        WHERE user_id BETWEEN {user_lo} AND {user_hi}
+          AND CAST(floor(epoch(ts) / 86400) AS BIGINT)
+              BETWEEN {day_lo} AND {day_hi}
+        ORDER BY event_id"""

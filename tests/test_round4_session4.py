@@ -181,3 +181,21 @@ def test_bpe_pair_counts_matches_sql(sf_dir):
     assert len(want) > 0
     _cmp(got, want)
     assert (got["pair"].str.len() == 2).all()
+
+
+def test_events_zorder_matches_sql(sf_dir):
+    from pdf_watermark_remover_ray.pipelines.relational import (
+        events_zorder_pruned)
+
+    got = Q.queries()["events_zorder_pruned"](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duck_sql(sf_dir, Q.oracle_sql()["events_zorder_pruned"],
+                    tables=("events",))
+    assert len(want) > 0
+    _cmp(got, want)
+    # the layout must actually PRUNE: the 2-D rectangle opens a strict
+    # subset of the z-bucket files (z-ordering makes BOTH columns' per-file
+    # min/max tight; a 1-column sort could only prune on that column)
+    opened, total = events_zorder_pruned.last_prune
+    assert total >= 8
+    assert opened < total, (opened, total)
