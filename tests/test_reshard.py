@@ -76,3 +76,51 @@ def test_reshard_requires_matching_old_cfg(fixture, tmp_path):  # noqa: F811
     with pytest.raises(ValueError, match="does not match"):
         reshard_checkpoint(out, replace(CFG, num_partitions=7),
                            replace(CFG, num_partitions=8))
+
+
+def test_cli_reshard_then_resume_with_wquant(fixture, tmp_path):  # noqa: F811
+    """End-to-end through jobs/run_stream.py: library run killed after one
+    epoch (wquant on), CLI --reshard-from to a new partition count, CLI
+    resume with the new count — every stream incl. wquant matches the
+    single-process oracle."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    from pdf_watermark_remover_ray.oracle import streaming_oracle
+    from test_streaming import NUM_FILES, assert_stream_equal, read_stream
+
+    table, paths, _ = fixture
+    wcfg = replace(CFG, wquant_ps=(50, 95))
+    golden = streaming_oracle(table, NUM_FILES, EPOCH_FILES, wcfg)
+    out = str(tmp_path / "out")
+    eng = StreamingEngine(paths, out, wcfg, epoch_files=EPOCH_FILES)
+    assert eng.run(kill_after_epoch=1)["killed_after"] == 1
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, RAY_ADDRESS="local",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    indir = os.path.dirname(paths[0])
+    common = [sys.executable, os.path.join(repo, "jobs", "run_stream.py"),
+              "--input", f"{indir}/*.parquet", "--out", out,
+              "--epoch-files", str(EPOCH_FILES),
+              "--lateness-us", str(CFG.lateness_us),
+              "--session-gap-us", str(CFG.session_gap_us),
+              "--join-gap-us", str(CFG.join_gap_us),
+              "--tumbling-us", str(CFG.tumbling_us)]
+    r1 = subprocess.run(common + ["--reshard-from", "4", "--partitions", "8"],
+                        env=env, capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    summary = _json.loads(r1.stdout.strip().splitlines()[-1])
+    assert summary["new_total"] == 8
+    r2 = subprocess.run(common + ["--partitions", "8",
+                                  "--wquant-ps", "50,95"],
+                        env=env, capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert_stream_equal(
+        read_stream(out, "wquant"), golden["wquant"],
+        ["conv_id", "window_start_us", "n_turns", "p50_chars", "p95_chars"])
+    assert_stream_equal(
+        read_stream(out, "turns"), golden["turns"],
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts", "modified"])
