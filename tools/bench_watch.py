@@ -110,8 +110,18 @@ def main() -> int:
                     print(f"streams-ab failed rc={r3.returncode}: "
                           f"{r3.stderr[-400:]}", flush=True)
                 return 0
+            # a rejected run is still the freshest HEAD-stamped evidence:
+            # record it as the fallback (healthy START, degraded finish),
+            # never overwriting the healthy-window record
+            rec["note"] = ("healthy-start fallback: pre-run probes >= "
+                           f"{THRESHOLD}x twice, post-run probe {post:.1f}x "
+                           "(degraded mid-run); BENCH_LOCAL.json keeps the "
+                           "healthy-window record per the accept protocol")
+            with open(os.path.join(REPO, "BENCH_HEAD.json"), "w") as f:
+                json.dump(rec, f, indent=1)
             print(f"rejected: post-bench probe {post:.1f}x "
-                  f"(ran into a degraded window)", flush=True)
+                  f"(ran into a degraded window) -> BENCH_HEAD.json fallback",
+                  flush=True)
             streak = 0
         time.sleep(INTERVAL)
     print("no healthy window found", flush=True)
