@@ -456,3 +456,44 @@ def test_followed_by_scan_matches_bruteforce(df, within_s):
             want.append((df["conv_id"].iloc[i],
                          int(df["turn_idx"].iloc[i]), min(cands)))
     assert got == sorted(want)
+
+
+# -- round-4 session-4 kernels ----------------------------------------------
+
+@given(st.lists(st.tuples(st.integers(0, 0xFFFF), st.integers(0, 0xFFFF)),
+                min_size=1, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_interleave16_is_injective_and_monotone_per_dim(pairs):
+    from pdf_watermark_remover_ray.pipelines.relational import _interleave16
+
+    a = np.array([p[0] for p in pairs], dtype=np.int64)
+    b = np.array([p[1] for p in pairs], dtype=np.int64)
+    z = _interleave16(a, b)
+    # injective: distinct (a, b) -> distinct z
+    assert len(set(zip(a.tolist(), b.tolist()))) == len(set(z.tolist()))
+    # monotone along each axis with the other held fixed
+    z2 = _interleave16(a + 1, b)
+    assert ((a + 1 > 0xFFFF) | (z2 > z)).all()
+    z3 = _interleave16(a, b + 1)
+    assert ((b + 1 > 0xFFFF) | (z3 > z)).all()
+
+
+@given(st.integers(1, 2000), st.integers(1, 100))
+@settings(max_examples=100, deadline=None)
+def test_wquant_rank_target_is_nearest_rank(n, p):
+    """ceil(n*p/100) in integer arithmetic, in [1, n], and equal to the
+    textbook float formula wherever the float is representable exactly."""
+    target = (n * p + 99) // 100
+    assert 1 <= target <= n
+    import math
+
+    assert target == math.ceil(n * p / 100) or (n * p) % 100 != 0
+
+
+def test_weighted_sample_monotone_in_weight():
+    """For a FIXED uniform u, raising a document's weight can only raise
+    its A-ES key u^(1/w) — heavier docs never become less likely."""
+    u = np.linspace(0.05, 0.95, 19)
+    w1 = u ** (1.0 / 10.0)
+    w2 = u ** (1.0 / 100.0)
+    assert (w2 >= w1).all()
