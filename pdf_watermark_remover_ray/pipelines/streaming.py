@@ -1353,10 +1353,13 @@ class StreamingEngine:
 
         from ..state.store import SortedStateStore
 
+        layout = read_layout(self.out_dir)
         last = self.sink.last_contiguous_epoch()
         base = last
         while base >= 0:
-            paths = [self.sink.state_path(base, p)
+            # resolve through the layout: a committed reshard's FULL
+            # snapshot at its epoch is a valid chain base
+            paths = [checkpoint_state_path(self.sink, layout, base, p)
                      for p in range(self.cfg.total_partitions)]
             if all(os.path.exists(p) for p in paths) and all(
                     SortedStateStore.snapshot_mode(p) == "full"
@@ -1364,8 +1367,9 @@ class StreamingEngine:
                 break
             base -= 1
         pruned = []
+        state_root = os.path.join(self.out_dir, "_state")
+        live_rdir = (layout or {}).get("reshard") or {}
         if base > 0:
-            state_root = os.path.join(self.out_dir, "_state")
             for d in sorted(os.listdir(state_root)):
                 if not d.startswith("epoch="):
                     continue
@@ -1373,6 +1377,17 @@ class StreamingEngine:
                 if e < base:
                     shutil.rmtree(os.path.join(state_root, d))
                     pruned.append(e)
+        # reshard dirs: keep only the layout's current one, and only while
+        # a chain can still walk to it (its epoch >= base)
+        for d in sorted(os.listdir(state_root)) if os.path.isdir(state_root) \
+                else []:
+            if not d.startswith("reshard-"):
+                continue
+            keep = (d == live_rdir.get("dir")
+                    and live_rdir.get("epoch", -1) >= base)
+            if not keep:
+                shutil.rmtree(os.path.join(state_root, d))
+                pruned.append(d)
         return {"chain_base_epoch": base, "pruned": pruned}
 
     def metrics_df(self) -> pd.DataFrame:

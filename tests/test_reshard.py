@@ -124,3 +124,34 @@ def test_cli_reshard_then_resume_with_wquant(fixture, tmp_path):  # noqa: F811
     assert_stream_equal(
         read_stream(out, "turns"), golden["turns"],
         ["conv_id", "turn_idx", "role", "text", "tool", "ts", "modified"])
+
+
+def test_prune_state_is_reshard_aware(fixture, tmp_path):  # noqa: F811
+    """GC resolves the chain base THROUGH the layout (a reshard's full
+    snapshot anchors it), prunes pre-reshard epoch state, drops stale
+    reshard dirs, and keeps the live one only while a chain needs it."""
+    import glob
+    import os
+
+    table, paths, golden = fixture
+    out = str(tmp_path / "out")
+    StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES) \
+        .run(kill_after_epoch=1)
+    cfg8 = replace(CFG, num_partitions=8)
+    reshard_checkpoint(out, CFG, cfg8)
+    eng = StreamingEngine(paths, out, cfg8, epoch_files=EPOCH_FILES)
+    eng.run(kill_after_epoch=3)
+    cfg2 = replace(CFG, num_partitions=2)
+    reshard_checkpoint(out, cfg8, cfg2)
+    eng2 = StreamingEngine(paths, out, cfg2, epoch_files=EPOCH_FILES)
+    eng2.run()
+    res = eng2.prune_state()
+    rdirs = [os.path.basename(d)
+             for d in glob.glob(f"{out}/_state/reshard-*")]
+    live = read_layout(out)["reshard"]["dir"]
+    assert all(d == live for d in rdirs)  # stale reshard-e1-* gone
+    assert "reshard-e1-p8" in res["pruned"]
+    # resume after GC is still a no-op with intact outputs
+    res2 = StreamingEngine(paths, out, cfg2, epoch_files=EPOCH_FILES).run()
+    assert res2.get("resumed_done") is True
+    _check_outputs(out, golden)
