@@ -942,3 +942,43 @@ def edit_dup_pairs(sf_dir: str, rel_threshold: float = 0.2,
                              "doc_b": pd.Series([], dtype=np.int64),
                              "dist": pd.Series([], dtype=np.int64)})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+def dedup_keep_best(sf_dir: str, threshold: float = 0.5):
+    """Near-dup clusters with a QUALITY keep rule: instead of
+    :func:`dedup_clusters`' min-doc_id representative, each cluster keeps
+    its highest-quality member (most whitespace tokens; ties to the lowest
+    doc_id) — what production dedup actually does before dropping rows
+    (the rep is an arbitrary label; the SURVIVOR is a policy decision).
+
+    Output: one row per cluster ``(rep_id, kept_doc_id, n_members,
+    kept_ws_tokens)``.  The token counts are computed ONLY for clustered
+    docs (the clustered id set broadcasts once; each batch scores its own
+    members) — the corpus never re-shuffles for the keep rule."""
+    clusters = dedup_clusters(sf_dir, threshold)
+    if not len(clusters):
+        return pd.DataFrame({"rep_id": pd.Series([], dtype=np.int64),
+                             "kept_doc_id": pd.Series([], dtype=np.int64),
+                             "n_members": pd.Series([], dtype=np.int64),
+                             "kept_ws_tokens": pd.Series([], dtype=np.int64)})
+    ref = ray.put(set(int(d) for d in clusters["doc_id"]))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        member = ray.get(ref)
+        df = df[df["doc_id"].isin(member)]
+        ws = df["text"].fillna("").str.split().str.len()
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "ws": ws.to_numpy(np.int64)})
+
+    scores = _read_docs(sf_dir).map_batches(score, batch_format="pandas") \
+        .to_pandas()  # bounded: clustered docs only (near-dup pair members)
+    m = clusters.merge(scores, on="doc_id")
+    m = m.sort_values(["rep_id", "ws", "doc_id"],
+                      ascending=[True, False, True], kind="mergesort")
+    top = m.drop_duplicates("rep_id")
+    size = m.groupby("rep_id", sort=True).size()
+    return pd.DataFrame({
+        "rep_id": top["rep_id"].to_numpy(np.int64),
+        "kept_doc_id": top["doc_id"].to_numpy(np.int64),
+        "n_members": size.reindex(top["rep_id"]).to_numpy(np.int64),
+        "kept_ws_tokens": top["ws"].to_numpy(np.int64),
+    }).sort_values("rep_id").reset_index(drop=True)

@@ -547,6 +547,7 @@ def queries() -> dict:
         "winnow_dup_pairs": dedup.winnow_dup_pairs,
         "edit_dup_pairs": dedup.edit_dup_pairs,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_keep_best": dedup.dedup_keep_best,
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "semantic_dedup": dedup.semantic_dedup,
@@ -752,6 +753,37 @@ def _ann_lsh_sql(n_queries: int = 10, k: int = 5, n_planes: int = 10,
         QUALIFY row_number() OVER (
             PARTITION BY c.query_id
             ORDER BY list_cosine_similarity(q.qe, e.emb) DESC, c.vec_id ASC) <= {k}"""
+
+
+def _keep_best_sql(threshold: float = 0.5) -> str:
+    """Cluster closure + quality keep rule: per cluster the member with the
+    most whitespace tokens (ties -> lowest doc_id)."""
+    ctes, final = _minhash_ctes(threshold)
+    return f"""
+        WITH RECURSIVE {ctes},
+        pairs AS ({final}),
+        nodes AS (SELECT doc_a AS node FROM pairs
+                  UNION SELECT doc_b FROM pairs),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+        clusters AS (SELECT node AS doc_id, min(lab) AS rep_id
+                     FROM reach GROUP BY node),
+        tok AS (SELECT doc_id,
+                       CAST(len({TOKENS_SQL}) AS BIGINT) AS ws
+                FROM documents),
+        scored AS (SELECT c.rep_id, c.doc_id, t.ws
+                   FROM clusters c JOIN tok t USING (doc_id))
+        SELECT rep_id, kept_doc_id, n_members, kept_ws_tokens FROM (
+            SELECT rep_id, doc_id AS kept_doc_id, ws AS kept_ws_tokens,
+                   count(*) OVER (PARTITION BY rep_id) AS n_members,
+                   row_number() OVER (PARTITION BY rep_id
+                                      ORDER BY ws DESC, doc_id) AS rn
+            FROM scored)
+        WHERE rn = 1 ORDER BY rep_id"""
 
 
 def _clusters_sql(threshold: float = 0.5) -> str:
@@ -1281,6 +1313,7 @@ def oracle_sql() -> dict:
             FROM c""".replace("{TOKENS}", TOKENS_SQL),
         "minhash_lsh_pairs": _minhash_sql(threshold=0.5),
         "dedup_clusters": _clusters_sql(threshold=0.5),
+        "dedup_keep_best": _keep_best_sql(threshold=0.5),
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "ann_topk_lsh": _ann_lsh_sql(),
         "token_counts": f"""

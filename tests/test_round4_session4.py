@@ -199,3 +199,18 @@ def test_events_zorder_matches_sql(sf_dir):
     opened, total = events_zorder_pruned.last_prune
     assert total >= 8
     assert opened < total, (opened, total)
+
+
+def test_dedup_keep_best_matches_sql(sf_dir):
+    got = Q.queries()["dedup_keep_best"](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duck_sql(sf_dir, Q.oracle_sql()["dedup_keep_best"],
+                    tables=("documents",))
+    assert len(want) > 0
+    _cmp(got, want)
+    # the keep rule must sometimes differ from min-doc_id (else vacuous)
+    clusters = Q.queries()["dedup_clusters"](sf_dir)
+    clusters = clusters.to_pandas() if hasattr(clusters, "to_pandas") \
+        else clusters
+    assert (got["kept_doc_id"] != got["rep_id"]).any() or \
+        len(got) == clusters["rep_id"].nunique()
