@@ -436,6 +436,33 @@ def q_partitioned_roundtrip(sf_dir: str, langs=("en", "fr")):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink path (the interchange format LLM corpora actually
+    arrive in): documents stream to line-delimited JSON via
+    ``Dataset.write_json`` (one shard per block — the write itself is
+    distributed, no driver serialization) and back via ``read_json``;
+    the oracle (the plain parquet table) proves the format roundtrip is
+    lossless including null text."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    work = tempfile.mkdtemp(prefix="pwr_jsonl_")
+    try:
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text", "lang",
+                                            "n_chars"])
+        ds.write_json(work)
+        back = ray.data.read_json(work).to_pandas()
+        back["doc_id"] = back["doc_id"].astype(np.int64)
+        back["n_chars"] = back["n_chars"].astype(np.int64)
+        return back[["doc_id", "text", "lang", "n_chars"]] \
+            .sort_values("doc_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def queries() -> dict:
     return {
         # transcript / streaming family
@@ -540,6 +567,7 @@ def queries() -> dict:
         "mix_rebalanced_documents": mix_rebalanced_documents,
         "user_daily_activity": relational.user_daily_activity,
         "partitioned_roundtrip": q_partitioned_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -1282,6 +1310,9 @@ def oracle_sql() -> dict:
         "ngram_decontaminate": ngram_decontaminate_oracle_sql(),
         "mix_rebalanced_documents": mix_rebalanced_oracle_sql(),
         "user_daily_activity": relational.user_daily_activity_oracle_sql(),
+        "jsonl_roundtrip": """
+            SELECT doc_id, text, lang, n_chars FROM documents
+            ORDER BY doc_id""",
         "partitioned_roundtrip": """
             SELECT doc_id, coalesce(lang, '') AS lang
             FROM documents WHERE coalesce(lang, '') IN ('en', 'fr')""",

@@ -214,3 +214,12 @@ def test_dedup_keep_best_matches_sql(sf_dir):
         else clusters
     assert (got["kept_doc_id"] != got["rep_id"]).any() or \
         len(got) == clusters["rep_id"].nunique()
+
+
+def test_jsonl_roundtrip_matches_sql(sf_dir):
+    got = Q.queries()["jsonl_roundtrip"](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duck_sql(sf_dir, Q.oracle_sql()["jsonl_roundtrip"],
+                    tables=("documents",))
+    assert len(want) > 0
+    _cmp(got, want)
