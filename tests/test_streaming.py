@@ -913,3 +913,23 @@ def test_enrich_stream_matches_oracle_and_survives_kill(fixture, tmp_path):
     assert res["killed_after"] == 1
     StreamingEngine(paths, out2, cfg, epoch_files=EPOCH_FILES).run()
     assert_stream_equal(read_stream(out2, "enrich"), golden["enrich"], cols)
+
+
+def test_additive_schema_evolution_tolerated(fixture, tmp_path):
+    """An input file carrying EXTRA columns (additive schema evolution —
+    the only evolution a streaming source can tolerate without a policy)
+    must stream through untouched: the route path projects the canonical
+    columns and outputs stay golden-identical."""
+    import pyarrow as pa
+
+    table, paths, golden = fixture
+    d = tmp_path / "evo_in"
+    evo_paths = write_transcripts(table, str(d), num_files=NUM_FILES,
+                                  split_by="ts")
+    t2 = pq.read_table(evo_paths[2])
+    t2 = t2.append_column("meta", pa.array(["v2"] * t2.num_rows))
+    pq.write_table(t2, evo_paths[2])
+    out = str(tmp_path / "evo_out")
+    res = StreamingEngine(evo_paths, out, CFG, epoch_files=EPOCH_FILES).run()
+    assert res["all_succeeded"]
+    _check_outputs(out, golden)
