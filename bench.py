@@ -453,30 +453,44 @@ def run_streams_ab() -> dict:
 
     health_before = probe()
     base_kw = dict(num_partitions=32, epoch_rows=BENCH_ROWS // 8)
-    runs = {"all_on": best_of(StreamConfig(**base_kw))}
+    # PAIRED A/B: every variant run is immediately preceded by its own
+    # all-on reference run, and the marginal is computed within the pair —
+    # the shared VM's capacity drifts on the minutes scale, so a single
+    # up-front baseline poisons the later rows (observed: -68% "marginals"
+    # when the host degraded mid-sweep); adjacent pairing cancels drift to
+    # the ~45 s pair span.
+    variants = {}
     for name, members in GROUPS.items():
         off = tuple(s for s in ALL if s not in members)
-        runs[name] = best_of(StreamConfig(**base_kw, emit_streams=off))
-    runs["cepp_add"] = best_of(StreamConfig(**base_kw, cep_terms=(
+        variants[name] = ("off", StreamConfig(**base_kw, emit_streams=off))
+    variants["cepp"] = ("add", StreamConfig(**base_kw, cep_terms=(
         Term(role="user", text_regex=r"\bstream\b"),
         Term(role="tool", tool="search"), Term(role="assistant"))))
-    runs["wquant_add"] = best_of(StreamConfig(**base_kw,
-                                              wquant_ps=(50, 95)))
+    variants["wquant"] = ("add", StreamConfig(**base_kw, wquant_ps=(50, 95)))
+    runs = {}
+    table = {}
+    refs = []
+    for name, (kind, cfg_v) in variants.items():
+        pair = []
+        for _ in range(repeat):
+            ref = run_once(StreamConfig(**base_kw))
+            var = run_once(cfg_v)
+            pair.append((ref, var))
+        refs.extend(r for r, _ in pair)
+        # the pair with the FASTEST reference ran in the cleanest window
+        ref, var = min(pair)
+        runs[name] = pair
+        if kind == "off":
+            table[name] = {"ref_s": ref, "off_s": var,
+                           "marginal_s": round(ref - var, 3),
+                           "marginal_pct": round(100 * (ref - var) / ref, 1)}
+        else:
+            table[name] = {"ref_s": ref, "on_s": var,
+                           "marginal_s": round(var - ref, 3),
+                           "marginal_pct": round(100 * (var - ref) / ref, 1)}
     health_after = probe()
     ray.shutdown()
-
-    base = min(runs["all_on"])
-    table = {}
-    for name in GROUPS:
-        off_s = min(runs[name])
-        table[name] = {"off_s": off_s, "marginal_s": round(base - off_s, 3),
-                       "marginal_pct": round(100 * (base - off_s) / base, 1)}
-    cepp = min(runs["cepp_add"])
-    table["cepp"] = {"on_s": cepp, "marginal_s": round(cepp - base, 3),
-                     "marginal_pct": round(100 * (cepp - base) / base, 1)}
-    wq = min(runs["wquant_add"])
-    table["wquant"] = {"on_s": wq, "marginal_s": round(wq - base, 3),
-                       "marginal_pct": round(100 * (wq - base) / base, 1)}
+    base = min(refs)
     return {"mode": "streams_ab", "rows": BENCH_ROWS, "num_cpus": num_cpus,
             "baseline_s": base, "runs": runs, "marginal": table,
             "host_parallel_speedup_before": health_before,
