@@ -601,6 +601,7 @@ def queries() -> dict:
         "top_bigrams": text.top_bigrams,
         "token_cooccurrence": text.token_cooccurrence,
         "bpe_pair_counts": text.bpe_pair_counts,
+        "zipf_slope": text.zipf_slope,
         "rarest_terms": text.rarest_terms,
         "tfidf_top_terms": text.tfidf_top_terms,
         "unigram_surprisal": text.unigram_surprisal,
@@ -1438,6 +1439,15 @@ def oracle_sql() -> dict:
                        UNNEST(generate_series(1, length(word) - 1)) AS s(i))
             SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM p GROUP BY pair
             ORDER BY n DESC, pair LIMIT 30""",
+        "zipf_slope": f"""
+            WITH tk AS (SELECT unnest({TOKENS_SQL}) AS token FROM documents),
+            cnt AS (SELECT token, count(*) AS n FROM tk GROUP BY token),
+            top AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r
+                    FROM cnt ORDER BY n DESC, token LIMIT 200)
+            SELECT count(*) AS k,
+                   round(regr_slope(ln(n), ln(r)), 7) AS slope,
+                   round(regr_intercept(ln(n), ln(r)), 7) AS intercept
+            FROM top""",
         "rarest_terms": f"""
             WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
             tok AS (SELECT DISTINCT doc_id, term

@@ -1839,3 +1839,29 @@ def bpe_pair_counts(sf_dir: str, k: int = 30):
     merged = counts.map_batches(block_topk, batch_format="pandas").to_pandas()
     return merged.sort_values(["n", "pair"], ascending=[False, True],
                               kind="mergesort").head(k).reset_index(drop=True)
+
+def zipf_slope(sf_dir: str, k: int = 200):
+    """Corpus Zipf diagnostic: the least-squares slope of ln(frequency) on
+    ln(rank) over the top-``k`` tokens — natural text sits near -1; a
+    slope far off flags synthetic/templated or boilerplate-heavy corpora
+    (a standard corpus-health check before training).
+
+    The heavy part is the vocabulary count (reused
+    :func:`vocab_top_tokens` — one vocabulary-bounded aggregate); the
+    regression itself runs on k rows driver-side, bit-replayed by the
+    oracle's ``regr_slope``/``regr_intercept`` over identical ln values."""
+    v = vocab_top_tokens(sf_dir, k)
+    n = v["n"].to_numpy(np.float64)
+    r = np.arange(1, len(v) + 1, dtype=np.float64)
+    x, y = np.log(r), np.log(n)
+    kk = float(len(v))
+    sx, sy, sxx, sxy = x.sum(), y.sum(), (x * x).sum(), (x * y).sum()
+    slope = (sxy - sx * sy / kk) / (sxx - sx ** 2 / kk)
+    intercept = (sy - slope * sx) / kk
+    from ..functions.rounding import round_half_away
+
+    return pd.DataFrame({"k": np.array([len(v)], dtype=np.int64),
+                         "slope": round_half_away(
+                             np.array([slope]), 7),
+                         "intercept": round_half_away(
+                             np.array([intercept]), 7)})

@@ -223,3 +223,12 @@ def test_jsonl_roundtrip_matches_sql(sf_dir):
                     tables=("documents",))
     assert len(want) > 0
     _cmp(got, want)
+
+
+def test_zipf_slope_matches_sql(sf_dir):
+    got = Q.queries()["zipf_slope"](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duck_sql(sf_dir, Q.oracle_sql()["zipf_slope"],
+                    tables=("documents",))
+    _cmp(got, want)
+    assert got["slope"].iloc[0] < 0  # frequency falls with rank
