@@ -134,9 +134,14 @@ def main(argv: list[str] | None = None) -> int:
                             dedup_ttl_us=args.dedup_ttl_us,
                             cep_within_us=args.cep_within_us,
                             max_open_rows_per_key=args.max_open_rows_per_key)
-        lay = read_layout(args.out)  # auto-detected hot keys are part of
+        lay = read_layout(args.out)  # hot keys + stream set are part of
         if lay:                      # the persisted layout: carry them over
-            base = _replace(base, hot_keys=tuple(lay["hot_keys"]))
+            base = _replace(
+                base, hot_keys=tuple(lay["hot_keys"]),
+                emit_streams=tuple(lay["emit_streams"])
+                if lay.get("emit_streams") is not None else None,
+                wquant_ps=tuple(lay["wquant_ps"])
+                if lay.get("wquant_ps") is not None else None)
         summary = reshard_checkpoint(
             args.out, base, _replace(base, num_partitions=args.partitions))
         print(json.dumps(summary))

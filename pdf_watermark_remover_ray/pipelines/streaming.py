@@ -1252,11 +1252,17 @@ class StreamingEngine:
             raise ValueError(
                 f"StreamingEngine: checkpoint at {out_dir} was written with "
                 f"P={layout['num_partitions']} hot_keys="
-                f"{layout['hot_keys']}; resuming with "
+                f"{layout['hot_keys']} emit_streams="
+                f"{layout.get('emit_streams')} wquant_ps="
+                f"{layout.get('wquant_ps')}; resuming with "
                 f"P={self.cfg.num_partitions} hot_keys="
-                f"{list(self.cfg.hot_keys)} would mis-route keyed state. "
-                f"Run state.reshard.reshard_checkpoint(out_dir, old_cfg, "
-                f"new_cfg) first.")
+                f"{list(self.cfg.hot_keys)} emit_streams="
+                f"{self.cfg.emit_streams and sorted(self.cfg.emit_streams)} "
+                f"wquant_ps={self.cfg.wquant_ps} would mis-route or "
+                f"mis-emit keyed state. For a partition-count change run "
+                f"state.reshard.reshard_checkpoint(out_dir, old_cfg, "
+                f"new_cfg) first; the stream set must stay identical "
+                f"across a resume chain.")
         self.epochs = [self.paths[i:i + epoch_files]
                        for i in range(0, len(self.paths), epoch_files)]
         self._tracker = None

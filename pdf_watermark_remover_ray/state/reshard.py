@@ -48,7 +48,12 @@ LAYOUT_FILE = "_layout.json"
 
 def layout_of(cfg) -> dict:
     return {"num_partitions": cfg.num_partitions,
-            "hot_keys": list(cfg.hot_keys), "reshard": None}
+            "hot_keys": list(cfg.hot_keys),
+            "emit_streams": sorted(cfg.emit_streams)
+            if cfg.emit_streams is not None else None,
+            "wquant_ps": list(cfg.wquant_ps)
+            if cfg.wquant_ps is not None else None,
+            "reshard": None}
 
 
 def read_layout(out_dir: str) -> dict | None:
@@ -68,8 +73,24 @@ def write_layout(out_dir: str, layout: dict) -> None:
 
 
 def layout_matches(layout: dict, cfg) -> bool:
-    return (layout["num_partitions"] == cfg.num_partitions
-            and list(layout["hot_keys"]) == list(cfg.hot_keys))
+    """Partition layout AND stream-set compatibility: a disabled stream's
+    state kinds stay empty, so flipping a stream on mid-chain would emit
+    from missing state — the guard refuses it like a partition-count
+    change.  Keys absent from an old checkpoint's layout are unknown and
+    accepted (additive guard evolution)."""
+    if (layout["num_partitions"] != cfg.num_partitions
+            or list(layout["hot_keys"]) != list(cfg.hot_keys)):
+        return False
+    if "emit_streams" in layout:
+        want = sorted(cfg.emit_streams) if cfg.emit_streams is not None \
+            else None
+        if layout["emit_streams"] != want:
+            return False
+    if "wquant_ps" in layout:
+        want = list(cfg.wquant_ps) if cfg.wquant_ps is not None else None
+        if layout["wquant_ps"] != want:
+            return False
+    return True
 
 
 def checkpoint_state_path(sink: EpochSink, layout: dict | None,
@@ -148,8 +169,8 @@ def reshard_checkpoint(out_dir: str, old_cfg, new_cfg) -> dict:
     for q, st in enumerate(new_stores):
         st.snapshot(os.path.join(absdir, f"part-{q}.parquet"),
                     mode="full", wm_after_us=wm)
-    write_layout(out_dir, {"num_partitions": new_cfg.num_partitions,
-                           "hot_keys": list(new_cfg.hot_keys),
-                           "reshard": {"epoch": e, "dir": rdir}})
+    new_layout = layout_of(new_cfg)
+    new_layout["reshard"] = {"epoch": e, "dir": rdir}
+    write_layout(out_dir, new_layout)
     return {"epoch": e, "old_total": old_cfg.total_partitions,
             "new_total": new_total, "rows_moved": moved, "dir": rdir}

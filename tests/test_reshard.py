@@ -155,3 +155,23 @@ def test_prune_state_is_reshard_aware(fixture, tmp_path):  # noqa: F811
     res2 = StreamingEngine(paths, out, cfg2, epoch_files=EPOCH_FILES).run()
     assert res2.get("resumed_done") is True
     _check_outputs(out, golden)
+
+
+def test_stream_set_change_mid_chain_refused(fixture, tmp_path):  # noqa: F811
+    """emit_streams / wquant_ps are part of the checkpoint's meaning: a
+    disabled stream's state kinds stay empty, so flipping one on mid-chain
+    would emit from missing state — the layout guard refuses both."""
+    table, paths, golden = fixture
+    out = str(tmp_path / "out")
+    StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES) \
+        .run(kill_after_epoch=1)
+    with pytest.raises(ValueError, match="stream set"):
+        StreamingEngine(paths, out, replace(CFG, wquant_ps=(50,)),
+                        epoch_files=EPOCH_FILES)
+    with pytest.raises(ValueError, match="stream set"):
+        StreamingEngine(paths, out,
+                        replace(CFG, emit_streams=("sessions",)),
+                        epoch_files=EPOCH_FILES)
+    # identical config still resumes
+    StreamingEngine(paths, out, CFG, epoch_files=EPOCH_FILES).run()
+    _check_outputs(out, golden)
