@@ -69,7 +69,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--emit-streams", default=None,
                     help="comma-separated optional output streams to enable "
                          "(sessions,windows,wstats,sliding,wdistinct,wtopk,"
-                         "matches,timeouts,cep,cepk,dedup); default: all. "
+                         "matches,timeouts,cep,cepk,dedup,wquant); default: "
+                         "all. "
                          "Disabled streams skip their fold/state/emit cost "
                          "entirely. Must match across a resume chain.")
     ap.add_argument("--enrich", action="store_true",
