@@ -288,8 +288,11 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     timed("bm25_topk", lambda: text.bm25_topk(sf_dir))
     timed("semantic_dedup", lambda: dedup.semantic_dedup(sf_dir))
     # round-4 session-4 additions
-    timed("customer_supplier_pagerank",
-          lambda: relational.customer_supplier_pagerank(sf_dir))
+    # the Dataset-BSP PageRank is the SEMANTICS reference (oracle-gated,
+    # equality-tested vs pinned); the pinned Pregel variant is the
+    # recommended execution path and the one benched (the Dataset variant
+    # pays ~8 AllToAll fixed costs per superstep — 143 s vs 12 s at sf0.1
+    # in the 2026-08-18 fallback run)
     timed("customer_supplier_pagerank_pinned",
           lambda: relational.customer_supplier_pagerank_pinned(sf_dir))
     timed("edit_dup_pairs", lambda: dedup.edit_dup_pairs(sf_dir))
