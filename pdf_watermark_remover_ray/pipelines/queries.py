@@ -463,6 +463,32 @@ def q_jsonl_roundtrip(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV source/sink path (the other interchange format): the NUMERIC
+    projection of events streams to CSV shards via ``Dataset.write_csv``
+    and back via ``read_csv`` (schema re-inferred from the files); the
+    parquet-table oracle proves the roundtrip lossless.  Text columns stay
+    out of the CSV path on purpose — CSV's quoting/NULL ambiguity makes it
+    the wrong carrier for free text (that is what the JSONL path is for),
+    and the docstring IS that policy."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    work = tempfile.mkdtemp(prefix="pwr_csv_")
+    try:
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "user_id", "value"])
+        ds.write_csv(work)
+        back = ray.data.read_csv(work).to_pandas()
+        back["event_id"] = back["event_id"].astype(np.int64)
+        return back[["event_id", "user_id", "value"]] \
+            .sort_values("event_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def queries() -> dict:
     return {
         # transcript / streaming family
@@ -568,6 +594,7 @@ def queries() -> dict:
         "user_daily_activity": relational.user_daily_activity,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -1314,6 +1341,9 @@ def oracle_sql() -> dict:
         "jsonl_roundtrip": """
             SELECT doc_id, text, lang, n_chars FROM documents
             ORDER BY doc_id""",
+        "csv_roundtrip": """
+            SELECT event_id, user_id, value FROM events
+            ORDER BY event_id""",
         "partitioned_roundtrip": """
             SELECT doc_id, coalesce(lang, '') AS lang
             FROM documents WHERE coalesce(lang, '') IN ('en', 'fr')""",

@@ -232,3 +232,12 @@ def test_zipf_slope_matches_sql(sf_dir):
                     tables=("documents",))
     _cmp(got, want)
     assert got["slope"].iloc[0] < 0  # frequency falls with rank
+
+
+def test_csv_roundtrip_matches_sql(sf_dir):
+    got = Q.queries()["csv_roundtrip"](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duck_sql(sf_dir, Q.oracle_sql()["csv_roundtrip"],
+                    tables=("events",))
+    assert len(want) > 0
+    _cmp(got, want)
