@@ -100,3 +100,33 @@ def curate_corpus_oracle_sql(tokens_sql: str) -> str:
                    AND CAST(nd AS DOUBLE) / n >= {QUALITY_MIN_DISTINCT_RATIO})
         SELECT min(doc_id) AS doc_id, CAST(min(n) AS BIGINT) AS n_tokens
         FROM kept GROUP BY txt"""
+
+
+def prepared_corpus(sf_dir: str, num_partitions: int = 16):
+    """The full training-prep composition a reference user would run as
+    their whole pipeline: quality filter -> exact-dedup winners
+    (:func:`curate_corpus`, one text pass) INTERSECT near-dup keep-best
+    survivors (MinHash clusters with the quality keep rule,
+    ``dedup.dedup_keep_best``) -> (doc_id, n_tokens).
+
+    The near-dup DROP set (cluster members minus each cluster's kept
+    member) is bounded by near-dup pair membership, so it broadcasts once
+    via ``ray.put`` and the curate stream filters in place -- the two
+    heavy passes (quality+hash scan, MinHash banding) stay independent
+    single scans of the corpus; nothing re-shuffles to compose them."""
+    import ray
+
+    from .dedup import dedup_clusters, dedup_keep_best
+
+    clusters = dedup_clusters(sf_dir)
+    kept = dedup_keep_best(sf_dir, clusters=clusters)
+    drop = set(int(d) for d in clusters["doc_id"]) \
+        - set(int(d) for d in kept["kept_doc_id"])
+    ref = ray.put(drop)
+
+    def not_dropped(df: pd.DataFrame) -> pd.DataFrame:
+        dd = ray.get(ref)
+        return df[~df["doc_id"].isin(dd)]
+
+    return curate_corpus(sf_dir, num_partitions) \
+        .map_batches(not_dropped, batch_format="pandas")

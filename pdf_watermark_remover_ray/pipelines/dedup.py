@@ -943,7 +943,7 @@ def edit_dup_pairs(sf_dir: str, rel_threshold: float = 0.2,
                              "dist": pd.Series([], dtype=np.int64)})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
-def dedup_keep_best(sf_dir: str, threshold: float = 0.5):
+def dedup_keep_best(sf_dir: str, threshold: float = 0.5, clusters=None):
     """Near-dup clusters with a QUALITY keep rule: instead of
     :func:`dedup_clusters`' min-doc_id representative, each cluster keeps
     its highest-quality member (most whitespace tokens; ties to the lowest
@@ -954,7 +954,8 @@ def dedup_keep_best(sf_dir: str, threshold: float = 0.5):
     kept_ws_tokens)``.  The token counts are computed ONLY for clustered
     docs (the clustered id set broadcasts once; each batch scores its own
     members) — the corpus never re-shuffles for the keep rule."""
-    clusters = dedup_clusters(sf_dir, threshold)
+    if clusters is None:
+        clusters = dedup_clusters(sf_dir, threshold)
     if not len(clusters):
         return pd.DataFrame({"rep_id": pd.Series([], dtype=np.int64),
                              "kept_doc_id": pd.Series([], dtype=np.int64),

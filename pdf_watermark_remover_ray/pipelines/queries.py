@@ -509,6 +509,7 @@ def queries() -> dict:
         "tool_latency_quantiles": q_tool_latency_quantiles,
         "dup_spans": dedup.dup_spans,
         "curate_corpus": _curate.curate_corpus,
+        "prepared_corpus": _curate.prepared_corpus,
         "dedup_turns": q_dedup_turns,
         "collapse_repeat_turns": q_collapse_repeat_turns,
         "pii_redacted_turns": q_pii_redact_turns,
@@ -842,6 +843,65 @@ def _keep_best_sql(threshold: float = 0.5) -> str:
         WHERE rn = 1 ORDER BY rep_id"""
 
 
+def _prepared_sql(threshold: float = 0.5) -> str:
+    """Full composition oracle: MinHash replay + recursive closure +
+    quality keep-best drop set, intersected with the curate (quality +
+    exact-dedup) survivors."""
+    from .curate import (QUALITY_MAX_MWL, QUALITY_MAX_WORDS,
+                         QUALITY_MIN_DISTINCT_RATIO, QUALITY_MIN_MWL,
+                         QUALITY_MIN_WORDS)
+
+    ctes, final = _minhash_ctes(threshold)
+    return f"""
+        WITH RECURSIVE {ctes},
+        pairs AS ({final}),
+        nodes AS (SELECT doc_a AS node FROM pairs
+                  UNION SELECT doc_b FROM pairs),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+        clusters AS (SELECT node AS doc_id, min(lab) AS rep_id
+                     FROM reach GROUP BY node),
+        wtok AS (SELECT doc_id, CAST(len({TOKENS_SQL}) AS BIGINT) AS ws
+                 FROM documents),
+        scoredkb AS (SELECT c.rep_id, c.doc_id, w.ws
+                     FROM clusters c JOIN wtok w USING (doc_id)),
+        kept_best AS (SELECT kept_doc_id FROM (
+            SELECT doc_id AS kept_doc_id,
+                   row_number() OVER (PARTITION BY rep_id
+                                      ORDER BY ws DESC, doc_id) AS rn
+            FROM scoredkb) WHERE rn = 1),
+        drop_ids AS (SELECT doc_id FROM clusters
+                     WHERE doc_id NOT IN (SELECT kept_doc_id
+                                          FROM kept_best)),
+        ct AS (SELECT doc_id, coalesce(text, '') AS txt,
+                      {TOKENS_SQL} AS toks
+               FROM documents),
+        cs AS (SELECT doc_id, txt, len(toks) AS n,
+                      len(list_distinct(toks)) AS nd,
+                      coalesce(list_sum(list_transform(toks,
+                          x -> length(x))), 0) AS lensum,
+                      len(list_filter(toks,
+                          x -> x IN ('the','and','of','a','to','in')))
+                          AS stop
+               FROM ct),
+        qkept AS (SELECT doc_id, txt, n FROM cs
+                  WHERE n >= {QUALITY_MIN_WORDS} AND n <= {QUALITY_MAX_WORDS}
+                    AND CAST(lensum AS DOUBLE) / n >= {QUALITY_MIN_MWL}
+                    AND CAST(lensum AS DOUBLE) / n <= {QUALITY_MAX_MWL}
+                    AND stop > 0
+                    AND CAST(nd AS DOUBLE) / n
+                        >= {QUALITY_MIN_DISTINCT_RATIO}),
+        curated AS (SELECT min(doc_id) AS doc_id,
+                           CAST(min(n) AS BIGINT) AS n_tokens
+                    FROM qkept GROUP BY txt)
+        SELECT doc_id, n_tokens FROM curated
+        WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)"""
+
+
 def _clusters_sql(threshold: float = 0.5) -> str:
     """MinHash pair replay + recursive-CTE reachability closure: each node's
     rep is the min label reachable through the near-dup pair graph —
@@ -990,6 +1050,7 @@ def oracle_sql() -> dict:
                   <= {CEP_WITHIN_US}""",
         "dup_spans": dedup.dup_spans_oracle_sql(),
         "curate_corpus": _curate.curate_corpus_oracle_sql(TOKENS_SQL),
+        "prepared_corpus": _prepared_sql(threshold=0.5),
         "dedup_turns": text.dedup_turns_oracle_sql(TRANSCRIPTS_CTE),
         "collapse_repeat_turns":
             text.collapse_repeats_oracle_sql(TRANSCRIPTS_CTE),

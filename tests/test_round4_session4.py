@@ -241,3 +241,16 @@ def test_csv_roundtrip_matches_sql(sf_dir):
                     tables=("events",))
     assert len(want) > 0
     _cmp(got, want)
+
+
+def test_prepared_corpus_matches_sql(sf_dir):
+    got = Q.queries()["prepared_corpus"](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duck_sql(sf_dir, Q.oracle_sql()["prepared_corpus"],
+                    tables=("documents",))
+    assert len(want) > 0
+    _cmp(got, want)
+    # the composition must actually subtract something vs plain curate
+    cur = Q.queries()["curate_corpus"](sf_dir)
+    cur = cur.to_pandas() if hasattr(cur, "to_pandas") else cur
+    assert len(got) <= len(cur)
