@@ -254,3 +254,15 @@ def test_prepared_corpus_matches_sql(sf_dir):
     cur = Q.queries()["curate_corpus"](sf_dir)
     cur = cur.to_pandas() if hasattr(cur, "to_pandas") else cur
     assert len(got) <= len(cur)
+
+
+def test_pagerank_pinned_partition_invariance(sf_dir, pagerank_result):
+    """Output is invariant under the actor-partition count (SURVEY §5.3
+    discipline applied to the Pregel path): message routing and local
+    combines must not leak P into the math."""
+    from pdf_watermark_remover_ray.pipelines.relational import (
+        customer_supplier_pagerank_pinned)
+
+    b = customer_supplier_pagerank_pinned(sf_dir, num_partitions=3)
+    pd.testing.assert_frame_equal(pagerank_result.reset_index(drop=True),
+                                  b.reset_index(drop=True))
