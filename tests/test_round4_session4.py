@@ -266,3 +266,23 @@ def test_pagerank_pinned_partition_invariance(sf_dir, pagerank_result):
     b = customer_supplier_pagerank_pinned(sf_dir, num_partitions=3)
     pd.testing.assert_frame_equal(pagerank_result.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+NO_ORACLE_WHITELIST = {
+    # non-SQL-expressible, each golden-tested instead (VERDICT r3 table):
+    "scrub_full", "streaming_e2e", "audio_window_energy",
+    "ann_topk_ivf", "ann_topk_ivf_clustered", "ann_topk_pq",
+    "ann_topk_pq_indexed",
+}
+
+
+def test_registry_oracle_parity():
+    """Every queries() entry is either DuckDB-oracle-gated or on the
+    documented no-oracle whitelist — new operators cannot land without a
+    correctness gate (drift guard for the driver's CORRECTNESS run)."""
+    qs, oracles = set(Q.queries()), set(Q.oracle_sql())
+    assert oracles <= qs, oracles - qs  # no orphan oracles
+    missing = qs - oracles - NO_ORACLE_WHITELIST
+    assert not missing, f"queries without oracle or whitelist: {missing}"
+    stale = NO_ORACLE_WHITELIST - qs
+    assert not stale, f"whitelist entries not in registry: {stale}"
