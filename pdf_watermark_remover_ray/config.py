@@ -41,7 +41,7 @@ ROLE_CODES = {"user": 0, "assistant": 1, "tool": 2}
 # are core and always on; "cepp" is governed by cep_terms).
 _OPTIONAL_STREAMS = frozenset((
     "sessions", "windows", "wstats", "sliding", "wdistinct", "wtopk",
-    "matches", "timeouts", "cep", "cepk", "dedup", "wquant"))
+    "matches", "timeouts", "cep", "cepk", "dedup", "wquant", "enrich"))
 
 
 @dataclass(frozen=True)

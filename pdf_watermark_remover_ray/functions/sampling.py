@@ -474,6 +474,10 @@ def weighted_sample_documents(sf_dir: str, k: int = 100):
                                ascending=[False, True]).head(k)
 
     cand = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    if not len(cand) or "key" not in cand.columns:
+        # empty table: to_pandas() can come back column-less
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "weight": pd.Series([], dtype=np.int64)})
     top = cand.sort_values(["key", "doc_id"],
                            ascending=[False, True]).head(k)
     return pd.DataFrame({"doc_id": top["doc_id"].to_numpy(np.int64),

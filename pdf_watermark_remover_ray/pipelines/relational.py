@@ -45,6 +45,115 @@ def _read_small_pd(sf_dir: str, table: str, columns: list[str]) -> pd.DataFrame:
     return df
 
 
+def _dim_rows(sf_dir: str, table: str) -> int:
+    """Parquet-METADATA row count of a dimension table — the broadcast-size
+    guard reads footers only (no scan, no Ray work), so checking it before a
+    driver-side ``to_pandas`` broadcast is free even at 100 TB."""
+    import pyarrow.parquet as _pqm
+    return _pqm.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
+def _shuffle_semijoin(fact, key_col: str, payload: list[tuple[str, pa.DataType]],
+                      dim, dim_key: str, num_partitions: int = 16):
+    """Hash-shuffle SEMIJOIN fallback for an over-threshold dimension
+    broadcast: keep fact rows whose ``key_col`` appears in ``dim``'s
+    ``dim_key`` column, emitting only the ``payload`` columns.
+
+    Expressed as tag-union-partition (both sides union into one stream,
+    ONE hash partition by key, per-partition vectorized membership) rather
+    than a second ``Dataset.join`` — two hash-shuffle joins in one plan
+    spawn 2×num_partitions aggregator actors and starve each other on small
+    CPU counts, while this path shares the groupby machinery the rest of
+    the engine uses.  Requires ``dim_key`` unique in ``dim`` (dimension
+    primary keys are), so each fact row emits at most once."""
+    def unify_fact(t: pa.Table) -> pa.Table:
+        cols = {"__key": t[key_col].cast(pa.int64()),
+                "__side": pa.array(np.zeros(len(t), np.int8))}
+        for c, dt in payload:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    def unify_dim(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {"__key": t[dim_key].cast(pa.int64()),
+                "__side": pa.array(np.ones(n, np.int8))}
+        for c, dt in payload:
+            cols[c] = pa.nulls(n, dt)
+        return pa.table(cols)
+
+    u = fact.map_batches(unify_fact, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .union(dim.map_batches(unify_dim, batch_format="pyarrow",
+                               zero_copy_batch=True))
+    u = add_partition_column(u, key="__key", num_partitions=num_partitions)
+    names = [c for c, _ in payload]
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["__side"] == 1, "__key"].unique()
+        f = df[(df["__side"] == 0) & df["__key"].isin(keys)]
+        f = f[names].reset_index(drop=True)
+        # the dim side's nulls made pandas widen int payload columns to
+        # float64 — fact rows are all non-null, so restore the declared type
+        for c, dt in payload:
+            if pa.types.is_integer(dt):
+                f[c] = f[c].to_numpy(np.int64)
+        return f
+
+    return u.groupby("part").map_groups(semi, batch_format="pandas")
+
+
+def _shuffle_attach(fact, key_col: str, payload: list[tuple[str, pa.DataType]],
+                    dim, dim_key: str, dim_val: str, out_col: str,
+                    val_type: pa.DataType = pa.string(), how: str = "inner",
+                    default=None, num_partitions: int = 16):
+    """Hash-shuffle LOOKUP-ATTACH fallback for an over-threshold dimension
+    broadcast: inner- (or left-) join one dimension attribute onto a fact
+    stream via the same tag-union-partition shape as
+    :func:`_shuffle_semijoin`.  ``how="left"`` keeps dimension misses and
+    fills ``out_col`` with ``default`` (q8's is-target flag).  ``dim_key``
+    must be unique in ``dim``."""
+    def unify_fact(t: pa.Table) -> pa.Table:
+        cols = {"__key": t[key_col].cast(pa.int64()),
+                "__side": pa.array(np.zeros(len(t), np.int8)),
+                out_col: pa.nulls(len(t), val_type)}
+        for c, dt in payload:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    def unify_dim(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {"__key": t[dim_key].cast(pa.int64()),
+                "__side": pa.array(np.ones(n, np.int8)),
+                out_col: t[dim_val].cast(val_type)}
+        for c, dt in payload:
+            cols[c] = pa.nulls(n, dt)
+        return pa.table(cols)
+
+    u = fact.map_batches(unify_fact, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .union(dim.map_batches(unify_dim, batch_format="pyarrow",
+                               zero_copy_batch=True))
+    u = add_partition_column(u, key="__key", num_partitions=num_partitions)
+    names = [c for c, _ in payload]
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["__side"] == 1][["__key", out_col]] \
+            .rename(columns={out_col: "__val"})
+        f = df[df["__side"] == 0].drop(columns=[out_col])
+        m = f.merge(d, on="__key", how=("left" if how == "left" else "inner"))
+        if how == "left" and default is not None:
+            m["__val"] = m["__val"].fillna(default)
+        m = m.rename(columns={"__val": out_col})
+        m = m[names + [out_col]].reset_index(drop=True)
+        # restore int payload dtypes widened to float64 by dim-side nulls
+        for c, dt in payload:
+            if pa.types.is_integer(dt):
+                m[c] = m[c].to_numpy(np.int64)
+        return m
+
+    return u.groupby("part").map_groups(attach, batch_format="pandas")
+
+
 def q1_pricing_summary(sf_dir: str, cutoff: str = "1995-09-01"):
     """TPC-H Q1-style pricing summary over lineitem."""
     ds = _read(sf_dir, "lineitem",
@@ -118,40 +227,13 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10,
         orders = orders.map_batches(filter_orders, batch_format="pyarrow",
                                     zero_copy_batch=True)
     else:
-        # big key set: hash-shuffle semijoin expressed as tag-union-partition
-        # (the repo's keyed co-location shape, stages/join.py) rather than a
-        # second JoinOperator — two hash-shuffle joins in one plan spawn
-        # 2×num_partitions aggregator actors and starve each other on small
-        # CPU counts, while this path shares the groupby machinery the rest
-        # of the engine uses.  c_custkey is unique, so the semijoin emits
-        # each order at most once.
-        def unify_orders(t: pa.Table) -> pa.Table:
-            return pa.table({"custkey": t["o_custkey"].cast(pa.int64()),
-                             "side": pa.array(np.zeros(len(t), np.int8)),
-                             "o_orderkey": t["o_orderkey"].cast(pa.int64()),
-                             "o_orderdate": t["o_orderdate"]})
-
-        def unify_cust(t: pa.Table) -> pa.Table:
-            n = len(t)
-            return pa.table({"custkey": t["c_custkey"].cast(pa.int64()),
-                             "side": pa.array(np.ones(n, np.int8)),
-                             "o_orderkey": pa.nulls(n, pa.int64()),
-                             "o_orderdate": pa.nulls(n, pa.timestamp("us"))})
-
-        u = orders.map_batches(unify_orders, batch_format="pyarrow",
-                               zero_copy_batch=True) \
-            .union(cust.map_batches(unify_cust, batch_format="pyarrow",
-                                    zero_copy_batch=True))
-        u = add_partition_column(u, key="custkey", num_partitions=16)
-
-        def semi(df: pd.DataFrame) -> pd.DataFrame:
-            keys = df.loc[df["side"] == 1, "custkey"].unique()
-            o = df[(df["side"] == 0) & df["custkey"].isin(keys)]
-            return pd.DataFrame({
-                "o_orderkey": o["o_orderkey"].to_numpy(np.int64),
-                "o_orderdate": o["o_orderdate"].to_numpy()})
-
-        orders = u.groupby("part").map_groups(semi, batch_format="pandas")
+        # big key set: hash-shuffle semijoin (shared tag-union-partition
+        # fallback — see _shuffle_semijoin for why not a second
+        # Dataset.join).  c_custkey is unique, so each order emits once.
+        orders = _shuffle_semijoin(
+            orders, "o_custkey",
+            [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))],
+            cust, "c_custkey")
 
     def li_partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -189,75 +271,162 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10,
     return out[["o_orderkey", "o_orderdate", "revenue"]]
 
 
-def q5_revenue_by_nation(sf_dir: str):
-    """Revenue per supplier nation (TPC-H Q5 shape): all dimensions broadcast,
-    one large⋈large hash join orders⋈lineitem avoided entirely by pushing the
-    order-date filter through a broadcast orderkey range lookup."""
-    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    sup_nation = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey") \
-        .sort_values("s_suppkey")
-    # broadcast SORTED parallel arrays: the per-batch lookup is a vectorized
-    # searchsorted (no per-row Python dict .map over the full lineitem scan)
-    lookup_ref = ray.put((sup_nation["s_suppkey"].to_numpy(np.int64),
-                          sup_nation["n_name"].to_numpy()))
+def q5_revenue_by_nation(sf_dir: str, broadcast_threshold: int = 5_000_000,
+                         num_partitions: int = 16):
+    """Revenue per supplier nation (TPC-H Q5 shape).
 
-    def partial(t: pa.Table) -> pa.Table:
-        keys, names = ray.get(lookup_ref)
-        df = t.to_pandas()
-        if len(keys) == 0:
-            return pa.table({"n_name": pa.array([], pa.string()),
-                             "revenue": pa.array([], pa.float64())})
-        sk = df["l_suppkey"].to_numpy(np.int64)
-        pos = np.searchsorted(keys, sk).clip(max=len(keys) - 1)
-        hit = keys[pos] == sk  # inner-join semantics: unknown suppkeys drop
-        df = df[hit]
-        df["n_name"] = names[pos[hit]]
-        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby("n_name", sort=False)["revenue"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
-
+    nation (25 rows, fixed) always broadcasts.  supplier grows linearly
+    with SF, so its broadcast is SIZE-GUARDED on the parquet-metadata row
+    count: under ``broadcast_threshold`` the suppkey→nation map ships once
+    via ``ray.put`` and each lineitem batch probes it with a vectorized
+    searchsorted; above it, lineitem pre-aggregates revenue per suppkey
+    per batch (the shuffle then carries ≤|suppliers| partial rows per
+    batch, never raw lineitem) and the nation name attaches through the
+    shared tag-union hash-shuffle lookup (:func:`_shuffle_attach`).  Both
+    paths feed the same |nations|-row final aggregate (oracle-tested
+    either side of the threshold)."""
+    nat = _read_small_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
+    empty_q5 = pd.DataFrame({"n_name": pd.Series([], dtype=str),
+                             "revenue": pd.Series([], dtype=float)})
     li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
-    out = li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
+
+    if _dim_rows(sf_dir, "supplier") <= broadcast_threshold:
+        sup = _read_small_pd(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        sup_nation = sup.merge(nat, left_on="s_nationkey",
+                               right_on="n_nationkey").sort_values("s_suppkey")
+        # broadcast SORTED parallel arrays: the per-batch lookup is a
+        # vectorized searchsorted (no per-row dict .map over the scan)
+        lookup_ref = ray.put((sup_nation["s_suppkey"].to_numpy(np.int64),
+                              sup_nation["n_name"].to_numpy()))
+
+        def partial(t: pa.Table) -> pa.Table:
+            keys, names = ray.get(lookup_ref)
+            df = t.to_pandas()
+            if len(keys) == 0:
+                return pa.table({"n_name": pa.array([], pa.string()),
+                                 "revenue": pa.array([], pa.float64())})
+            sk = df["l_suppkey"].to_numpy(np.int64)
+            pos = np.searchsorted(keys, sk).clip(max=len(keys) - 1)
+            hit = keys[pos] == sk  # inner-join semantics: unknown keys drop
+            df = df[hit]
+            df["n_name"] = names[pos[hit]]
+            df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+            g = df.groupby("n_name", sort=False)["revenue"].sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        agg = li.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    else:
+        # over-threshold supplier: per-batch pre-aggregation by suppkey,
+        # then ONE hash shuffle co-locating partials with the distributed
+        # suppkey→nation dimension
+        nat_sorted = nat.sort_values("n_nationkey")
+        nk = nat_sorted["n_nationkey"].to_numpy(np.int64)
+        nn = nat_sorted["n_name"].to_numpy()
+
+        def sup_side(t: pa.Table) -> pa.Table:
+            if len(nk) == 0:
+                return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                                 "n_name": pa.array([], pa.string())})
+            snk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(nk, snk).clip(max=len(nk) - 1)
+            hit = nk[pos] == snk
+            return pa.table({
+                "s_suppkey": t["s_suppkey"].filter(pa.array(hit)),
+                "n_name": pa.array(nn[pos[hit]].astype(str))})
+
+        sup_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+            .map_batches(sup_side, batch_format="pyarrow", zero_copy_batch=True)
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+            g = df.groupby("l_suppkey", sort=False)["revenue"].sum().reset_index()
+            return pa.table({"l_suppkey": pa.array(g["l_suppkey"].to_numpy(np.int64)),
+                             "revenue": pa.array(g["revenue"].to_numpy(np.float64))})
+
+        li_p = li.map_batches(li_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        agg = _shuffle_attach(li_p, "l_suppkey", [("revenue", pa.float64())],
+                              sup_ds, "s_suppkey", "n_name", "n_name",
+                              num_partitions=num_partitions)
+
+    out = agg.groupby("n_name") \
+        .aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
+    if not len(out.columns):  # all-empty aggregate drops its schema
+        return empty_q5
     out["revenue"] = round_half_away(out["revenue"], 2)
     return out.sort_values("n_name").reset_index(drop=True)
 
 
 def q7_volume_shipping(sf_dir: str,
-                       date_lo: str = "1995-01-01", date_hi: str = "1996-12-31"):
+                       date_lo: str = "1995-01-01", date_hi: str = "1996-12-31",
+                       broadcast_threshold: int = 5_000_000,
+                       num_partitions: int = 16):
     """Bilateral shipping volume (TPC-H Q7 shape): revenue between two
     nations by (supplier nation, customer nation, ship year).  The nation
     pair is DERIVED deterministically — the two smallest ``n_nationkey``
     with at least one supplier AND one customer — so the query is
     meaningful at every scale factor (a fixed pair can be supplier-empty at
-    tiny sf); the oracle derives the identical pair in SQL.
+    tiny sf); the oracle derives the identical pair in SQL.  The derivation
+    itself is a DISTRIBUTED distinct (per-batch np.unique partials, a
+    |nations|-bounded merge on the driver) — neither table is read to the
+    driver for it.
 
-    Topology: both nation maps are COMPUTED-DIMENSION broadcasts
-    (supplier→nation and customer→nation, each pre-filtered to the two
-    nations of interest, shipped once via ``ray.put`` and probed with a
-    vectorized searchsorted per batch); lineitem pre-filters on shipdate
-    AND supplier nation before the single large hash join against the
-    (customer-nation-filtered) orders stream, so the join's left side is
-    already the ~2/|nations| sliver.  The final aggregate is a per-batch
-    partial → 2×2×|years| groupby.  At a scale where customer outgrows
-    broadcast, swap the customer probe for the q3-style union semijoin —
-    same downstream shape."""
-    nations = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    both = nations[nations["n_nationkey"].isin(sup["s_nationkey"])
-                   & nations["n_nationkey"].isin(cust["c_nationkey"])]
+    Topology: both nation maps are COMPUTED dimensions (supplier→nation and
+    customer→nation, each pre-filtered to the two nations of interest).
+    Each is SIZE-GUARDED on the parquet-metadata row count: under
+    ``broadcast_threshold`` it ships once via ``ray.put`` and is probed
+    with a vectorized searchsorted per batch; above it the name attaches
+    through the shared tag-union hash-shuffle lookup
+    (:func:`_shuffle_attach`) — the lineitem side attaches AFTER the
+    shipdate filter so the shuffle carries the date sliver, not the full
+    scan.  Either way lineitem pre-filters before the single large hash
+    join against the (customer-nation-filtered) orders stream, and the
+    final aggregate is a per-batch partial → 2×2×|years| groupby
+    (oracle-tested on both sides of the threshold)."""
+    nat = _read_small_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    def _distinct_nk(table: str, col: str) -> np.ndarray:
+        def part(t: pa.Table) -> pa.Table:
+            v = np.unique(t[col].to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+            return pa.table({"nk": pa.array(v)})
+
+        got = _read(sf_dir, table, [col]) \
+            .map_batches(part, batch_format="pyarrow", zero_copy_batch=True) \
+            .to_pandas()
+        if not len(got) or "nk" not in got.columns:
+            return np.array([], dtype=np.int64)
+        return np.unique(got["nk"].to_numpy(np.int64))
+
+    both = nat[nat["n_nationkey"].isin(_distinct_nk("supplier", "s_nationkey"))
+               & nat["n_nationkey"].isin(_distinct_nk("customer",
+                                                      "c_nationkey"))]
     nations = both.sort_values("n_nationkey").head(2)
+    nk2 = np.sort(nations["n_nationkey"].to_numpy(np.int64))
+    nn2 = nations.sort_values("n_nationkey")["n_name"].to_numpy()
 
-    sup = sup.merge(nations, left_on="s_nationkey", right_on="n_nationkey") \
-        .sort_values("s_suppkey")
-    cust = cust.merge(nations, left_on="c_nationkey", right_on="n_nationkey") \
-        .sort_values("c_custkey")
-    sup_ref = ray.put((sup["s_suppkey"].to_numpy(np.int64),
-                       sup["n_name"].to_numpy()))
-    cust_ref = ray.put((cust["c_custkey"].to_numpy(np.int64),
-                        cust["n_name"].to_numpy()))
+    def _dim_map_ds(table: str, key_col: str, nk_col: str):
+        """Distributed (key → n_name) dimension, pre-filtered to the pair."""
+        def side(t: pa.Table) -> pa.Table:
+            if len(nk2) == 0:
+                return pa.table({key_col: pa.array([], pa.int64()),
+                                 "n_name": pa.array([], pa.string())})
+            v = t[nk_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(nk2, v).clip(max=len(nk2) - 1)
+            hit = nk2[pos] == v
+            return pa.table({key_col: t[key_col].filter(pa.array(hit)),
+                             "n_name": pa.array(nn2[pos[hit]].astype(str))})
+
+        return _read(sf_dir, table, [key_col, nk_col]) \
+            .map_batches(side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _probe_ref(table: str, key_col: str, nk_col: str):
+        d = _read_small_pd(sf_dir, table, [key_col, nk_col]) \
+            .merge(nations, left_on=nk_col, right_on="n_nationkey") \
+            .sort_values(key_col)
+        return ray.put((d[key_col].to_numpy(np.int64), d["n_name"].to_numpy()))
 
     def probe(ref, keys_np):
         keys, names = ray.get(ref)
@@ -268,38 +437,76 @@ def q7_volume_shipping(sf_dir: str,
         hit = keys[pos] == keys_np
         return hit, names[pos]
 
-    def orders_side(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        hit, names = probe(cust_ref, df["o_custkey"].to_numpy(np.int64))
-        df = df[hit]
-        return pa.table({"o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64)),
-                         "cust_nation": pa.array(names[hit].astype(str))})
+    orders_raw = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    if _dim_rows(sf_dir, "customer") <= broadcast_threshold:
+        cust_ref = _probe_ref("customer", "c_custkey", "c_nationkey")
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
-        .map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+        def orders_side(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            hit, names = probe(cust_ref, df["o_custkey"].to_numpy(np.int64))
+            df = df[hit]
+            return pa.table(
+                {"o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64)),
+                 "cust_nation": pa.array(names[hit].astype(str))})
+
+        orders = orders_raw.map_batches(orders_side, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    else:
+        orders = _shuffle_attach(
+            orders_raw, "o_custkey", [("o_orderkey", pa.int64())],
+            _dim_map_ds("customer", "c_custkey", "c_nationkey"),
+            "c_custkey", "n_name", "cust_nation",
+            num_partitions=num_partitions)
 
     lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    li_raw = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_suppkey", "l_shipdate",
+                    "l_extendedprice", "l_discount"])
+    if _dim_rows(sf_dir, "supplier") <= broadcast_threshold:
+        sup_ref = _probe_ref("supplier", "s_suppkey", "s_nationkey")
 
-    def li_side(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_(
-            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
-            pc.less_equal(t["l_shipdate"], pa.scalar(hi))))
-        df = t.to_pandas()
-        hit, names = probe(sup_ref, df["l_suppkey"].to_numpy(np.int64))
-        df = df[hit]
-        year = df["l_shipdate"].dt.year.to_numpy(np.int64)
-        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
-        return pa.table({"l_orderkey": pa.array(df["l_orderkey"].to_numpy(np.int64)),
-                         "supp_nation": pa.array(names[hit].astype(str)),
-                         "l_year": pa.array(year),
-                         "revenue": pa.array(rev)})
+        def li_side(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less_equal(t["l_shipdate"], pa.scalar(hi))))
+            df = t.to_pandas()
+            hit, names = probe(sup_ref, df["l_suppkey"].to_numpy(np.int64))
+            df = df[hit]
+            year = df["l_shipdate"].dt.year.to_numpy(np.int64)
+            rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+            return pa.table(
+                {"l_orderkey": pa.array(df["l_orderkey"].to_numpy(np.int64)),
+                 "supp_nation": pa.array(names[hit].astype(str)),
+                 "l_year": pa.array(year),
+                 "revenue": pa.array(rev)})
 
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_suppkey", "l_shipdate",
-                "l_extendedprice", "l_discount"]) \
-        .map_batches(li_side, batch_format="pyarrow", zero_copy_batch=True)
+        li = li_raw.map_batches(li_side, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    else:
+        def li_pre(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less_equal(t["l_shipdate"], pa.scalar(hi))))
+            df = t.to_pandas()
+            rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+            return pa.table(
+                {"l_orderkey": pa.array(df["l_orderkey"].to_numpy(np.int64)),
+                 "l_suppkey": pa.array(df["l_suppkey"].to_numpy(np.int64)),
+                 "l_year": pa.array(df["l_shipdate"].dt.year
+                                    .to_numpy(np.int64)),
+                 "revenue": pa.array(rev)})
 
-    joined = li.join(orders, join_type="inner", num_partitions=16,
+        li = _shuffle_attach(
+            li_raw.map_batches(li_pre, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            "l_suppkey",
+            [("l_orderkey", pa.int64()), ("l_year", pa.int64()),
+             ("revenue", pa.float64())],
+            _dim_map_ds("supplier", "s_suppkey", "s_nationkey"),
+            "s_suppkey", "n_name", "supp_nation",
+            num_partitions=num_partitions)
+
+    joined = li.join(orders, join_type="inner", num_partitions=num_partitions,
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1927,71 +2134,194 @@ def q8_market_share(sf_dir: str, broadcast_threshold: int = 5_000_000,
     ``r_regionkey = 0``; the smallest supplier-bearing nation in it;
     ``p_type`` of ``p_partkey = 1``) so every scale factor is non-degenerate.
 
-    Topology: three computed-dimension broadcasts (type-filtered partkeys,
+    Topology: three computed dimensions (type-filtered partkeys,
     suppkey→is-target-nation, region-filtered custkeys) prune BOTH fact
     scans before the single orders⋈lineitem hash join; the aggregate ships
-    |years|×2 partial rows.  Above ``broadcast_threshold`` customers the
-    region probe must become a q3-style hash semijoin — same downstream."""
+    |years|×2 partial rows.  EACH dimension is independently SIZE-GUARDED
+    on its parquet-metadata row count: under ``broadcast_threshold`` it
+    broadcasts once via ``ray.put``; above it the part filter and the
+    customer region probe become shared tag-union hash semijoins
+    (:func:`_shuffle_semijoin`) and the supplier flag becomes a LEFT
+    lookup of the (|suppliers|/|nations|-sized) target-nation supplier set
+    with a False default (:func:`_shuffle_attach`) — same downstream
+    either way (oracle-tested on both sides of the threshold).  The
+    target-nation / target-type constants derive from a distributed
+    distinct and a predicate-pushed single-row probe, never a driver read
+    of the full table."""
     empty_q8 = pd.DataFrame({"o_year": pd.Series([], dtype=np.int64),
                              "mkt_share": pd.Series([], dtype=float)})
     if _pq_rows(sf_dir, "orders") == 0 or _pq_rows(sf_dir, "lineitem") == 0:
         return empty_q8
     nat = _read_small_pd(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
-    region_nations = nat[nat["n_regionkey"] == 0]["n_nationkey"].to_numpy(np.int64)
-    sup = _read_small_pd(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    cand = np.intersect1d(sup["s_nationkey"].to_numpy(np.int64), region_nations)
+    region_nations = np.sort(nat[nat["n_regionkey"] == 0]["n_nationkey"]
+                             .to_numpy(np.int64))
+    n_sup = _dim_rows(sf_dir, "supplier")
+    n_part = _dim_rows(sf_dir, "part")
+    n_cust = _dim_rows(sf_dir, "customer")
+
+    # target nation: |nations|-bounded distributed distinct of supplier
+    # nations, intersected with the region on the driver
+    def s_nk(t: pa.Table) -> pa.Table:
+        v = np.unique(t["s_nationkey"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({"nk": pa.array(v)})
+
+    got = _read(sf_dir, "supplier", ["s_nationkey"]) \
+        .map_batches(s_nk, batch_format="pyarrow", zero_copy_batch=True) \
+        .to_pandas()
+    sup_nations = (np.unique(got["nk"].to_numpy(np.int64))
+                   if len(got) and "nk" in got.columns
+                   else np.array([], np.int64))
+    cand = np.intersect1d(sup_nations, region_nations)
     target_nation = int(cand.min()) if len(cand) else -1
 
-    part_pd = _read_small_pd(sf_dir, "part", ["p_partkey", "p_type"])
-    row1 = part_pd[part_pd["p_partkey"] == 1]
-    target_type = row1["p_type"].iloc[0] if len(row1) else ""
-    pkeys = np.sort(part_pd[part_pd["p_type"] == target_type]
-                    ["p_partkey"].to_numpy(np.int64))
+    # target type: single-row probe, predicate pushed into the part scan
+    row1 = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_type"],
+        filter=pc.equal(pc.field("p_partkey"), 1)).to_pandas()
+    target_type = row1["p_type"].iloc[0] \
+        if len(row1) and "p_type" in row1.columns else ""
 
-    sup = sup.sort_values("s_suppkey")
-    skeys = sup["s_suppkey"].to_numpy(np.int64)
-    s_is_target = (sup["s_nationkey"].to_numpy(np.int64) == target_nation)
+    # ---- orders side: region-customer semijoin → (o_orderkey, o_year) ----
+    orders_raw = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_orderdate"])
+    if n_cust <= broadcast_threshold:
+        cust = _read_small_pd(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        ckeys = np.sort(cust[cust["c_nationkey"].isin(region_nations)]
+                        ["c_custkey"].to_numpy(np.int64))
+        ck_ref = ray.put(ckeys)
 
-    cust = _read_small_pd(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    ckeys = np.sort(cust[cust["c_nationkey"].isin(region_nations)]
-                    ["c_custkey"].to_numpy(np.int64))
-    assert len(cust) <= broadcast_threshold, \
-        "swap the region probe for a q3-style hash semijoin at this scale"
-    pk_ref, sk_ref, ck_ref = (ray.put(pkeys),
-                              ray.put((skeys, s_is_target)), ray.put(ckeys))
+        def orders_side(t: pa.Table) -> pa.Table:
+            ck = ray.get(ck_ref)
+            df = t.to_pandas()
+            df = df[np.isin(df["o_custkey"].to_numpy(np.int64), ck)]
+            return pa.table({
+                "o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64)),
+                "o_year": pa.array(df["o_orderdate"].dt.year
+                                   .to_numpy(np.int64))})
 
-    def orders_side(t: pa.Table) -> pa.Table:
-        ck = ray.get(ck_ref)
-        df = t.to_pandas()
-        df = df[np.isin(df["o_custkey"].to_numpy(np.int64), ck)]
-        return pa.table({
-            "o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64)),
-            "o_year": pa.array(df["o_orderdate"].dt.year.to_numpy(np.int64))})
+        orders = orders_raw.map_batches(orders_side, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    else:
+        rn = region_nations  # ≤|nations| values: plain closure capture
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+        def cust_side(t: pa.Table) -> pa.Table:
+            v = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"c_custkey": t["c_custkey"].filter(pa.array(np.isin(v, rn)))})
 
-    def li_side(t: pa.Table) -> pa.Table:
-        pk = ray.get(pk_ref)
-        skeys, s_flag = ray.get(sk_ref)
-        df = t.to_pandas()
-        df = df[np.isin(df["l_partkey"].to_numpy(np.int64), pk)]
-        sk = df["l_suppkey"].to_numpy(np.int64)
-        if len(skeys):
-            pos = np.searchsorted(skeys, sk).clip(max=len(skeys) - 1)
-            tgt = (skeys[pos] == sk) & s_flag[pos]
-        else:
-            tgt = np.zeros(len(sk), dtype=bool)
-        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
-        return pa.table({
-            "l_orderkey": pa.array(df["l_orderkey"].to_numpy(np.int64)),
-            "is_target": pa.array(tgt),
-            "volume": pa.array(rev)})
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+            .map_batches(cust_side, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        sj = _shuffle_semijoin(
+            orders_raw, "o_custkey",
+            [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))],
+            cust_ds, "c_custkey", num_partitions=num_partitions)
 
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_partkey", "l_suppkey",
-                "l_extendedprice", "l_discount"]) \
-        .map_batches(li_side, batch_format="pyarrow", zero_copy_batch=True)
+        def to_year(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                 "o_year": df["o_orderdate"].dt.year.to_numpy(np.int64)})
+
+        orders = sj.map_batches(to_year, batch_format="pandas")
+
+    # ---- lineitem side: volume → part-type filter → supplier flag ----
+    li_raw = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_partkey", "l_suppkey",
+                    "l_extendedprice", "l_discount"])
+    if n_part <= broadcast_threshold:
+        part_pd = _read_small_pd(sf_dir, "part", ["p_partkey", "p_type"])
+        pkeys = np.sort(part_pd[part_pd["p_type"] == target_type]
+                        ["p_partkey"].to_numpy(np.int64))
+        pk_ref = ray.put(pkeys)
+
+        def li_pf(t: pa.Table) -> pa.Table:
+            pk = ray.get(pk_ref)
+            df = t.to_pandas()
+            df = df[np.isin(df["l_partkey"].to_numpy(np.int64), pk)]
+            rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+            return pa.table({
+                "l_orderkey": pa.array(df["l_orderkey"].to_numpy(np.int64)),
+                "l_suppkey": pa.array(df["l_suppkey"].to_numpy(np.int64)),
+                "volume": pa.array(rev)})
+
+        li1 = li_raw.map_batches(li_pf, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    else:
+        tt = target_type
+
+        def part_side(t: pa.Table) -> pa.Table:
+            m = pc.equal(t["p_type"], tt)
+            return pa.table({"p_partkey": t["p_partkey"].filter(m)})
+
+        part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"]) \
+            .map_batches(part_side, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+        def li_vol(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+            return pa.table({
+                "l_partkey": pa.array(df["l_partkey"].to_numpy(np.int64)),
+                "l_orderkey": pa.array(df["l_orderkey"].to_numpy(np.int64)),
+                "l_suppkey": pa.array(df["l_suppkey"].to_numpy(np.int64)),
+                "volume": pa.array(rev)})
+
+        li1 = _shuffle_semijoin(
+            li_raw.map_batches(li_vol, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            "l_partkey",
+            [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("volume", pa.float64())],
+            part_ds, "p_partkey", num_partitions=num_partitions)
+
+    if n_sup <= broadcast_threshold:
+        sup = _read_small_pd(sf_dir, "supplier",
+                             ["s_suppkey", "s_nationkey"]) \
+            .sort_values("s_suppkey")
+        skeys = sup["s_suppkey"].to_numpy(np.int64)
+        s_is_target = (sup["s_nationkey"].to_numpy(np.int64) == target_nation)
+        sk_ref = ray.put((skeys, s_is_target))
+
+        def flag_pd(df: pd.DataFrame) -> pd.DataFrame:
+            sk_arr, s_flag = ray.get(sk_ref)
+            sk = df["l_suppkey"].to_numpy(np.int64)
+            if len(sk_arr):
+                pos = np.searchsorted(sk_arr, sk).clip(max=len(sk_arr) - 1)
+                tgt = (sk_arr[pos] == sk) & s_flag[pos]
+            else:
+                tgt = np.zeros(len(sk), dtype=bool)
+            return pd.DataFrame(
+                {"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                 "is_target": tgt,
+                 "volume": df["volume"].to_numpy(np.float64)})
+
+        li = li1.map_batches(flag_pd, batch_format="pandas")
+    else:
+        tn = target_nation
+
+        def tgt_sup(t: pa.Table) -> pa.Table:
+            m = pc.equal(t["s_nationkey"], tn)
+            keys = t["s_suppkey"].filter(m)
+            return pa.table({"s_suppkey": keys,
+                             "flag": pa.array(np.ones(len(keys), bool))})
+
+        sup_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+            .map_batches(tgt_sup, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        attached = _shuffle_attach(
+            li1, "l_suppkey",
+            [("l_orderkey", pa.int64()), ("volume", pa.float64())],
+            sup_ds, "s_suppkey", "flag", "is_target",
+            val_type=pa.bool_(), how="left", default=False,
+            num_partitions=num_partitions)
+
+        def to_bool(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["is_target"] = df["is_target"].astype(bool)
+            return df[["l_orderkey", "is_target", "volume"]]
+
+        li = attached.map_batches(to_bool, batch_format="pandas")
 
     joined = li.join(orders, join_type="inner", num_partitions=num_partitions,
                      on=("l_orderkey",), right_on=("o_orderkey",))

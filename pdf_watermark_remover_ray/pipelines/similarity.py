@@ -733,6 +733,9 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 3):
                              "embedding": df["embedding"].to_numpy()[o]})
 
     cand = ds.map_batches(seed_partial, batch_format="pandas").to_pandas()
+    if not len(cand):  # empty table: typed empty frame, oracle-equivalent
+        return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                             "cluster": pd.Series([], dtype=np.int64)})
     cand["hu"] = cand["h"].to_numpy(np.int64).view(np.uint64)
     cand = cand.sort_values(["hu", "vec_id"]).head(k)
     C = np.stack(cand["embedding"].to_numpy()).astype(np.float64)

@@ -1589,6 +1589,30 @@ def bm25_topk_indexed(sf_dir: str, index_dir: str | None = None,
                       k: int = 10, n_queries: int = 5,
                       terms_per_query: int = 3, k1: float = 1.2,
                       b: float = 0.75):
+    """Tmpdir-lifecycle wrapper over :func:`_bm25_topk_indexed_run`: when no
+    ``index_dir`` is given the index is built in a mkdtemp directory and
+    removed afterwards (mirrors ann_topk_pq_indexed / the roundtrip
+    queries — a default invocation must not leak a full inverted index)."""
+    import shutil
+    import tempfile
+
+    own_tmp = index_dir is None
+    if own_tmp:
+        index_dir = tempfile.mkdtemp(prefix="pwr_bm25_")
+    try:
+        return _bm25_topk_indexed_run(sf_dir, index_dir, k=k,
+                                      n_queries=n_queries,
+                                      terms_per_query=terms_per_query,
+                                      k1=k1, b=b)
+    finally:
+        if own_tmp:
+            shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def _bm25_topk_indexed_run(sf_dir: str, index_dir: str,
+                           k: int = 10, n_queries: int = 5,
+                           terms_per_query: int = 3, k1: float = 1.2,
+                           b: float = 0.75):
     """BM25 over the PERSISTED inverted index: identical results to
     :func:`bm25_topk` (same oracle), different cost shape — the corpus text
     is never rescanned.  Query terms map to hash buckets; ONLY those
@@ -1599,7 +1623,6 @@ def bm25_topk_indexed(sf_dir: str, index_dir: str | None = None,
     per query set, bytes read scale with the query terms' posting lists,
     not the corpus."""
     import os
-    import tempfile
 
     import ray
 
@@ -1612,9 +1635,6 @@ def bm25_topk_indexed(sf_dir: str, index_dir: str | None = None,
                           "rank": pd.Series([], dtype=np.int64),
                           "doc_id": pd.Series([], dtype=np.int64),
                           "score": pd.Series([], dtype=float)})
-    own_tmp = index_dir is None
-    if own_tmp:
-        index_dir = tempfile.mkdtemp(prefix="pwr_bm25_")
     meta = bm25_build_index(sf_dir, index_dir)
     n_docs, total_toks = meta["n_docs"], meta["total_toks"]
     num_buckets = meta["num_buckets"]

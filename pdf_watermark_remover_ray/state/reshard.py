@@ -53,6 +53,8 @@ def layout_of(cfg) -> dict:
             if cfg.emit_streams is not None else None,
             "wquant_ps": list(cfg.wquant_ps)
             if cfg.wquant_ps is not None else None,
+            "enrich_stream": bool(cfg.enrich_stream),
+            "enrich_dim": [list(d) for d in cfg.enrich_dim],
             "reshard": None}
 
 
@@ -89,6 +91,12 @@ def layout_matches(layout: dict, cfg) -> bool:
     if "wquant_ps" in layout:
         want = list(cfg.wquant_ps) if cfg.wquant_ps is not None else None
         if layout["wquant_ps"] != want:
+            return False
+    if "enrich_stream" in layout:
+        if layout["enrich_stream"] != bool(cfg.enrich_stream):
+            return False
+    if "enrich_dim" in layout:
+        if layout["enrich_dim"] != [list(d) for d in cfg.enrich_dim]:
             return False
     return True
 

@@ -1,0 +1,128 @@
+"""Round-5 session 1: broadcast-size guards with shuffle fallbacks for
+q5/q7/q8 (VERDICT r4 item 2), ADVICE fixes (enrich stream gating, reshard
+layout guard, bm25 tmpdir lifecycle, empty-input guards)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_watermark_remover_ray.pipelines import queries as Q
+
+from conftest import assert_frames_match as _cmp
+from conftest import duck_sql
+
+ALL_TABLES = ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem")
+
+
+@pytest.mark.parametrize("name,fn_kwargs", [
+    ("q5_revenue_by_nation", {}),
+    ("q7_volume_shipping", {}),
+    ("q8_market_share", {}),
+])
+def test_broadcast_guard_fallback_matches_broadcast(sf_dir, name, fn_kwargs):
+    """Both sides of the broadcast-size guard produce identical oracle
+    results: threshold 0 forces the tag-union shuffle fallback
+    (_shuffle_semijoin / _shuffle_attach), the default threshold takes the
+    ray.put broadcast path (same pattern as
+    test_q3_join_fallback_matches_broadcast)."""
+    from pdf_watermark_remover_ray.pipelines import relational as R
+
+    fn = {"q5_revenue_by_nation": R.q5_revenue_by_nation,
+          "q7_volume_shipping": R.q7_volume_shipping,
+          "q8_market_share": R.q8_market_share}[name]
+    want = duck_sql(sf_dir, Q.oracle_sql()[name], tables=ALL_TABLES)
+    assert len(want) > 0
+    got_shuffle = fn(sf_dir, broadcast_threshold=0, **fn_kwargs)
+    _cmp(got_shuffle, want)
+    got_bcast = fn(sf_dir, **fn_kwargs)
+    _cmp(got_bcast, want)
+
+
+def _write_empty(d: str) -> None:
+    pq.write_table(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "label": pa.array([], pa.int32())}), f"{d}/embeddings.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()), "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64())}), f"{d}/documents.parquet")
+
+
+def test_kmeans_empty_embeddings(tmp_path):
+    """Zero-row embeddings: typed empty frame, not an np.stack crash."""
+    from pdf_watermark_remover_ray.pipelines.similarity import kmeans_embeddings
+
+    d = str(tmp_path)
+    _write_empty(d)
+    out = kmeans_embeddings(d)
+    assert list(out.columns) == ["vec_id", "cluster"]
+    assert len(out) == 0
+    assert out["vec_id"].dtype == np.int64
+
+
+def test_weighted_sample_empty_documents(tmp_path):
+    from pdf_watermark_remover_ray.functions.sampling import (
+        weighted_sample_documents)
+
+    d = str(tmp_path)
+    _write_empty(d)
+    out = weighted_sample_documents(d)
+    assert list(out.columns) == ["doc_id", "weight"]
+    assert len(out) == 0
+
+
+def test_enrich_in_emit_streams_whitelist():
+    """ADVICE r4: naming "enrich" in emit_streams must validate, and
+    stream_on("enrich") must honor the whitelist both ways."""
+    from pdf_watermark_remover_ray.config import StreamConfig
+
+    cfg = StreamConfig(emit_streams=("enrich",), enrich_stream=True)
+    assert cfg.stream_on("enrich")
+    cfg_off = StreamConfig(emit_streams=("sessions",), enrich_stream=True)
+    assert not cfg_off.stream_on("enrich")
+
+
+def test_reshard_layout_guards_enrich_flip():
+    """Flipping enrich on/off (or changing its dimension) mid-resume-chain
+    must be refused by the layout guard like a partition-count change."""
+    from pdf_watermark_remover_ray.config import StreamConfig
+    from pdf_watermark_remover_ray.state.reshard import (
+        layout_matches, layout_of)
+
+    base = StreamConfig(enrich_stream=False)
+    layout = layout_of(base)
+    assert layout_matches(layout, base)
+    flipped = StreamConfig(enrich_stream=True)
+    assert not layout_matches(layout, flipped)
+    dim0 = StreamConfig(enrich_stream=True)
+    layout_on = layout_of(dim0)
+    other_dim = dim0.enrich_dim[:-1] or (("toolx", "groupx", 1.0),)
+    dim1 = StreamConfig(enrich_stream=True, enrich_dim=tuple(other_dim))
+    assert not layout_matches(layout_on, dim1)
+    # old checkpoints without the keys stay accepted (additive evolution)
+    legacy = {k: v for k, v in layout.items()
+              if k not in ("enrich_stream", "enrich_dim")}
+    assert layout_matches(legacy, flipped)
+
+
+def test_bm25_indexed_default_tmpdir_cleanup(sf_dir):
+    """A default (index_dir=None) bm25_topk_indexed invocation must not
+    leak its mkdtemp inverted index on disk (ADVICE r4)."""
+    from pdf_watermark_remover_ray.pipelines.text import bm25_topk_indexed
+
+    tmp_root = tempfile.gettempdir()
+    before = set(glob.glob(os.path.join(tmp_root, "pwr_bm25_*")))
+    out = bm25_topk_indexed(sf_dir)
+    after = set(glob.glob(os.path.join(tmp_root, "pwr_bm25_*")))
+    assert after - before == set()
+    assert len(out) > 0  # the wrapper still returns the real result
