@@ -874,8 +874,86 @@ def _levenshtein(a: str, b: str) -> int:
     return int(prev[-1])
 
 
+_INF32 = np.int32(1 << 30)
+
+
+def _levenshtein_band(arrs_a: list[np.ndarray], arrs_b: list[np.ndarray],
+                      caps: np.ndarray | None = None,
+                      band_width: int = 64) -> np.ndarray:
+    """Levenshtein for MANY pairs at once — vectorized ACROSS pairs AND
+    Ukkonen-banded (public algorithm: Ukkonen 1985, "Algorithms for
+    approximate string matching"): with a per-pair distance cap only the
+    ``|i − j| ≤ k`` diagonal band of the DP matrix can matter, so each row
+    touches ``2k+1`` cells instead of ``len(b)``.
+
+    Pairs are grouped into ``band_width``-wide buckets of ``len(a)`` (the
+    DP iteration count); each bucket runs ONE (n_pairs × 2k+1) windowed DP
+    with ``k = max(cap, |len gap|)`` over the bucket, the window sliding
+    one column per row so the insertion recurrence stays the row-wise
+    min-accumulate trick of :func:`_levenshtein`.  Each pair's answer is
+    harvested the moment ``i`` reaches its own ``len(a)``.
+
+    Returned distances are EXACT for any pair whose true distance is
+    ≤ its cap; above the cap the band may clamp the value (callers filter
+    ``d <= cap``, so clamped pairs are correctly rejected).  With
+    ``caps=None`` the band covers the full matrix and every distance is
+    exact.  ``arrs_a[p]`` should be the shorter side (the metric is
+    symmetric; callers swap) — it minimizes iterations."""
+    n = len(arrs_a)
+    las = np.array([len(a) for a in arrs_a], dtype=np.int64)
+    lbs = np.array([len(b) for b in arrs_b], dtype=np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    out[las == 0] = lbs[las == 0]  # empty short side: distance = |b|
+    if caps is None:
+        caps = np.maximum(las, lbs)
+    live = np.flatnonzero(las > 0)
+    if not len(live):
+        return out
+    buckets = (las[live] - 1) // band_width
+    for bkt in np.unique(buckets):
+        idx = live[buckets == bkt]
+        la_g, lb_g = las[idx], lbs[idx]
+        g = len(idx)
+        la_max = int(la_g.max())
+        k = int(np.ceil(max(float(np.max(caps[idx])),
+                            float(np.abs(lb_g - la_g).max()))))
+        w = 2 * k + 1
+        maxlb = int(lb_g.max())
+        amat = np.zeros((g, la_max), np.uint32)
+        bmat = np.full((g, maxlb + 1), np.uint32(0xFFFFFFFF))
+        for r in range(g):  # ragged copy; the windowed DP is the hot part
+            amat[r, : la_g[r]] = arrs_a[idx[r]]
+            bmat[r, : lb_g[r]] = arrs_b[idx[r]]
+        o = np.arange(w, dtype=np.int64)
+        rows = np.arange(g)
+        lbc = lb_g[:, None]
+        j0 = o[None, :] - k  # row 0: D[0, j] = j inside the band
+        prev = np.where((j0 >= 0) & (j0 <= lbc), j0, _INF32).astype(np.int32)
+        for i in range(1, la_max + 1):
+            jm = (i + o - k)[None, :]  # window → matrix columns, this row
+            ji = jm.astype(np.int32)
+            valid = (jm >= 0) & (jm <= lbc)
+            bch = bmat[rows[:, None], np.clip(jm - 1, 0, maxlb)]
+            sub = prev + (bch != amat[:, i - 1][:, None])
+            dele = np.concatenate(
+                [prev[:, 1:], np.full((g, 1), _INF32, np.int32)], axis=1) + 1
+            cand = np.minimum(sub, dele)
+            cand = np.where(jm == 0, np.int32(i), cand)  # first column
+            acc = np.minimum.accumulate(cand - ji, axis=1) + ji  # insertions
+            prev = np.where(valid, acc, _INF32).astype(np.int32)
+            done = la_g == i
+            if done.any():
+                out[idx[done]] = prev[rows[done], lb_g[done] - i + k]
+    return out
+
+
+_EMPTY_EDIT = {"doc_a": pd.Series([], dtype=np.int64),
+               "doc_b": pd.Series([], dtype=np.int64),
+               "dist": pd.Series([], dtype=np.int64)}
+
+
 def edit_dup_pairs(sf_dir: str, rel_threshold: float = 0.2,
-                   num_partitions: int = 16):
+                   num_partitions: int = 16, bloom_bits: int = 1 << 22):
     """Edit-distance near-dup pairs: winnow-sketch collision blocking
     (:func:`winnow_dup_pairs` — the cheapest candidate generator, one
     scalar per doc) verified by exact LEVENSHTEIN distance with a relative
@@ -884,63 +962,151 @@ def edit_dup_pairs(sf_dir: str, rel_threshold: float = 0.2,
     are the other verify metrics; edit distance catches small in-place
     edits those miss).
 
-    Verification is the repo's distributed pattern: the candidate id-pair
-    list broadcasts once, texts replicate cluster-side to only the verify
-    partitions that reference them, and each pair's DP runs vectorized;
-    pairs whose length gap alone exceeds the budget skip the DP entirely
-    (``|len_a − len_b|`` lower-bounds the distance).  Texts never reach
-    the driver."""
-    cand = winnow_dup_pairs(sf_dir, num_partitions=num_partitions) \
-        .to_pandas()
-    if not len(cand.columns) or not len(cand):
-        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                             "doc_b": pd.Series([], dtype=np.int64),
-                             "dist": pd.Series([], dtype=np.int64)})
-    cand = cand[["doc_a", "doc_b"]].drop_duplicates().reset_index(drop=True)
-    pk = pd.util.hash_pandas_object(
-        cand["doc_a"].astype(np.int64) * np.int64(1_000_003)
-        ^ cand["doc_b"].astype(np.int64), index=False).to_numpy()
-    cand["vp"] = (pk % num_partitions).astype(np.int32)
-    need = pd.concat([
-        cand[["doc_a", "vp"]].rename(columns={"doc_a": "doc_id"}),
-        cand[["doc_b", "vp"]].rename(columns={"doc_b": "doc_id"}),
-    ]).drop_duplicates()
-    ref = ray.put((cand, need))
+    FULLY CLUSTER-SIDE: the candidate pairs stay a Dataset end-to-end —
+    deduped by the shared pair-key shuffle (:func:`_dedup_pairs`), routed
+    to verify partitions by the canonical pair hash, and co-shuffled with
+    the texts they reference.  The driver holds only a FIXED-SIZE Bloom
+    filter (``bloom_bits`` bits, built from mergeable per-batch partials)
+    that prunes the documents scan to ~the referenced ids before the
+    doc_id co-partition joins texts to needs (Bloom false positives are
+    dropped exactly there); a second union shuffle co-locates each verify
+    partition's pairs with its replicated texts.  Neither the pair list
+    nor any text ever lands on the driver, so a boilerplate-heavy corpus
+    whose candidate list outgrows driver memory still runs.  Verification
+    is the banded multi-pair DP (:func:`_levenshtein_band`) — vectorized
+    across pairs, not a per-pair Python loop — after the
+    ``|len_a − len_b|`` length-gap prefilter (it lower-bounds the
+    distance)."""
+    from ..functions.bloom import Bloom, bloom_from_dataset
 
-    def replicate(t: pa.Table) -> pa.Table:
-        _, need_ = ray.get(ref)
-        out = t.to_pandas().merge(need_, on="doc_id", how="inner")
-        return pa.Table.from_pandas(out[["vp", "doc_id", "text"]],
-                                    preserve_index=False)
+    cand = _dedup_pairs(winnow_dup_pairs(sf_dir,
+                                         num_partitions=num_partitions),
+                        num_partitions=num_partitions)
+
+    def add_vp(df: pd.DataFrame) -> pd.DataFrame:
+        pk = pd.util.hash_pandas_object(
+            df["doc_a"].astype(np.int64) * np.int64(1_000_003)
+            ^ df["doc_b"].astype(np.int64), index=False).to_numpy()
+        return pd.DataFrame({"vp": (pk % num_partitions).astype(np.int32),
+                             "doc_a": df["doc_a"].to_numpy(np.int64),
+                             "doc_b": df["doc_b"].to_numpy(np.int64)})
+
+    # materialize the DEDUPED pair list (3 narrow int columns, bounded by
+    # the winnow bucket caps): it feeds three consumers (the Bloom build,
+    # the needs side of shuffle 1 and the pair side of shuffle 2), and a
+    # lazy Dataset would re-run the whole fingerprint+dedup lineage per
+    # consumer.  Blocks stay in the (spillable) object store — the driver
+    # never reads them.
+    pairs = cand.map_batches(add_vp, batch_format="pandas").materialize()
+
+    def to_needs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([
+            df[["doc_a", "vp"]].rename(columns={"doc_a": "doc_id"}),
+            df[["doc_b", "vp"]].rename(columns={"doc_b": "doc_id"}),
+        ]).drop_duplicates()  # batch-local; exact dedup happens at the merge
+
+    needs = pairs.map_batches(to_needs, batch_format="pandas")
+
+    # fixed-size Bloom of referenced ids: the ONLY candidate-derived state
+    # on the driver, m/8 bytes regardless of pair count
+    bloom = bloom_from_dataset(needs, "doc_id", m_bits=bloom_bits, k=6)
+    bits_ref = ray.put(bloom.bits.tobytes())
+
+    def doc_filter(t: pa.Table) -> pa.Table:
+        bl = Bloom(bloom_bits, 6,
+                   bits=np.frombuffer(ray.get(bits_ref), np.uint8))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(bl.contains(ids))).select(["doc_id", "text"])
+
+    docs = _read_docs(sf_dir).map_batches(doc_filter, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+    # shuffle 1 — co-partition (Bloom-pruned) texts with needs by doc_id;
+    # the inner merge is the exact filter that drops Bloom false positives
+    def u_docs(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "side": pa.array(np.zeros(n, np.int8)),
+                         "vp": pa.nulls(n, pa.int32()),
+                         "text": t["text"]})
+
+    def u_needs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "side": np.ones(len(df), np.int8),
+                             "vp": df["vp"].to_numpy(np.int32),
+                             "text": pd.Series([None] * len(df), dtype=object)})
+
+    u1 = docs.map_batches(u_docs, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .union(needs.map_batches(u_needs, batch_format="pandas"))
+    u1 = add_partition_column(u1, key="doc_id",
+                              num_partitions=num_partitions)
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        tx = df[df["side"] == 0][["doc_id", "text"]]
+        nd = df[df["side"] == 1][["doc_id", "vp"]].drop_duplicates()
+        m = nd.merge(tx, on="doc_id", how="inner")
+        return pd.DataFrame({"vp": m["vp"].to_numpy(np.int32),
+                             "doc_id": m["doc_id"].to_numpy(np.int64),
+                             "text": m["text"]})
+
+    reps = u1.groupby("part").map_groups(replicate, batch_format="pandas")
+
+    # shuffle 2 — co-locate each verify partition's pairs with its texts
+    def u_reps(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"vp": df["vp"].to_numpy(np.int32),
+                             "side": np.zeros(len(df), np.int8),
+                             "doc_a": np.zeros(len(df), np.int64),
+                             "doc_b": np.zeros(len(df), np.int64),
+                             "doc_id": df["doc_id"].to_numpy(np.int64),
+                             "text": df["text"]})
+
+    def u_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"vp": df["vp"].to_numpy(np.int32),
+                             "side": np.ones(len(df), np.int8),
+                             "doc_a": df["doc_a"].to_numpy(np.int64),
+                             "doc_b": df["doc_b"].to_numpy(np.int64),
+                             "doc_id": np.zeros(len(df), np.int64),
+                             "text": pd.Series([None] * len(df),
+                                               dtype=object)})
+
+    u2 = reps.map_batches(u_reps, batch_format="pandas") \
+        .union(pairs.map_batches(u_pairs, batch_format="pandas"))
 
     def verify_block(g: pd.DataFrame) -> pd.DataFrame:
-        cand_, _ = ray.get(ref)
-        pairs = cand_[cand_["vp"] == int(g["vp"].iloc[0])]
-        texts = {int(d): (t if isinstance(t, str) else "")
-                 for d, t in zip(g["doc_id"], g["text"])}
-        out_a, out_b, out_d = [], [], []
-        for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-            ta, tb = texts[int(a)], texts[int(b)]
-            budget = rel_threshold * max(len(ta), len(tb))
-            if abs(len(ta) - len(tb)) > budget:
-                continue  # length gap lower-bounds the distance
-            d = _levenshtein(ta, tb)
-            if d <= budget:
-                out_a.append(int(a))
-                out_b.append(int(b))
-                out_d.append(d)
-        return pd.DataFrame({"doc_a": np.array(out_a, dtype=np.int64),
-                             "doc_b": np.array(out_b, dtype=np.int64),
-                             "dist": np.array(out_d, dtype=np.int64)})
+        p = g[g["side"] == 1]
+        tx = g[g["side"] == 0]
+        if not len(p):
+            return pd.DataFrame(_EMPTY_EDIT)
+        chars = {int(d): np.frombuffer(
+                     (t if isinstance(t, str) else "").encode("utf-32-le"),
+                     dtype=np.uint32)
+                 for d, t in zip(tx["doc_id"], tx["text"])}
+        empty = np.zeros(0, np.uint32)
+        da = p["doc_a"].to_numpy(np.int64)
+        db = p["doc_b"].to_numpy(np.int64)
+        A = [chars.get(int(a), empty) for a in da]
+        B = [chars.get(int(b), empty) for b in db]
+        lens = np.array([[len(x), len(y)] for x, y in zip(A, B)], np.int64) \
+            .reshape(-1, 2)
+        budget = rel_threshold * lens.max(axis=1)
+        keep = (lens.max(axis=1) - lens.min(axis=1)) <= budget
+        if not keep.any():
+            return pd.DataFrame(_EMPTY_EDIT)
+        ki = np.flatnonzero(keep)
+        # shorter side first: the band key is the DP iteration count
+        swap = lens[ki, 0] > lens[ki, 1]
+        arrs_a = [B[i] if s else A[i] for i, s in zip(ki, swap)]
+        arrs_b = [A[i] if s else B[i] for i, s in zip(ki, swap)]
+        d = _levenshtein_band(arrs_a, arrs_b, caps=budget[ki])
+        ok = d <= budget[ki]
+        return pd.DataFrame({"doc_a": da[ki][ok], "doc_b": db[ki][ok],
+                             "dist": d[ok]})
 
-    docs = _read_docs(sf_dir).map_batches(replicate, batch_format="pyarrow",
-                                          zero_copy_batch=True)
-    out = docs.groupby("vp").map_groups(verify_block,
-                                        batch_format="pandas").to_pandas()
-    if not len(out.columns):
-        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                             "doc_b": pd.Series([], dtype=np.int64),
-                             "dist": pd.Series([], dtype=np.int64)})
+    out = u2.groupby("vp").map_groups(verify_block,
+                                      batch_format="pandas").to_pandas()
+    if not len(out.columns) or not len(out):
+        return pd.DataFrame(_EMPTY_EDIT)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 def dedup_keep_best(sf_dir: str, threshold: float = 0.5, clusters=None):

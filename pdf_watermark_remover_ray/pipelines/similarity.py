@@ -517,6 +517,41 @@ class PQCodebook:
         return out
 
 
+def _exact_rerank(sf_dir: str, cand: pd.DataFrame, qids: np.ndarray,
+                  qm: np.ndarray, k: int) -> pd.DataFrame:
+    """Exact re-scoring of a global candidate set: ONE pruned point-lookup
+    read fetches just the candidate embeddings (vec_id IN-filter pushed
+    into the parquet scan — at 100 TB the non-candidate corpus never
+    leaves storage), then an exact cosine top-k per query.  Shared by the
+    inline and indexed PQ paths so both emit identical results for the
+    same candidates."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    want_ids = pa.array(sorted(set(cand["vec_id"].tolist())))
+    emb = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(want_ids)).to_pandas()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    pos = {int(v): i for i, v in enumerate(emb["vec_id"].to_numpy())}
+    rows = []
+    for qi in range(len(qids)):
+        cv = cand.loc[cand["query_id"] == qids[qi], "vec_id"] \
+            .to_numpy(np.int64)
+        s = m[[pos[int(v)] for v in cv]] @ qm[qi]
+        rows.append(pd.DataFrame({"query_id": qids[qi], "vec_id": cv,
+                                  "score": s}))
+    allr = pd.concat(rows, ignore_index=True) \
+        .sort_values(["query_id", "score", "vec_id"],
+                     ascending=[True, False, True], kind="mergesort")
+    out = allr.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["score"] = round_half_away(out["score"], 4)
+    return out[["query_id", "vec_id", "score"]]
+
+
 def ann_topk_pq(sf_dir: str, n_queries: int = 10, k: int = 5,
                 m_sub: int = 8, k_codes: int = 256, rerank: int = 20,
                 sample_n: int = 2048):
@@ -525,20 +560,24 @@ def ann_topk_pq(sf_dir: str, n_queries: int = 10, k: int = 5,
     batch with LUT gathers, keep per-batch partial top-k, tiny driver merge —
     the :func:`ann_topk` pattern with the matmul replaced by code gathers.
 
-    ``rerank > 0``: keep the top ``rerank`` PQ candidates per (query, batch)
-    and re-score those EXACTLY (their float vectors are in-batch) — the
-    standard ADC+rerank recipe: PQ prunes, exact ranks, recall approaches
-    the exact scan at a fraction of the flops.  Returns
-    (query_id, vec_id, score) with score = approx IP (or exact cosine when
-    reranked), rounded like ann_topk."""
+    ``rerank > 0``: the GLOBAL top ``max(k, rerank)`` PQ candidates per
+    query (per-batch approx partials → driver merge — batch-boundary
+    INVARIANT, so the result is a pure function of the data and the
+    SQL oracle can replay it) are re-scored exactly via ONE pruned
+    candidate read (:func:`_exact_rerank`) — the standard ADC+rerank
+    recipe: PQ prunes, exact ranks, recall approaches the exact scan at a
+    fraction of the flops.  Returns (query_id, vec_id, score) with
+    score = approx IP (or exact cosine when reranked), rounded like
+    ann_topk."""
     sample = _sample_embeddings(sf_dir, n=sample_n)
     pq_ = PQCodebook(sample, m_sub=m_sub, k=k_codes)
     qids, qm = _load_queries(sf_dir, n_queries)
     luts = np.stack([pq_.lut(q) for q in qm])  # (Q, m_sub, k)
-    b_ref = ray.put((qids, qm, luts, pq_))
+    b_ref = ray.put((qids, luts, pq_))
+    take_n = max(k, rerank) if rerank else k
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-        qids_, qm_, luts_, pq2 = ray.get(b_ref)
+        qids_, luts_, pq2 = ray.get(b_ref)
         ids = df["vec_id"].to_numpy(np.int64)
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1)
@@ -549,18 +588,11 @@ def ann_topk_pq(sf_dir: str, n_queries: int = 10, k: int = 5,
         for qi in range(len(qids_)):
             s = sims[qi].copy()
             s[ids == qids_[qi]] = -np.inf  # exclude self
-            take = min(max(k, rerank), len(ids))
+            take = min(take_n, len(ids))
             idx = np.argpartition(-s, take - 1)[:take]
-            if rerank:
-                exact = m[idx] @ qm_[qi]
-                exact[ids[idx] == qids_[qi]] = -np.inf
-                out.append(pd.DataFrame({"query_id": qids_[qi],
-                                         "vec_id": ids[idx],
-                                         "score": exact}))
-            else:
-                out.append(pd.DataFrame({"query_id": qids_[qi],
-                                         "vec_id": ids[idx],
-                                         "score": s[idx]}))
+            out.append(pd.DataFrame({"query_id": qids_[qi],
+                                     "vec_id": ids[idx],
+                                     "score": s[idx]}))
         return pd.concat(out, ignore_index=True)
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -570,7 +602,10 @@ def ann_topk_pq(sf_dir: str, n_queries: int = 10, k: int = 5,
     partials = partials.sort_values(["query_id", "score", "vec_id"],
                                     ascending=[True, False, True],
                                     kind="mergesort")
-    out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    cand = partials.groupby("query_id", sort=True).head(take_n)
+    if rerank:
+        return _exact_rerank(sf_dir, cand, qids, qm, k)
+    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["score"] = round_half_away(out["score"], 4)
     return out[["query_id", "vec_id", "score"]]
 
@@ -673,31 +708,7 @@ def ann_topk_pq_indexed(sf_dir: str, index_dir: str | None = None,
             return out[["query_id", "vec_id", "score"]]
 
         # exact re-scoring: one pruned point-lookup read of the candidates
-        import pyarrow.compute as pc
-        import pyarrow.dataset as pads
-
-        want_ids = pa.array(sorted(set(cand["vec_id"].tolist())))
-        emb = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
-            columns=["vec_id", "embedding"],
-            filter=pc.field("vec_id").isin(want_ids)).to_pandas()
-        m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        m = m / norms[:, None]
-        pos = {int(v): i for i, v in enumerate(emb["vec_id"].to_numpy())}
-        rows = []
-        for qi in range(len(qids)):
-            cv = cand.loc[cand["query_id"] == qids[qi], "vec_id"] \
-                .to_numpy(np.int64)
-            s = m[[pos[int(v)] for v in cv]] @ qm[qi]
-            rows.append(pd.DataFrame({"query_id": qids[qi], "vec_id": cv,
-                                      "score": s}))
-        allr = pd.concat(rows, ignore_index=True) \
-            .sort_values(["query_id", "score", "vec_id"],
-                         ascending=[True, False, True], kind="mergesort")
-        out = allr.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-        out["score"] = round_half_away(out["score"], 4)
-        return out[["query_id", "vec_id", "score"]]
+        return _exact_rerank(sf_dir, cand, qids, qm, k)
     finally:
         if own_tmp:
             import shutil

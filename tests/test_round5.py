@@ -115,6 +115,45 @@ def test_reshard_layout_guards_enrich_flip():
     assert layout_matches(legacy, flipped)
 
 
+def test_levenshtein_band_matches_scalar():
+    """The vectorized Ukkonen-banded multi-pair DP agrees with the scalar
+    kernel: exact everywhere in uncapped mode; with caps, exact for
+    distances ≤ cap and strictly above the cap otherwise (the clamp that
+    the ``d <= budget`` filter relies on)."""
+    import random
+
+    from pdf_watermark_remover_ray.pipelines.dedup import (
+        _levenshtein, _levenshtein_band)
+
+    rng = random.Random(23)
+    pairs = []
+    for _ in range(300):
+        n1, n2 = rng.randint(0, 50), rng.randint(0, 50)
+        pairs.append(("".join(rng.choice("abcd") for _ in range(n1)),
+                      "".join(rng.choice("abcd") for _ in range(n2))))
+    A = [np.frombuffer(a.encode("utf-32-le"), np.uint32) for a, _ in pairs]
+    B = [np.frombuffer(b.encode("utf-32-le"), np.uint32) for _, b in pairs]
+    ref = np.array([_levenshtein(a, b) for a, b in pairs])
+    assert (_levenshtein_band(A, B) == ref).all()
+    caps = np.array([rng.randint(0, 20) for _ in pairs], dtype=float)
+    capped = _levenshtein_band(A, B, caps=caps)
+    exact = ref <= caps
+    assert (capped[exact] == ref[exact]).all()
+    assert (capped[~exact] > caps[~exact]).all()
+
+
+def test_edit_dup_pairs_cluster_side(sf_dir):
+    """The redesigned edit_dup_pairs (pairs never .to_pandas() on the
+    driver; Bloom-pruned text co-shuffle; banded DP) still matches its
+    SQL oracle."""
+    want = duck_sql(sf_dir, Q.oracle_sql()["edit_dup_pairs"],
+                    tables=("documents",))
+    got = Q.queries()["edit_dup_pairs"](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    assert len(want) > 0
+    _cmp(got, want)
+
+
 def test_bm25_indexed_default_tmpdir_cleanup(sf_dir):
     """A default (index_dir=None) bm25_topk_indexed invocation must not
     leak its mkdtemp inverted index on disk (ADVICE r4)."""
