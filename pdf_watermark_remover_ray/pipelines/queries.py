@@ -812,6 +812,177 @@ def _ann_lsh_sql(n_queries: int = 10, k: int = 5, n_planes: int = 10,
             ORDER BY list_cosine_similarity(q.qe, e.emb) DESC, c.vec_id ASC) <= {k}"""
 
 
+def _emb_sample_ctes(sample_n: int, seed: int = 42) -> str:
+    """Shared CTE prefix for the IVF/PQ training replays: normalized
+    DOUBLE[] embeddings (``nv``), the md5-hash-ordered training sample
+    rounded to 9 dp (``samp``, with its hash rank ``rn``) — bit-identical
+    to :func:`..pipelines.similarity._sample_embeddings` (md5 prefix of
+    ``"{vec_id}:{seed}"``, global ``sample_n`` smallest by (hash, vec_id),
+    L2-normalize, round 9)."""
+    return f"""
+        ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb0
+               FROM embeddings),
+        n1 AS (SELECT vec_id, emb0,
+                      CASE WHEN sqrt(list_dot_product(emb0, emb0)) = 0
+                           THEN 1.0
+                           ELSE sqrt(list_dot_product(emb0, emb0)) END AS nr
+               FROM ed),
+        nv AS MATERIALIZED (SELECT vec_id, list_transform(emb0, x -> x / nr) AS emb
+               FROM n1),
+        sh AS (SELECT vec_id, emb,
+                      ('0x' || substring(md5(CAST(vec_id AS VARCHAR)
+                                             || ':{seed}'), 1, 16))::UBIGINT
+                          AS h
+               FROM nv),
+        samp AS MATERIALIZED (SELECT vec_id,
+                        list_transform(emb, x -> round(x, 9)) AS emb,
+                        row_number() OVER (ORDER BY h, vec_id) AS rn
+                 FROM sh QUALIFY rn <= {sample_n})"""
+
+
+def _ivf_sql(n_queries: int = 10, k: int = 5, n_lists: int = 16,
+             nprobe: int = 4, iters: int = 10, sample_n: int = 512,
+             dim: int = 64) -> str:
+    """DuckDB replay of the FULL IVF pipeline, training included: the
+    spherical k-means in :class:`..pipelines.similarity.IVFIndex` is a
+    deterministic fixed-point computation (hash-order initial centroids,
+    9-dp rounding of every assignment score and centroid update), so the
+    oracle unrolls the ``iters`` Lloyd iterations as CTE stages and lands
+    on bit-identical centroids, probes, cluster assignments and top-k.
+    Serves BOTH ann_topk_ivf and ann_topk_ivf_clustered (the clustered
+    layout is identical by construction — same centroids, same scoring,
+    different physical read)."""
+    steps = []
+    prev = "c0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+        a{i} AS MATERIALIZED (SELECT s.vec_id, s.emb, c.c
+                 FROM samp s CROSS JOIN {prev} c
+                 QUALIFY row_number() OVER (
+                     PARTITION BY s.vec_id
+                     ORDER BY round(list_dot_product(s.emb, c.vec), 9) DESC,
+                              c.c) = 1),
+        m{i} AS (SELECT a.c, d.j, avg(a.emb[d.j]) AS v
+                 FROM a{i} a CROSS JOIN dims d GROUP BY a.c, d.j),
+        mm{i} AS (SELECT c, list(v ORDER BY j) AS mv FROM m{i} GROUP BY c),
+        mn{i} AS (SELECT c, mv, sqrt(list_dot_product(mv, mv)) AS nr
+                  FROM mm{i}),
+        c{i} AS MATERIALIZED (SELECT p.c,
+                        CASE WHEN mn.nr IS NULL OR mn.nr = 0 THEN p.vec
+                             ELSE list_transform(mn.mv,
+                                                 x -> round(x / mn.nr, 9))
+                        END AS vec
+                 FROM {prev} p LEFT JOIN mn{i} mn ON mn.c = p.c)""")
+        prev = f"c{i}"
+    return f"""
+        WITH {_emb_sample_ctes(sample_n)},
+        dims AS (SELECT unnest(generate_series(1, {dim})) AS j),
+        c0 AS (SELECT rn - 1 AS c, emb AS vec FROM samp
+               WHERE rn <= {n_lists}),
+        {",".join(steps)},
+        q AS (SELECT vec_id AS query_id, emb AS qe FROM nv
+              ORDER BY vec_id LIMIT {n_queries}),
+        pr AS (SELECT q.query_id, c.c
+               FROM q CROSS JOIN {prev} c
+               QUALIFY row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_dot_product(q.qe, c.vec), 9) DESC,
+                            c.c) <= {nprobe}),
+        asg AS (SELECT v.vec_id, v.emb, c.c
+                FROM nv v CROSS JOIN {prev} c
+                QUALIFY row_number() OVER (
+                    PARTITION BY v.vec_id
+                    ORDER BY round(list_dot_product(v.emb, c.vec), 9) DESC,
+                             c.c) = 1),
+        cand AS (SELECT p.query_id, a.vec_id, a.emb
+                 FROM pr p JOIN asg a ON a.c = p.c
+                 WHERE a.vec_id <> p.query_id)
+        SELECT c.query_id, c.vec_id,
+               round(list_dot_product(q.qe, c.emb), 4) AS cos_sim
+        FROM cand c JOIN q ON q.query_id = c.query_id
+        QUALIFY row_number() OVER (
+            PARTITION BY c.query_id
+            ORDER BY list_dot_product(q.qe, c.emb) DESC, c.vec_id) <= {k}"""
+
+
+def _pq_sql(n_queries: int = 10, k: int = 5, m_sub: int = 8,
+            k_codes: int = 256, rerank: int = 20, iters: int = 10,
+            sample_n: int = 2048, dim: int = 64) -> str:
+    """DuckDB replay of the FULL PQ(ADC)+rerank pipeline, codebook training
+    included: per-subspace Lloyd k-means on the hash-ordered sample
+    (:class:`..pipelines.similarity.PQCodebook` — hash-order initial
+    centroids, the |c|^2 − 2 x·c distance proxy rounded to 9 dp with ties
+    to the lowest code, means rounded to 9 dp), corpus codes by the same
+    proxy, approx scores as Σ_s q_s·C[s, code_s] rounded to 9 dp, the
+    global top-``max(k, rerank)`` candidates per query, and the exact
+    cosine re-rank.  Serves BOTH ann_topk_pq and ann_topk_pq_indexed
+    (identical by construction: same codebook, same candidates, shared
+    exact re-scorer)."""
+    dsub = dim // m_sub
+    take_n = max(k, rerank)
+    steps = []
+    prev = "p0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+        pa{i} AS MATERIALIZED (SELECT x.vec_id, x.s, x.sub, c.c
+                  FROM ss x JOIN {prev} c ON c.s = x.s
+                  QUALIFY row_number() OVER (
+                      PARTITION BY x.s, x.vec_id
+                      ORDER BY round(list_dot_product(c.vec, c.vec)
+                                     - 2 * list_dot_product(x.sub, c.vec),
+                                     9) ASC, c.c) = 1),
+        pm{i} AS (SELECT a.s, a.c, d.j, avg(a.sub[d.j]) AS v
+                  FROM pa{i} a CROSS JOIN sdims d GROUP BY a.s, a.c, d.j),
+        pl{i} AS (SELECT s, c, list(round(v, 9) ORDER BY j) AS mv
+                  FROM pm{i} GROUP BY s, c),
+        p{i} AS MATERIALIZED (SELECT p.s, p.c, coalesce(l.mv, p.vec) AS vec
+                 FROM {prev} p LEFT JOIN pl{i} l
+                   ON l.s = p.s AND l.c = p.c)""")
+        prev = f"p{i}"
+    return f"""
+        WITH {_emb_sample_ctes(sample_n)},
+        subs AS (SELECT unnest(generate_series(0, {m_sub - 1})) AS s),
+        sdims AS (SELECT unnest(generate_series(1, {dsub})) AS j),
+        ss AS MATERIALIZED (SELECT p.rn, p.vec_id, s.s,
+                      p.emb[s.s * {dsub} + 1 : s.s * {dsub} + {dsub}] AS sub
+               FROM samp p CROSS JOIN subs s),
+        p0 AS (SELECT s, rn - 1 AS c, sub AS vec FROM ss
+               WHERE rn <= {k_codes}),
+        {",".join(steps)},
+        cs AS (SELECT v.vec_id, s.s,
+                      v.emb[s.s * {dsub} + 1 : s.s * {dsub} + {dsub}] AS sub
+               FROM nv v CROSS JOIN subs s),
+        codes AS MATERIALIZED (SELECT x.vec_id, x.s, c.vec
+                  FROM cs x JOIN {prev} c ON c.s = x.s
+                  QUALIFY row_number() OVER (
+                      PARTITION BY x.s, x.vec_id
+                      ORDER BY round(list_dot_product(c.vec, c.vec)
+                                     - 2 * list_dot_product(x.sub, c.vec),
+                                     9) ASC, c.c) = 1),
+        q AS (SELECT vec_id AS query_id, emb AS qe FROM nv
+              ORDER BY vec_id LIMIT {n_queries}),
+        qs AS (SELECT q.query_id, q.qe, s.s,
+                      q.qe[s.s * {dsub} + 1 : s.s * {dsub} + {dsub}] AS qsub
+               FROM q CROSS JOIN subs s),
+        approx AS (SELECT qs.query_id, cd.vec_id,
+                          round(sum(list_dot_product(qs.qsub, cd.vec)), 9)
+                              AS a
+                   FROM qs JOIN codes cd ON cd.s = qs.s
+                   GROUP BY qs.query_id, cd.vec_id),
+        cand AS (SELECT query_id, vec_id FROM approx
+                 WHERE vec_id <> query_id
+                 QUALIFY row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY a DESC, vec_id) <= {take_n})
+        SELECT c.query_id, c.vec_id,
+               round(list_dot_product(q.qe, v.emb), 4) AS score
+        FROM cand c JOIN q ON q.query_id = c.query_id
+                    JOIN nv v ON v.vec_id = c.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY c.query_id
+            ORDER BY list_dot_product(q.qe, v.emb) DESC, c.vec_id) <= {k}"""
+
+
 def _keep_best_sql(threshold: float = 0.5) -> str:
     """Cluster closure + quality keep rule: per cluster the member with the
     most whitespace tokens (ties -> lowest doc_id)."""
@@ -1439,6 +1610,10 @@ def oracle_sql() -> dict:
         "dedup_keep_best": _keep_best_sql(threshold=0.5),
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "ann_topk_lsh": _ann_lsh_sql(),
+        "ann_topk_ivf": _ivf_sql(),
+        "ann_topk_ivf_clustered": _ivf_sql(),
+        "ann_topk_pq": _pq_sql(),
+        "ann_topk_pq_indexed": _pq_sql(),
         "token_counts": f"""
             SELECT doc_id,
                    len({TOKENS_SQL}) AS ws_tokens,

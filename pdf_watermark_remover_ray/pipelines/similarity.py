@@ -93,52 +93,72 @@ def _sample_embeddings(sf_dir: str, n: int = 512, seed: int = 42) -> np.ndarray:
     partial-top-k pattern as :func:`ann_topk` (one streaming pass, no
     shuffle, O(n × blocks) driver merge).  Hash-ordered selection ⇒ a
     uniform sample that is identical under ANY partitioning / block order,
-    unlike an order-dependent reservoir.  Returns L2-normalized float64."""
-    mix = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+    unlike an order-dependent reservoir.
+
+    The rank hash is an md5 prefix of ``"{vec_id}:{seed}"`` so the DuckDB
+    oracle can replay the exact sample (the repo's standard SQL-replayable
+    hash, :func:`..functions.hashing.md5_u64`); ties (impossible at 64
+    bits in practice) break on ``vec_id``.  Returns L2-normalized float64
+    ROUNDED to 9 dp — the fixed-point contract that keeps the downstream
+    k-means (IVF centroids, PQ codebooks) bit-replayable in SQL: every
+    centroid update rounds to 9 dp, so 1e-16 summation-order noise between
+    numpy and DuckDB cannot cascade through iterations.  Rows come back in
+    hash order, which downstream trainers use as their deterministic
+    initial-centroid order."""
+    from ..functions.hashing import md5_u64
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
-        h = _splitmix64(df["vec_id"].to_numpy(np.int64) ^ np.int64(mix.astype(np.int64)))
+        ids = df["vec_id"].to_numpy(np.int64)
+        h = md5_u64(np.array([f"{v}:{seed}" for v in ids], dtype=object))
         take = min(n, len(df))
-        idx = np.argpartition(h, take - 1)[:take]
-        return pd.DataFrame({"h": h[idx],
-                             "embedding": df["embedding"].to_numpy()[idx]})
+        order = np.lexsort((ids, h))[:take]
+        return pd.DataFrame({"h": h[order], "vec_id": ids[order],
+                             "embedding": df["embedding"].to_numpy()[order]})
 
     parts = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                   columns=["vec_id", "embedding"]) \
         .map_batches(pick, batch_format="pandas", batch_size=4096).to_pandas()
-    parts = parts.sort_values("h", kind="mergesort").head(n)
+    parts = parts.sort_values(["h", "vec_id"], kind="mergesort").head(n)
     sm = np.stack(parts["embedding"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(sm, axis=1)
     norms[norms == 0] = 1.0
-    return sm / norms[:, None]
+    return round_half_away(sm / norms[:, None], 9)
 
 
 class IVFIndex:
     """Tiny IVF (inverted-file) index: k-means centroids trained on a sample,
     corpus bucketed by nearest centroid, queries probe the nearest
-    ``nprobe`` buckets.  Deterministic (fixed seed, fixed iterations)."""
+    ``nprobe`` buckets.
+
+    Fully SQL-replayable (the DuckDB oracle re-runs the training): initial
+    centroids are the first ``n_lists`` rows of the hash-ordered sample
+    (hash order is already pseudorandom — an rng pick adds nothing and
+    would depend on the sample SIZE); every assignment argmax reads scores
+    ROUNDED to 9 dp with ties to the lowest centroid id, and every centroid
+    update is the spherical-k-means normalize-then-round step, so numpy and
+    DuckDB stay bit-identical through all ``iters`` iterations."""
 
     def __init__(self, sample: np.ndarray, n_lists: int = 16, iters: int = 10,
                  seed: int = 42) -> None:
-        rng = np.random.default_rng(seed)
-        n = len(sample)
-        self.centroids = sample[rng.choice(n, size=min(n_lists, n), replace=False)].copy()
+        self.centroids = sample[:min(n_lists, len(sample))].copy()
         for _ in range(iters):
-            assign = np.argmax(sample @ self.centroids.T, axis=1)
+            assign = self.assign(sample)
             for c in range(len(self.centroids)):
                 members = sample[assign == c]
                 if len(members):
                     v = members.mean(axis=0)
                     norm = np.linalg.norm(v)
                     if norm > 0:
-                        self.centroids[c] = v / norm
+                        self.centroids[c] = round_half_away(v / norm, 9)
 
     def assign(self, m: np.ndarray) -> np.ndarray:
-        return np.argmax(m @ self.centroids.T, axis=1)
+        # first max on ties == lowest centroid id, matching the SQL replay
+        return np.argmax(round_half_away(m @ self.centroids.T, 9), axis=1)
 
     def probe(self, q: np.ndarray, nprobe: int) -> np.ndarray:
-        sims = q @ self.centroids.T
-        return np.argsort(-sims)[:nprobe]
+        sims = round_half_away(q @ self.centroids.T, 9)
+        order = np.lexsort((np.arange(len(sims)), -sims))
+        return order[:nprobe]
 
 
 def ann_topk_ivf(sf_dir: str, n_queries: int = 10, k: int = 5, n_lists: int = 16,
@@ -170,8 +190,9 @@ def ann_topk_ivf(sf_dir: str, n_queries: int = 10, k: int = 5, n_lists: int = 16
             if len(cand) == 0:
                 continue
             s = mn[cand] @ qm_[qi]
-            take = min(k, len(cand))
-            idx = np.argpartition(-s, take - 1)[:take]
+            # total order (cos desc, vec_id asc): local top-k + driver merge
+            # is batch-boundary invariant even with duplicate vectors
+            idx = np.lexsort((ids[cand], -s))[:min(k, len(cand))]
             out.append(pd.DataFrame({"query_id": qids_[qi], "vec_id": ids[cand[idx]],
                                      "cos_sim": s[idx]}))
         return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
@@ -281,8 +302,7 @@ def ann_topk_ivf_clustered(sf_dir: str, index_dir: str | None = None,
                 if len(cand) == 0:
                     continue
                 s = mn[cand] @ qm_[qi]
-                take = min(k, len(cand))
-                idx = np.argpartition(-s, take - 1)[:take]
+                idx = np.lexsort((ids[cand], -s))[:min(k, len(cand))]
                 out.append(pd.DataFrame(
                     {"query_id": qids_[qi], "vec_id": ids[cand[idx]],
                      "cos_sim": s[idx]}))
@@ -476,18 +496,24 @@ class PQCodebook:
         if dim % m_sub:
             raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
         self.m_sub, self.k, self.dsub = m_sub, k, dim // m_sub
-        rng = np.random.default_rng(seed)
         kk = min(k, len(sample))
         self.C = np.zeros((m_sub, k, self.dsub))
+        # SQL-replayable Lloyd: hash-order initial centroids (the sample is
+        # hash-ordered), argmin on the |c|^2 - 2 x.c distance proxy ROUNDED
+        # to 9 dp with ties to the lowest code (same proxy as encode(), so
+        # the oracle replays ONE formula), means rounded to 9 dp per
+        # iteration — numpy/DuckDB summation-order noise cannot cascade.
         for s in range(m_sub):
             sub = sample[:, s * self.dsub:(s + 1) * self.dsub]
-            cent = sub[rng.choice(len(sub), size=kk, replace=False)].copy()
+            cent = sub[:kk].copy()
             for _ in range(iters):
-                a = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1).argmin(1)
+                c2 = (cent ** 2).sum(-1)
+                a = round_half_away(c2[None, :] - 2.0 * (sub @ cent.T),
+                                    9).argmin(1)
                 for c in range(kk):
                     members = sub[a == c]
                     if len(members):
-                        cent[c] = members.mean(0)
+                        cent[c] = round_half_away(members.mean(0), 9)
             self.C[s, :kk] = cent
 
     def encode(self, m: np.ndarray) -> np.ndarray:
@@ -500,7 +526,8 @@ class PQCodebook:
         for s in range(self.m_sub):
             sub = m[:, s * self.dsub:(s + 1) * self.dsub]
             c2 = (self.C[s] ** 2).sum(-1)  # (k,)
-            codes[:, s] = (c2[None, :] - 2.0 * (sub @ self.C[s].T)).argmin(1)
+            codes[:, s] = round_half_away(
+                c2[None, :] - 2.0 * (sub @ self.C[s].T), 9).argmin(1)
         return codes
 
     def lut(self, q: np.ndarray) -> np.ndarray:
@@ -583,13 +610,15 @@ def ann_topk_pq(sf_dir: str, n_queries: int = 10, k: int = 5,
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         m = m / norms[:, None]
-        sims = pq2.score(luts_, pq2.encode(m))  # (Q, B) approx IP
+        # approx IP rounded to 9 dp: identical in the SQL replay, and ties
+        # (shared codes) resolve by vec_id so the local-top + driver merge
+        # is batch-boundary invariant
+        sims = round_half_away(pq2.score(luts_, pq2.encode(m)), 9)  # (Q, B)
         out = []
         for qi in range(len(qids_)):
             s = sims[qi].copy()
             s[ids == qids_[qi]] = -np.inf  # exclude self
-            take = min(take_n, len(ids))
-            idx = np.argpartition(-s, take - 1)[:take]
+            idx = np.lexsort((ids, -s))[:min(take_n, len(ids))]
             out.append(pd.DataFrame({"query_id": qids_[qi],
                                      "vec_id": ids[idx],
                                      "score": s[idx]}))
@@ -682,13 +711,12 @@ def ann_topk_pq_indexed(sf_dir: str, index_dir: str | None = None,
             ids = df["vec_id"].to_numpy(np.int64)
             codes = np.stack([df[f"c{s}"].to_numpy(np.uint8)
                               for s in range(pq2.m_sub)], axis=1)
-            sims = pq2.score(luts_, codes)
+            sims = round_half_away(pq2.score(luts_, codes), 9)
             out = []
             for qi in range(len(qids_)):
                 s = sims[qi].copy()
                 s[ids == qids_[qi]] = -np.inf
-                t = min(take_n, len(ids))
-                idx = np.argpartition(-s, t - 1)[:t]
+                idx = np.lexsort((ids, -s))[:min(take_n, len(ids))]
                 out.append(pd.DataFrame({"query_id": qids_[qi],
                                          "vec_id": ids[idx],
                                          "score": s[idx]}))

@@ -154,6 +154,20 @@ def test_edit_dup_pairs_cluster_side(sf_dir):
     _cmp(got, want)
 
 
+@pytest.mark.parametrize("name", ["ann_topk_ivf", "ann_topk_pq_indexed"])
+def test_ann_training_replay_oracles(sf_dir, name):
+    """The IVF/PQ training replays (queries._ivf_sql/_pq_sql) are
+    hash-exact: the 9-dp fixed-point k-means keeps numpy and DuckDB
+    bit-identical through all 10 Lloyd iterations (round-5 oracle gates
+    for the former no-oracle whitelist entries; the clustered/inline
+    variants are equality-pinned to these two elsewhere)."""
+    want = duck_sql(sf_dir, Q.oracle_sql()[name], tables=("embeddings",))
+    got = Q.queries()[name](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    assert len(want) > 0
+    _cmp(got, want)
+
+
 def test_bm25_indexed_default_tmpdir_cleanup(sf_dir):
     """A default (index_dir=None) bm25_topk_indexed invocation must not
     leak its mkdtemp inverted index on disk (ADVICE r4)."""
