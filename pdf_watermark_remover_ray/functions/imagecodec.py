@@ -100,13 +100,149 @@ def decode_bmp(b: bytes) -> np.ndarray:
     return bgr[:, :, ::-1].copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray, filter_id: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG (8-bit truecolor, one IDAT).
+
+    Public format (RFC 2083 / the W3C PNG spec); stdlib zlib + binascii
+    only.  ``filter_id`` applies the same scanline filter (0=None, 1=Sub,
+    2=Up, 3=Average, 4=Paeth) to every row — filtering on the ENCODE side
+    is the non-sequential direction (every predictor reads raw neighbor
+    pixels), so it stays whole-image vectorized; Paeth typically halves the
+    IDAT for the smooth synthetic gradients."""
+    import binascii
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_png needs an (h, w, 3) array")
+    if filter_id not in (0, 1, 2, 3, 4):
+        raise ValueError("filter_id must be 0..4")
+    h, w = img.shape[:2]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        crc = binascii.crc32(tag + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    flat = img.reshape(h, w * 3)
+    if filter_id == 0:
+        filt = flat
+    else:
+        left = np.zeros_like(flat)
+        left[:, 3:] = flat[:, :-3]                      # a: pixel to the left
+        up = np.zeros_like(flat)
+        up[1:] = flat[:-1]                              # b: pixel above
+        upleft = np.zeros_like(flat)
+        upleft[1:, 3:] = flat[:-1, :-3]                 # c: above-left
+        if filter_id == 1:
+            pred = left
+        elif filter_id == 2:
+            pred = up
+        elif filter_id == 3:
+            pred = ((left.astype(np.int16) + up) // 2).astype(np.uint8)
+        else:
+            pred = _paeth(left, up, upleft)
+        filt = flat - pred                              # uint8 wraparound
+    raw = np.concatenate([np.full((h, 1), filter_id, np.uint8), filt],
+                         axis=1).tobytes()
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §6.6), vectorized over one scanline."""
+    a16 = a.astype(np.int16)
+    b16 = b.astype(np.int16)
+    c16 = c.astype(np.int16)
+    p = a16 + b16 - c16
+    pa_, pb, pc_ = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    return np.where((pa_ <= pb) & (pa_ <= pc_), a,
+                    np.where(pb <= pc_, b, c))
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """PNG → (h, w, 3) uint8 RGB: stdlib-zlib inflate + numpy unfiltering.
+
+    Supports the non-interlaced 8-bit color types the multimodal corpora
+    use — truecolor (2), truecolor+alpha (6, alpha dropped), grayscale (0,
+    replicated to RGB).  All five scanline filters (None/Sub/Up/Average/
+    Paeth) per the public spec; Sub/Average/Paeth recur along x, so those
+    rows walk pixel-groups while Up/None stay whole-row vectorized."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + tag + data + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG is supported")
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * channels
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].copy()
+        prev = out[y - 1] if y else zero_row
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # Sub
+            for x in range(channels, stride, channels):
+                cur[x : x + channels] += cur[x - channels : x]
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = cur + prev
+        elif f == 3:  # Average
+            cur[:channels] += prev[:channels] // 2
+            for x in range(channels, stride, channels):
+                avg = ((cur[x - channels : x].astype(np.int16)
+                        + prev[x : x + channels]) // 2).astype(np.uint8)
+                cur[x : x + channels] += avg
+            out[y] = cur
+        else:  # Paeth
+            cur[:channels] += prev[:channels]  # a = c = 0 → predictor is b
+            for x in range(channels, stride, channels):
+                cur[x : x + channels] += _paeth(
+                    cur[x - channels : x], prev[x : x + channels],
+                    prev[x - channels : x])
+            out[y] = cur
+    px = out.reshape(h, w, channels)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2).copy()
+    return px[:, :, :3].copy()
+
+
 def decode_image(b: bytes) -> np.ndarray:
     """Sniff the payload magic and decode → (h, w, 3) uint8 RGB."""
     if b[:2] == b"P6":
         return decode_ppm(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
-    raise ValueError("unknown image payload (supported: PPM P6, 24-bit BMP)")
+    if b[:8] == _PNG_SIG:
+        return decode_png(b)
+    raise ValueError(
+        "unknown image payload (supported: PPM P6, 24-bit BMP, 8-bit PNG)")
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -126,4 +262,9 @@ def synthetic_image(doc_id: int, fmt: str = "ppm") -> bytes:
     base = (yy * 7 + xx * 13 + int(doc_id)) % 256
     img = np.stack([base, (base * 2) % 256, (base * 3) % 256],
                    axis=2).astype(np.uint8)
-    return encode_bmp(img) if fmt == "bmp" else encode_ppm(img)
+    if fmt == "bmp":
+        return encode_bmp(img)
+    if fmt == "png":
+        return encode_png(img, filter_id=4)  # Paeth: exercises the decoder's
+        #                                      hardest unfiltering path
+    return encode_ppm(img)

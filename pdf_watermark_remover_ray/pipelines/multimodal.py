@@ -4,11 +4,11 @@ Image/audio/video payloads are opaque ``binary`` columns with metadata
 columns next to them; decode / feature-extraction runs as an actor-pool
 ``map_batches`` stage with SMALL batches (large rows!).  Real decodes are
 dependency-free: audio as a zero-copy int16 PCM view
-(:class:`PcmWindowEnergy`), images via the pure-numpy PPM/BMP codecs
-(:mod:`..functions.imagecodec`) behind ``real=True`` on the featurize /
-resize stages; compressed formats (JPEG/PNG — would need PIL) fall back to
-the deterministic byte-derived fake (``real=False``, the default, which is
-also the SQL-oracle-able mode).
+(:class:`PcmWindowEnergy`), images via the pure-numpy PPM/BMP codecs and
+the stdlib-zlib PNG codec (:mod:`..functions.imagecodec`) behind
+``real=True`` on the featurize / resize stages; JPEG (would need PIL/a DCT
+stack) falls back to the deterministic byte-derived fake (``real=False``,
+the default, which is also the SQL-oracle-able mode).
 """
 
 from __future__ import annotations
@@ -97,10 +97,11 @@ def multimodal_features(sf_dir: str, concurrency: int = 2, batch_size: int = 256
 
 
 def image_payloads_from_documents(sf_dir: str, fmt: str = "mixed"):
-    """Deterministic REAL-image payload table: one synthetic PPM or BMP per
-    doc_id (seeded gradient, dimensions a function of the id — see
+    """Deterministic REAL-image payload table: one synthetic PPM, BMP or
+    PNG per doc_id (seeded gradient, dimensions a function of the id — see
     :func:`..functions.imagecodec.synthetic_image`).  ``fmt='mixed'``
-    alternates formats by id parity so both codecs are exercised."""
+    rotates formats by ``id % 3`` (ppm/bmp/png) so all three codecs —
+    including PNG Paeth unfiltering — are exercised in one table."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
 
@@ -108,7 +109,7 @@ def image_payloads_from_documents(sf_dir: str, fmt: str = "mixed"):
         from ..functions.imagecodec import synthetic_image
 
         ids = t["doc_id"].to_pylist()
-        fmts = [("bmp" if i % 2 else "ppm") for i in ids] \
+        fmts = [("ppm", "bmp", "png")[i % 3] for i in ids] \
             if fmt == "mixed" else [fmt] * len(ids)
         payload = pa.array([synthetic_image(i, f)
                             for i, f in zip(ids, fmts)], pa.binary())
@@ -120,7 +121,7 @@ def image_payloads_from_documents(sf_dir: str, fmt: str = "mixed"):
 
 
 def image_features(sf_dir: str, concurrency: int = 2, batch_size: int = 256):
-    """REAL image decode end-to-end: synthetic PPM/BMP payloads → actor-pool
+    """REAL image decode end-to-end: synthetic PPM/BMP/PNG payloads → actor-pool
     :class:`PayloadFeaturizer(real=True)` → true (width, height) from the
     decoded pixels plus mean luma.  The dimensions are id-derived, so the
     (doc_id, width, height) projection is SQL-oracle-able — the oracle
@@ -159,7 +160,7 @@ def image_resized_features(sf_dir: str, width: int = 16, height: int = 12,
 class PayloadResizer:
     """Actor-pool resize stage.
 
-    ``real=True`` decodes the payload (pure-numpy PPM/BMP), nearest-
+    ``real=True`` decodes the payload (pure-numpy PPM/BMP, stdlib-zlib PNG), nearest-
     neighbor-resizes to ``width × height`` via integer index grids, and
     re-encodes as PPM — an actual pixels-in/pixels-out resize with no
     external libs.  The deterministic fake tiles the source bytes to

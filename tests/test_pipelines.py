@@ -196,8 +196,8 @@ def test_image_real_decode_features(planted_dir):
     ids = out["doc_id"].to_numpy()
     assert (out["width"].to_numpy() == ids % 24 + 8).all()
     assert (out["height"].to_numpy() == ids % 16 + 8).all()
-    for d in (0, 1, 43):  # ppm (even) and bmp (odd) payloads
-        img = decode_image(synthetic_image(d, "bmp" if d % 2 else "ppm"))
+    for d in (0, 1, 2, 43):  # one of each format in the id%3 rotation
+        img = decode_image(synthetic_image(d, ("ppm", "bmp", "png")[d % 3]))
         f = img.astype(np.float64)
         lum = (0.299 * f[:, :, 0] + 0.587 * f[:, :, 1]
                + 0.114 * f[:, :, 2]).mean()
@@ -216,6 +216,61 @@ def test_image_real_decode_features(planted_dir):
                       "payload": [synthetic_image(6, "ppm")]}))
     want = resize_nearest(decode_image(synthetic_image(6, "ppm")), 16, 12)
     assert np.array_equal(decode_image(res["payload"].iloc[0]), want)
+
+
+def test_png_codec_roundtrip():
+    """stdlib-zlib PNG codec: decode(encode(img, f)) == img exactly for all
+    five scanline filters (None/Sub/Up/Average/Paeth), odd sizes included;
+    grayscale (color type 0) and RGBA (type 6) decode paths via hand-built
+    chunk streams; the sniffer routes PNG magic."""
+    import binascii
+    import struct
+    import zlib
+
+    from pdf_watermark_remover_ray.functions.imagecodec import (
+        decode_image, decode_png, encode_png, synthetic_image)
+
+    rng = np.random.default_rng(11)
+    for (h, w) in [(1, 1), (2, 3), (17, 13), (31, 29)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for f in range(5):
+            assert np.array_equal(decode_png(encode_png(img, filter_id=f)),
+                                  img), (h, w, f)
+    # smooth gradients (the synthetic corpus) should compress under Paeth
+    grad = decode_image(synthetic_image(14, "ppm"))
+    assert len(encode_png(grad, filter_id=4)) < len(encode_png(grad, 0))
+    assert np.array_equal(decode_image(synthetic_image(14, "png")), grad)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        crc = binascii.crc32(tag + data) & 0xFFFFFFFF
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", crc))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # grayscale (type 0): values replicate to RGB
+    gray = rng.integers(0, 256, (4, 5), dtype=np.uint8)
+    raw = np.concatenate([np.zeros((4, 1), np.uint8), gray], axis=1)
+    png0 = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+            + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png0),
+                          np.repeat(gray[:, :, None], 3, axis=2))
+    # RGBA (type 6): alpha dropped; IDAT split across two chunks
+    rgba = rng.integers(0, 256, (3, 2, 4), dtype=np.uint8)
+    raw = np.concatenate([np.zeros((3, 1), np.uint8),
+                          rgba.reshape(3, 8)], axis=1).tobytes()
+    z = zlib.compress(raw)
+    png6 = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 3, 8, 6, 0, 0, 0))
+            + chunk(b"IDAT", z[:7]) + chunk(b"IDAT", z[7:])
+            + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png6), rgba[:, :, :3])
+    # rejects: bad magic, 16-bit depth, palette type
+    with pytest.raises(ValueError):
+        decode_png(b"nope" * 4)
+    bad = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\0" * 26)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(bad)
 
 
 def test_winnow_fingerprint_properties(planted_dir):
