@@ -141,6 +141,21 @@ class StatePartition:
         self.dedup_buffer.setdefault(epoch, {})[source_key] = table
         return table.num_rows
 
+    def ingest_pair(self, epoch: int, fold: pa.Table | None,
+                    ded: pa.Table | None, source_key: str) -> int:
+        """Both keyspaces of one routed batch in ONE actor round-trip: the
+        fold slice (conv partition) and the dedup slice (text-hash
+        partition) ship together, halving per-batch ingest RPCs when the
+        dedup stream is on.  Either side may be None (the batch had no rows
+        for this partition in that keyspace); retry idempotence is the same
+        keyed overwrite as the individual paths."""
+        n = 0
+        if fold is not None:
+            n += self.ingest(epoch, fold, source_key)
+        if ded is not None:
+            n += self.ingest_dedup(epoch, ded, source_key)
+        return n
+
     def retract(self, epoch: int, source_keys: list[str]) -> int:
         """Withdraw previously-ingested units of a file that failed MID-read:
         the route task buffers nothing locally (bounded memory), so
@@ -990,35 +1005,79 @@ _HASH_MASK = np.int64((1 << 52) - 1)  # 52-bit halves: exact through the
 #                                       snapshot's int64-as-float round-trip
 
 
-def _route_dedup(live: pa.Table, actors, epoch: int, num_partitions: int,
-                 source_key: str) -> list:
-    """Second keyed route of the SAME prepared batch: (h1, h2, conv_id,
-    turn_idx) rows hash-partitioned by the post-scrub text hash.  Only these
-    four narrow columns ship — the text column itself stays in the staged
-    turn files.  Hash = two independently-keyed vectorized siphashes masked
-    to 52 bits each (104-bit composite; see exact_dedup for the batch twin).
-    Returns ack refs; the caller blocks on both keyed routes together."""
-    from ..stages.partition import stable_hash
+def _dedup_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 52-bit text hashes (104-bit composite; collisions
+    effectively impossible, so the seen-set never stores text).  Fast path:
+    polars' seeded row hash — vectorized Rust straight off the Arrow
+    buffers, no per-row Python-object materialization, ~4x cheaper than the
+    pandas siphash pair on the route hot path.  Deterministic across
+    processes and driver restarts for a fixed seed (the stability the
+    snapshot chain needs; the container pins the polars version).  Fallback
+    when polars is absent: the original keyed pandas siphashes."""
+    try:
+        import polars as pl
+    except ImportError:
+        s = texts.to_pandas().fillna("")
+        from ..stages.partition import stable_hash
 
-    s = live["text"].to_pandas().fillna("")
-    h1 = stable_hash(s).view(np.int64) & _HASH_MASK
-    h2 = (pd.util.hash_pandas_object(s, index=False, hash_key="9c39a2b1f04d58e7")
-          .to_numpy().view(np.int64) & _HASH_MASK)
+        h1 = stable_hash(s).view(np.int64) & _HASH_MASK
+        h2 = (pd.util.hash_pandas_object(s, index=False,
+                                         hash_key="9c39a2b1f04d58e7")
+              .to_numpy().view(np.int64) & _HASH_MASK)
+        return h1, h2
+    s = pl.from_arrow(texts).fill_null("")
+    h1 = (s.hash(seed=11).to_numpy().view(np.int64) & _HASH_MASK)
+    h2 = (s.hash(seed=29).to_numpy().view(np.int64) & _HASH_MASK)
+    return h1, h2
+
+
+def _dedup_slices(live: pa.Table,
+                  num_partitions: int) -> tuple[pa.Table, np.ndarray]:
+    """Second keyspace of the SAME prepared batch: (h1, h2, conv_id,
+    turn_idx, ts_us) rows hash-partitioned by the post-scrub text hash.
+    Only these five narrow columns ship — the text column itself stays in
+    the staged turn files.  Returns the partition-sorted narrow table and
+    its slice bounds; :func:`_route_pair` ships each slice inside the fold
+    route's actor calls."""
+    h1, h2 = _dedup_hashes(live["text"])
     part = (h1 % num_partitions).astype(np.int64)
     order = np.argsort(part, kind="stable")
     narrow = pa.table({
         "conv_id": live["conv_id"], "turn_idx": live["turn_idx"],
         "h1": pa.array(h1), "h2": pa.array(h2),
         "ts_us": live["ts_us"]}).take(pa.array(order))
-    sorted_part = part[order]
-    bounds = np.searchsorted(sorted_part, np.arange(num_partitions + 1))
+    bounds = np.searchsorted(part[order], np.arange(num_partitions + 1))
+    return narrow, bounds
+
+
+def _route_pair(live: pa.Table, actors, epoch: int, num_partitions: int,
+                source_key: str, dedup_on: bool) -> list:
+    """Route BOTH keyspaces of one prepared batch with ONE actor call per
+    partition: the fold slice (conv partition, :func:`_route_table` twin)
+    and the dedup slice (text-hash partition) travel in the same
+    ``ingest_pair`` message, so turning the dedup stream on adds hash
+    compute but no extra ingest round-trips.  Hot-key partitions (ids ≥
+    ``num_partitions``) only ever carry fold rows.  Returns ack refs."""
+    part = live["part"].to_numpy(zero_copy_only=False)
+    order = np.argsort(part, kind="stable")
+    cols = _INGEST_COLS + (["pbits"] if "pbits" in live.column_names else [])
+    sub = live.select(cols).take(pa.array(order))
+    bounds = np.searchsorted(part[order], np.arange(len(actors) + 1))
+    if dedup_on:
+        narrow, dbounds = _dedup_slices(live, num_partitions)
     acks = []
-    for p in range(num_partitions):
+    for p in range(len(actors)):
         lo, hi = int(bounds[p]), int(bounds[p + 1])
-        if hi > lo:
-            acks.append(actors[p].ingest_dedup
-                        .options(concurrency_group="ingest")
-                        .remote(epoch, narrow.slice(lo, hi - lo), source_key))
+        fold = sub.slice(lo, hi - lo) if hi > lo else None
+        ded = None
+        if dedup_on and p < num_partitions:
+            dlo, dhi = int(dbounds[p]), int(dbounds[p + 1])
+            if dhi > dlo:
+                ded = narrow.slice(dlo, dhi - dlo)
+        if fold is None and ded is None:
+            continue
+        acks.append(actors[p].ingest_pair.options(concurrency_group="ingest")
+                    .remote(epoch, fold, ded, source_key))
     return acks
 
 
@@ -1172,12 +1231,10 @@ def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig,
                 if cfg.enrich_stream and cfg.stream_on("enrich"):
                     staged.append(sink.staging_path(epoch, "enrich", file_idx))
                     _emit_enrich_file(sink, live, cfg, epoch, file_idx)
-                acks = _route_table(live, actors, epoch,
-                                    source_key=f"{f}#{b}", wait=False)
-                if cfg.dedup_stream and cfg.stream_on("dedup"):
-                    acks += _route_dedup(live, actors, epoch,
-                                         cfg.num_partitions,
-                                         source_key=f"{f}#{b}")
+                acks = _route_pair(live, actors, epoch, cfg.num_partitions,
+                                   f"{f}#{b}",
+                                   dedup_on=(cfg.dedup_stream
+                                             and cfg.stream_on("dedup")))
                 ray.get(acks)  # one barrier for both keyed routes
                 ingested.append(f"{f}#{b}")
                 frows += len(t)
