@@ -298,9 +298,11 @@ class PcmWindowEnergy:
 
 def audio_window_energy(sf_dir: str, window: int = 256, concurrency: int = 2,
                         batch_size: int = 256):
-    """payloads → actor-pool PCM windowed energy (REAL binary decode; no
-    SQL oracle — DuckDB cannot view a BLOB as int16 — so the gate is the
-    numpy brute-force golden in tests, like scrub_full's span surgery)."""
+    """payloads → actor-pool PCM windowed energy (REAL binary decode).
+    ORACLE-gated: DuckDB has no blob indexing, but ``hex(blob)`` + substr
+    recovers each little-endian int16 sample, and the per-window sum of
+    integer squares stays < 2^53 so the float64 energy is exact on both
+    sides (queries.oracle_sql['audio_window_energy'])."""
     ds = payloads_from_documents(sf_dir)
     return ds.map_batches(PcmWindowEnergy,
                           fn_constructor_kwargs={"window": window},

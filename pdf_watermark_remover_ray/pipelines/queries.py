@@ -1800,4 +1800,28 @@ def oracle_sql() -> dict:
             FROM documents""",
         "image_resized_features": """
             SELECT doc_id, 16 AS width, 12 AS height FROM documents""",
+        # full PCM-decode replay: DuckDB has no blob indexing, but
+        # hex(blob) + substr recovers each little-endian int16 sample; the
+        # per-window sum of integer squares is < 2^53 so the float64 sum is
+        # EXACT on both sides (no order-of-addition drift before round-6)
+        "audio_window_energy": """
+            WITH pcm AS (
+                SELECT doc_id, hex(encode(text)) AS h,
+                       octet_length(encode(text)) // 2 AS n_samp
+                FROM documents
+            ), samp AS (
+                SELECT doc_id, u.i // 256 AS window_idx,
+                       ('0x' || substr(h, (4*u.i + 1)::BIGINT, 2))::INT
+                       + 256 * ('0x' || substr(h, (4*u.i + 3)::BIGINT, 2))::INT
+                           AS v
+                FROM pcm, unnest(range(0, n_samp)) AS u(i)
+            ), signed AS (
+                SELECT doc_id, window_idx,
+                       CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+                FROM samp
+            )
+            SELECT doc_id, window_idx, count(*)::BIGINT AS n_samples,
+                   round(sqrt(sum(s*s)::DOUBLE / count(*)), 6) AS rms,
+                   max(abs(s))::BIGINT AS peak
+            FROM signed GROUP BY doc_id, window_idx""",
     }

@@ -270,10 +270,13 @@ def test_pagerank_pinned_partition_invariance(sf_dir, pagerank_result):
 
 NO_ORACLE_WHITELIST = {
     # non-SQL-expressible, each golden-tested instead (VERDICT r3 table).
-    # The IVF/PQ quartet left this list in round 5: their k-means training
-    # is a 9-dp fixed-point computation the oracle replays end-to-end
-    # (queries._ivf_sql / _pq_sql).
-    "scrub_full", "streaming_e2e", "audio_window_energy",
+    # The IVF/PQ quartet left this list in round 5 (k-means training is a
+    # 9-dp fixed-point computation the oracle replays end-to-end —
+    # queries._ivf_sql / _pq_sql), as did audio_window_energy (hex(blob) +
+    # substr recovers each int16 PCM sample in SQL).  What remains is span
+    # surgery (scrub_full) and the epoch/kill-resume driver (streaming_e2e)
+    # — genuinely stateful, golden-tested.
+    "scrub_full", "streaming_e2e",
 }
 
 
