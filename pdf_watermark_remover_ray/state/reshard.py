@@ -55,7 +55,23 @@ def layout_of(cfg) -> dict:
             if cfg.wquant_ps is not None else None,
             "enrich_stream": bool(cfg.enrich_stream),
             "enrich_dim": [list(d) for d in cfg.enrich_dim],
+            "dedup_hash": _dedup_hash_family(),
             "reshard": None}
+
+
+def _dedup_hash_family() -> str:
+    """Which text-hash family the dedup seen-set uses (streaming
+    `_dedup_hashes`): polars' seeded row hash when polars is importable,
+    the keyed pandas siphash pair otherwise.  Recorded in the layout so a
+    resume chain cannot silently switch families mid-chain — hashes
+    snapshotted under one family would never match re-hashes under the
+    other, un-deduplicating every pre-switch text."""
+    try:
+        import polars  # noqa: F401
+
+        return "polars-seeded-v1"
+    except ImportError:
+        return "pandas-siphash-v1"
 
 
 def read_layout(out_dir: str) -> dict | None:
@@ -97,6 +113,9 @@ def layout_matches(layout: dict, cfg) -> bool:
             return False
     if "enrich_dim" in layout:
         if layout["enrich_dim"] != [list(d) for d in cfg.enrich_dim]:
+            return False
+    if "dedup_hash" in layout:
+        if layout["dedup_hash"] != _dedup_hash_family():
             return False
     return True
 

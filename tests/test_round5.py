@@ -115,6 +115,27 @@ def test_reshard_layout_guards_enrich_flip():
     assert layout_matches(legacy, flipped)
 
 
+def test_reshard_layout_guards_dedup_hash_family():
+    """The dedup seen-set stores raw text hashes, so a resume chain must
+    refuse to switch hash families (polars seeded vs pandas siphash):
+    pre-switch snapshots would never match post-switch re-hashes and every
+    earlier text would silently un-deduplicate."""
+    from pdf_watermark_remover_ray.config import StreamConfig
+    from pdf_watermark_remover_ray.state.reshard import (
+        _dedup_hash_family, layout_matches, layout_of)
+
+    cfg = StreamConfig()
+    layout = layout_of(cfg)
+    assert layout["dedup_hash"] == _dedup_hash_family()
+    assert layout_matches(layout, cfg)
+    other = dict(layout, dedup_hash="pandas-siphash-v1"
+                 if layout["dedup_hash"] != "pandas-siphash-v1"
+                 else "polars-seeded-v1")
+    assert not layout_matches(other, cfg)
+    legacy = {k: v for k, v in layout.items() if k != "dedup_hash"}
+    assert layout_matches(legacy, cfg)  # additive guard evolution
+
+
 def test_levenshtein_band_matches_scalar():
     """The vectorized Ukkonen-banded multi-pair DP agrees with the scalar
     kernel: exact everywhere in uncapped mode; with caps, exact for
