@@ -114,6 +114,12 @@ class StreamConfig:
     # many rows, so task memory is bounded by the batch — not the file — size
     # (a 100 TB run has multi-GB files).  ~1M transcript rows ≈ 100-200 MB.
     route_batch_rows: int = 1_048_576
+    # In-flight ingest batches a route task may hold before blocking on
+    # acks: >0 overlaps read+scrub+stage of the next batch with the
+    # previous ingest RTT (safe: the ingest concurrency group is width 1
+    # and Ray preserves per-caller submission order, so a rollback retract
+    # still lands after every in-flight ingest).  0 = barrier per batch.
+    ack_window: int = 1
     # Full state snapshot every N epochs; in between, per-epoch DELTA
     # snapshots hold only the epoch's appended join-buffer rows (restore =
     # last full + deltas + watermark eviction thresholds), so checkpoint
@@ -227,6 +233,7 @@ class StreamConfig:
         failure isolation would silently dead-letter it."""
         checks = {
             "num_partitions must be >= 1": self.num_partitions >= 1,
+            "ack_window must be >= 0": self.ack_window >= 0,
             "lateness_us must be >= 0": self.lateness_us >= 0,
             "session_gap_us must be > 0": self.session_gap_us > 0,
             "join_gap_us must be > 0": self.join_gap_us > 0,

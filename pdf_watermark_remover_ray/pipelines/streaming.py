@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections import deque
 
 import numpy as np
 import pandas as pd
@@ -1203,6 +1204,7 @@ def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig,
         # semantics, watermark_processor.py:197-202,243-262).
         staged: list[str] = []
         ingested: list[str] = []
+        pending: deque = deque()  # in-flight ingest acks (≤ _ACK_WINDOW)
         fmx, frows, flate = -INF_US, 0, 0
         try:
             inject = (cfg.fault_midfile_file is not None
@@ -1235,14 +1237,26 @@ def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig,
                                    f"{f}#{b}",
                                    dedup_on=(cfg.dedup_stream
                                              and cfg.stream_on("dedup")))
-                ray.get(acks)  # one barrier for both keyed routes
+                # Pipelined acks: keep up to ACK_WINDOW batches' ingests in
+                # flight so the NEXT batch's read+scrub+stage overlaps the
+                # previous ingest RTT instead of serializing behind it.
+                # Safe because the ingest concurrency group is width 1 and
+                # Ray preserves per-caller submission order: a retract
+                # submitted after these ingests always executes after them,
+                # so recording the key at SEND time keeps the all-or-nothing
+                # rollback exact even for in-flight batches.
+                pending.append(acks)
                 ingested.append(f"{f}#{b}")
+                while len(pending) > cfg.ack_window:
+                    ray.get(pending.popleft())
                 frows += len(t)
                 flate += len(late_tbl)
                 if tracker is not None:  # fire-and-forget live progress
                     tracker.add.remote(epoch, len(t))
                 if inject:
                     raise RuntimeError("injected mid-file route failure")
+            while pending:  # drain before declaring the file complete
+                ray.get(pending.popleft())
             if tracker is not None:
                 tracker.add.remote(epoch, 0, 0, 1)  # whole file done
         except Exception:
