@@ -3266,7 +3266,8 @@ class _PRPartition:
 def customer_supplier_pagerank_pinned(sf_dir: str, iters: int = 3,
                                       damping: float = 0.85,
                                       num_partitions: int = 8,
-                                      actor_cpus: float = 0.25):
+                                      actor_cpus: float = 0.25,
+                                      spread: bool = True):
     """Pregel-style PageRank: same graph, same math, same oracle as
     :func:`customer_supplier_pagerank`, but the edge partitions are PINNED
     in long-lived actors (the deliberate drop below the Dataset API — the
@@ -3281,7 +3282,13 @@ def customer_supplier_pagerank_pinned(sf_dir: str, iters: int = 3,
     if n_nodes == 0:
         return pd.DataFrame(_EMPTY_PR)
 
-    cls = ray.remote(num_cpus=actor_cpus)(_PRPartition)
+    # Multi-node: SPREAD places edge partitions on distinct nodes so edge
+    # memory scales with the cluster; rank messages then flow node-to-node
+    # as object refs without a driver hop (MULTINODE.md).
+    opts = {"num_cpus": actor_cpus}
+    if spread:
+        opts["scheduling_strategy"] = "SPREAD"
+    cls = ray.remote(**opts)(_PRPartition)
     actors = [cls.remote(p, P, damping, n_nodes) for p in range(P)]
 
     def push(g: pd.DataFrame) -> pd.DataFrame:

@@ -1285,7 +1285,8 @@ class StreamingEngine:
     def __init__(self, input_paths: list[str], out_dir: str,
                  cfg: StreamConfig | None = None, epoch_files: int = 1,
                  actor_cpus: float = 0.25, auto_hot_keys: bool = False,
-                 hot_key_frac: float = 0.05, hot_key_sample_files: int = 4):
+                 hot_key_frac: float = 0.05, hot_key_sample_files: int = 4,
+                 actor_spread: bool = True):
         self.cfg = cfg or StreamConfig()
         self.paths = sorted(input_paths)
         # Pre-flight (reference P2/P3: reject bad input/destination BEFORE any
@@ -1304,6 +1305,11 @@ class StreamingEngine:
         self.out_dir = out_dir
         self.epoch_files = epoch_files
         self.actor_cpus = actor_cpus
+        # Multi-node: SPREAD best-effort places the P state actors on
+        # distinct nodes so keyed-state memory and snapshot I/O scale with
+        # the cluster instead of stacking on one host (no-op single-node).
+        # See MULTINODE.md.
+        self.actor_spread = actor_spread
         self.sink = EpochSink(out_dir)
         if auto_hot_keys and self.paths:
             from dataclasses import replace as _replace
@@ -1384,8 +1390,11 @@ class StreamingEngine:
         # tasks stall behind the previous epoch's close in the actor queue.
         # Closes stay mutually serialized (state integrity); the buffer dict
         # is the only shared structure (per-epoch keys, GIL-atomic ops).
-        cls = ray.remote(num_cpus=self.actor_cpus,
-                         concurrency_groups={"ingest": 1, "state": 1})(StatePartition)
+        opts = dict(num_cpus=self.actor_cpus,
+                    concurrency_groups={"ingest": 1, "state": 1})
+        if self.actor_spread:
+            opts["scheduling_strategy"] = "SPREAD"
+        cls = ray.remote(**opts)(StatePartition)
         actors = [cls.remote(p, self.cfg, self.out_dir, restore_epoch)
                   for p in range(self.cfg.total_partitions)]
         ray.get([a.ping.remote() for a in actors])  # warm before any routing

@@ -1,0 +1,54 @@
+"""Round-5 session 2: multi-node placement hooks (MULTINODE.md) — SPREAD
+scheduling of pinned actors must be a pure placement concern, invisible in
+results, and toggleable."""
+
+from __future__ import annotations
+
+import glob
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from pdf_watermark_remover_ray.config import StreamConfig
+from pdf_watermark_remover_ray.pipelines.streaming import StreamingEngine
+from pdf_watermark_remover_ray.sources.transcripts import (
+    generate_transcripts,
+    write_transcripts,
+)
+
+
+def test_pagerank_pinned_spread_toggle_invariant(sf_dir):
+    """spread=True (SPREAD placement, the multi-node default) and
+    spread=False (Ray default packing) are placement-only: identical
+    output frame."""
+    from pdf_watermark_remover_ray.pipelines.relational import (
+        customer_supplier_pagerank_pinned)
+
+    a = customer_supplier_pagerank_pinned(sf_dir, spread=True)
+    b = customer_supplier_pagerank_pinned(sf_dir, spread=False)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+
+def test_streaming_spread_toggle_invariant(tmp_path):
+    """StreamRunner actor_spread on/off: identical committed turns stream
+    (placement never leaks into routing, folds, or emission order)."""
+    table = generate_transcripts(n_convs=12, mean_turns=6, seed=23,
+                                 late_frac=0.1)
+    d = tmp_path / "in"
+    d.mkdir()
+    paths = write_transcripts(table, str(d), num_files=4, split_by="ts")
+    cfg = StreamConfig(num_partitions=3)
+
+    frames = {}
+    for spread in (True, False):
+        out = str(tmp_path / f"out_{spread}")
+        res = StreamingEngine(paths, out, cfg, epoch_files=2,
+                              actor_spread=spread).run()
+        assert res["all_succeeded"] is True
+        files = sorted(glob.glob(f"{out}/data/turns/epoch=*/part-*.parquet"))
+        frames[spread] = pd.concat(
+            [pq.read_table(f).to_pandas() for f in files], ignore_index=True
+        ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(frames[True], frames[False])
