@@ -298,6 +298,8 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     timed("edit_dup_pairs", lambda: dedup.edit_dup_pairs(sf_dir))
     timed("token_cooccurrence", lambda: text.token_cooccurrence(sf_dir))
     timed("event_value_mad", lambda: relational.event_value_mad(sf_dir))
+    timed("event_user_cube",
+          lambda: relational.event_user_cube(sf_dir).materialize())
     timed("kmeans_embeddings",
           lambda: similarity.kmeans_embeddings(sf_dir))
 

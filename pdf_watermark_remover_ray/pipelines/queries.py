@@ -565,6 +565,7 @@ def queries() -> dict:
             relational.users_with_events_and_orders,
         "order_priority_rollup": relational.order_priority_rollup,
         "order_priority_cube": relational.order_priority_cube,
+        "event_user_cube": relational.event_user_cube,
         "orders_global_rank": relational.orders_global_rank,
         "latest_user_event": relational.latest_user_event,
         "lineitem_regression_stats": relational.lineitem_regression_stats,
@@ -1437,6 +1438,7 @@ def oracle_sql() -> dict:
             FROM orders
             WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
             GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "event_user_cube": relational.event_user_cube_oracle_sql(),
         "q7_volume_shipping": relational.q7_volume_shipping_oracle_sql(),
         "q6_forecast_revenue": relational.q6_oracle_sql(),
         "q10_returned_items": relational.q10_oracle_sql(),

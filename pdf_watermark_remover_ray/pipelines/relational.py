@@ -1049,6 +1049,61 @@ def order_priority_cube(sf_dir: str):
         .sort_values(["o_orderstatus", "o_orderpriority"]).reset_index(drop=True)
 
 
+def event_user_cube(sf_dir: str):
+    """GROUP BY CUBE (event_type, user_id) counts with user_id HIGH
+    cardinality — the grouping-sets shape :func:`order_priority_cube`'s
+    driver-side derivation must NOT be copied to (its domain is 15 rows;
+    this one is O(users x types)).  Fully distributed instead: each batch
+    computes its FINEST partial once, derives the three coarser partials
+    from that already-tiny frame (per-batch domain-bounded work), and all
+    four sets ride ONE groupby-sum shuffle keyed by the sentinel-completed
+    (event_type, user_key) pair.  No grouping set ever materializes on the
+    driver; result size is O(distinct user x type), returned as a Dataset.
+    Rolled-up columns carry the ``'ALL'`` sentinel (user_id is cast to
+    string so one column type spans both real keys and the sentinel, same
+    on the oracle side)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().dropna(subset=["user_id", "event_type"])
+        fine = pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "user_key": df["user_id"].astype(np.int64).astype(str),
+        }).groupby(["event_type", "user_key"], sort=False) \
+            .size().reset_index(name="partial_n")
+        if len(fine) == 0:
+            # SQL grouping sets over zero rows emit zero rows (even the ()
+            # set) — an all-null batch must not seed an (ALL, ALL, 0) group
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "user_key": pa.array([], pa.string()),
+                             "partial_n": pa.array([], pa.int64())})
+        by_type = fine.groupby("event_type", as_index=False)["partial_n"].sum()
+        by_type["user_key"] = ROLLUP_ALL
+        by_user = fine.groupby("user_key", as_index=False)["partial_n"].sum()
+        by_user["event_type"] = ROLLUP_ALL
+        total = pd.DataFrame({"event_type": [ROLLUP_ALL],
+                              "user_key": [ROLLUP_ALL],
+                              "partial_n": [int(fine["partial_n"].sum())]})
+        out = pd.concat([fine, by_type, by_user, total], ignore_index=True)
+        return pa.Table.from_pandas(
+            out[["event_type", "user_key", "partial_n"]], preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["event_type", "user_key"]) \
+        .aggregate(Sum("partial_n", alias_name="n"))
+
+
+def event_user_cube_oracle_sql() -> str:
+    return """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(CAST(user_id AS VARCHAR), 'ALL') AS user_key,
+               count(*) AS n
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY CUBE (event_type, user_id)"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

@@ -9,6 +9,10 @@ import glob
 import pandas as pd
 import pyarrow.parquet as pq
 
+import pyarrow as pa
+
+from conftest import assert_frames_match, duck_sql
+
 from pdf_watermark_remover_ray.config import StreamConfig
 from pdf_watermark_remover_ray.pipelines.streaming import StreamingEngine
 from pdf_watermark_remover_ray.sources.transcripts import (
@@ -28,6 +32,38 @@ def test_pagerank_pinned_spread_toggle_invariant(sf_dir):
     b = customer_supplier_pagerank_pinned(sf_dir, spread=False)
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_event_user_cube_matches_oracle(sf_dir):
+    """Distributed grouping sets over a HIGH-cardinality key: all four CUBE
+    sets ride one shuffle; result matches DuckDB's GROUP BY CUBE."""
+    from pdf_watermark_remover_ray.pipelines.relational import (
+        event_user_cube, event_user_cube_oracle_sql)
+
+    got = event_user_cube(sf_dir).to_pandas()
+    want = duck_sql(sf_dir, event_user_cube_oracle_sql())
+    assert_frames_match(got, want)
+    # the finest set dominates; ALL/ALL grand total appears exactly once
+    assert (got["event_type"].eq("ALL") & got["user_key"].eq("ALL")).sum() == 1
+
+
+def test_event_user_cube_all_null_batch(tmp_path, sf_dir):
+    """An all-null input emits ZERO rows (SQL grouping-sets semantics:
+    even the grand-total set vanishes on empty input)."""
+    import ray
+    from pdf_watermark_remover_ray.pipelines.relational import event_user_cube
+
+    d = tmp_path / "sf_null"
+    d.mkdir()
+    t = pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                  "ts": pa.array([0, 0], pa.int64()),
+                  "user_id": pa.array([None, None], pa.int64()),
+                  "event_type": pa.array([None, None], pa.string()),
+                  "value": pa.array([0.0, 0.0]),
+                  "props": pa.array(["", ""])})
+    import pyarrow.parquet as pq
+    pq.write_table(t, str(d / "events.parquet"))
+    assert event_user_cube(str(d)).count() == 0
 
 
 def test_streaming_spread_toggle_invariant(tmp_path):
