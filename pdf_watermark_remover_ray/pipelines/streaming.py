@@ -195,47 +195,67 @@ class StatePartition:
         on = self.cfg.stream_on  # per-stream enablement: skip the whole
         # fold+state+emit path of a disabled stream (emit_streams=None ⇒ all)
         emitted: dict[str, int] = {}
+        # per-stream wall time inside this close (fold + emit), reported in
+        # the close stats → committed marker: the stream-level cost signal
+        # that locates a hot stream without an external A/B sweep
+        stream_s: dict[str, float] = {}
+
+        def timed(name, fn, *a):
+            ts = time.monotonic()
+            out = fn(*a)
+            stream_s[name] = round(
+                stream_s.get(name, 0.0) + time.monotonic() - ts, 4)
+            return out
+
         if on("sessions"):
-            self._fold_sessions(live)
+            timed("sessions", self._fold_sessions, live)
         if on("windows") or on("wstats"):
-            self._fold_wstats(live)  # one fold feeds BOTH windows and wstats
+            # one fold feeds BOTH windows and wstats
+            timed("windows", self._fold_wstats, live)
         if on("wdistinct") or on("wtopk"):
-            self._fold_wtools(live)  # one fold feeds BOTH wdistinct and wtopk
+            # one fold feeds BOTH wdistinct and wtopk
+            timed("wtools", self._fold_wtools, live)
         if self.cfg.wquant_ps is not None and on("wquant"):
-            self._fold_wquant(live)
+            timed("wquant", self._fold_wquant, live)
         if on("sliding"):
-            self._fold_sliding(live)
+            timed("sliding", self._fold_sliding, live)
         if on("matches"):
-            self._fold_join(live)
+            timed("matches", self._fold_join, live)
         if on("timeouts"):
-            self._fold_timeouts(live)
+            timed("timeouts", self._fold_timeouts, live)
         t_fold = time.monotonic()
 
         # paired streams project from ONE state kind and emit together —
         # requesting either member turns the group (fold + both files) on
         if on("windows") or on("wstats"):
             emitted["windows"], emitted["wstats"] = \
-                self._emit_tumbling(wm_after_us, epoch)
+                timed("windows", self._emit_tumbling, wm_after_us, epoch)
         if on("wdistinct") or on("wtopk"):
             emitted["wdistinct"], emitted["wtopk"] = \
-                self._emit_wtool_streams(wm_after_us, epoch)
+                timed("wtools", self._emit_wtool_streams, wm_after_us, epoch)
         if self.cfg.wquant_ps is not None and on("wquant"):
-            emitted["wquant"] = self._emit_wquant(wm_after_us, epoch)
+            emitted["wquant"] = timed("wquant", self._emit_wquant,
+                                      wm_after_us, epoch)
         if on("sessions"):
-            emitted["sessions"] = self._emit_sessions(wm_after_us, epoch)
+            emitted["sessions"] = timed("sessions", self._emit_sessions,
+                                        wm_after_us, epoch)
         if on("sliding"):
-            emitted["sliding"] = self._emit_sliding(wm_after_us, epoch)
+            emitted["sliding"] = timed("sliding", self._emit_sliding,
+                                       wm_after_us, epoch)
         if on("matches"):
-            emitted["matches"] = self._emit_matches(wm_after_us, epoch)
+            emitted["matches"] = timed("matches", self._emit_matches,
+                                       wm_after_us, epoch)
         if on("timeouts"):
-            emitted["timeouts"] = self._emit_timeouts(wm_after_us, epoch)
+            emitted["timeouts"] = timed("timeouts", self._emit_timeouts,
+                                        wm_after_us, epoch)
         if on("cep") or on("cepk") or self.cfg.cep_terms is not None:
             emitted["cep"], emitted["cepk"], n_cepp = \
-                self._fold_emit_cep(live, wm_after_us, epoch)
+                timed("cep", self._fold_emit_cep, live, wm_after_us, epoch)
             if self.cfg.cep_terms is not None:
                 emitted["cepp"] = n_cepp
         if self.cfg.dedup_stream and on("dedup"):
-            emitted["dedup"] = self._emit_dedup(epoch, wm_after_us)
+            emitted["dedup"] = timed("dedup", self._emit_dedup,
+                                     epoch, wm_after_us)
         t_emit = time.monotonic()
         # Per-key open-state bound (after emissions' watermark evictions,
         # before the snapshot, so checkpoints persist the CAPPED state and
@@ -270,6 +290,7 @@ class StatePartition:
             "fold_s": round(t_fold - t0, 4),
             "emit_s": round(t_emit - t_fold, 4),
             "snap_s": round(time.monotonic() - t_emit, 4),
+            "stream_s": stream_s,
         }
 
     # -- folds (state updates) --------------------------------------------

@@ -86,5 +86,10 @@ def test_streaming_spread_toggle_invariant(tmp_path):
         frames[spread] = pd.concat(
             [pq.read_table(f).to_pandas() for f in files], ignore_index=True
         ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        # committed markers carry the per-stream close-time breakdown
+        import json
+        marker = json.load(open(f"{out}/_epochs/epoch-0.json"))
+        part0 = marker["partitions"][0]
+        assert "stream_s" in part0 and "sessions" in part0["stream_s"]
 
     pd.testing.assert_frame_equal(frames[True], frames[False])
