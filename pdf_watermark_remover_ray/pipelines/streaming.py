@@ -727,6 +727,13 @@ class StatePartition:
     # -- emissions ---------------------------------------------------------
 
     def _write(self, stream: str, epoch: int, df: pd.DataFrame, schema: pa.Schema) -> int:
+        if len(df) == 0:
+            # no file for an empty emission: at 10^12-turn scale an
+            # unconditional write is partitions x streams x epochs EMPTY
+            # parquet files (millions) polluting the output tree and every
+            # consumer's file listing.  Committed markers still carry the
+            # zero count; readers glob whatever files exist.
+            return 0
         path = self.sink.staging_path(epoch, stream, self.pid)
         pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
         return len(df)
