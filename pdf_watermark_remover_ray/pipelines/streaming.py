@@ -1515,10 +1515,13 @@ class StreamingEngine:
             m = self.sink.read_marker(e)
             for pm in m["partitions"]:
                 rec = {"epoch": e, "watermark_us": m["watermark_us"],
-                       "epoch_s": m["epoch_s"], **{k: v for k, v in pm.items()
-                                                   if k != "emitted"}}
+                       "epoch_s": m["epoch_s"],
+                       **{k: v for k, v in pm.items()
+                          if k not in ("emitted", "stream_s")}}
                 for k, v in pm.get("emitted", {}).items():
                     rec[f"emitted_{k}"] = v
+                for k, v in (pm.get("stream_s") or {}).items():
+                    rec[f"stream_s_{k}"] = v
                 rows.append(rec)
         df = pd.DataFrame(rows)
         if len(df):

@@ -494,7 +494,8 @@ def test_metrics_include_per_partition_lag(fixture, tmp_path):
     eng.run()
     df = eng.metrics_df()
     assert {"epoch", "partition", "rows", "rows_per_s", "wm_lag_us",
-            "close_s", "fold_s", "emit_s", "snap_s"} <= set(df.columns)
+            "close_s", "fold_s", "emit_s", "snap_s",
+            "stream_s_sessions", "stream_s_dedup"} <= set(df.columns)
     # lag = watermark - partition max ts; bounded below by -lateness (a
     # partition at the event-time head leads the watermark by exactly that)
     lags = df[df["rows"] > 0]["wm_lag_us"].dropna()
