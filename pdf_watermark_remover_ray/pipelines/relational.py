@@ -1065,15 +1065,19 @@ def event_user_cube(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().dropna(subset=["user_id", "event_type"])
+        # null-filter in ARROW, before to_pandas: a nullable int64 column
+        # with any null is promoted to float64 by to_pandas, silently
+        # corrupting user_ids above 2^53 in exactly the null-carrying
+        # batches (split keys, wrong counts)
+        t = t.filter(pc.and_(pc.is_valid(t["user_id"]),
+                             pc.is_valid(t["event_type"])))
+        df = t.to_pandas()
         fine = pd.DataFrame({
             "event_type": df["event_type"].astype(str),
             "user_key": df["user_id"].astype(np.int64).astype(str),
         }).groupby(["event_type", "user_key"], sort=False) \
             .size().reset_index(name="partial_n")
         if len(fine) == 0:
-            # SQL grouping sets over zero rows emit zero rows (even the ()
-            # set) — an all-null batch must not seed an (ALL, ALL, 0) group
             return pa.table({"event_type": pa.array([], pa.string()),
                              "user_key": pa.array([], pa.string()),
                              "partial_n": pa.array([], pa.int64())})
@@ -1088,8 +1092,19 @@ def event_user_cube(sf_dir: str):
         return pa.Table.from_pandas(
             out[["event_type", "user_key", "partial_n"]], preserve_index=False)
 
+    # The () grouping set aggregates like a global COUNT: over zero valid
+    # rows SQL still emits one (ALL, ALL, 0) row.  A zero-count seed row
+    # unioned before the final groupby reproduces that exactly — it sums
+    # away to the real grand total when input is non-empty and is the sole
+    # survivor when it isn't — keeping the whole query distributed (no
+    # driver-side emptiness probe that would execute the plan twice).
+    seed = ray.data.from_arrow(pa.table({
+        "event_type": pa.array([ROLLUP_ALL], pa.string()),
+        "user_key": pa.array([ROLLUP_ALL], pa.string()),
+        "partial_n": pa.array([0], pa.int64())}))
     return ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True) \
+        .union(seed) \
         .groupby(["event_type", "user_key"]) \
         .aggregate(Sum("partial_n", alias_name="n"))
 

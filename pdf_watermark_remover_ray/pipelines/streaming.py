@@ -192,6 +192,10 @@ class StatePartition:
         live = tbl.select(_INGEST_COLS + (
             ["pbits"] if "pbits" in tbl.column_names else [])).to_pandas()
         self._delta = {}  # per-epoch join-buffer appends (delta snapshot)
+        # flush close (wm → ∞): partition 0 writes even EMPTY emissions so
+        # every enabled stream ends the run with >= 1 schema-bearing file
+        # (consumers discover schemas by reading files; see _write)
+        self._flush_close = wm_after_us >= INF_US
         on = self.cfg.stream_on  # per-stream enablement: skip the whole
         # fold+state+emit path of a disabled stream (emit_streams=None ⇒ all)
         emitted: dict[str, int] = {}
@@ -727,12 +731,15 @@ class StatePartition:
     # -- emissions ---------------------------------------------------------
 
     def _write(self, stream: str, epoch: int, df: pd.DataFrame, schema: pa.Schema) -> int:
-        if len(df) == 0:
+        if len(df) == 0 and not (getattr(self, "_flush_close", False)
+                                 and self.pid == 0):
             # no file for an empty emission: at 10^12-turn scale an
             # unconditional write is partitions x streams x epochs EMPTY
             # parquet files (millions) polluting the output tree and every
             # consumer's file listing.  Committed markers still carry the
-            # zero count; readers glob whatever files exist.
+            # zero count; readers glob whatever files exist.  Exception:
+            # partition 0 of the FLUSH epoch writes even empty frames so a
+            # stream that never fired still leaves one schema-bearing file.
             return 0
         path = self.sink.staging_path(epoch, stream, self.pid)
         pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)

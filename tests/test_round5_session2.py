@@ -47,12 +47,16 @@ def test_event_user_cube_matches_oracle(sf_dir):
     assert (got["event_type"].eq("ALL") & got["user_key"].eq("ALL")).sum() == 1
 
 
-def test_event_user_cube_all_null_batch(tmp_path, sf_dir):
-    """An all-null input emits ZERO rows (SQL grouping-sets semantics:
-    even the grand-total set vanishes on empty input)."""
-    import ray
-    from pdf_watermark_remover_ray.pipelines.relational import event_user_cube
+def test_event_user_cube_all_null_batch(tmp_path):
+    """Over zero VALID rows the () grouping set still aggregates — SQL
+    emits exactly one (ALL, ALL, 0) grand-total row (verified against the
+    registered DuckDB oracle on the same input), and a null-carrying batch
+    must not corrupt int64 user_ids above 2^53 (to_pandas null-promotion
+    to float64)."""
+    from pdf_watermark_remover_ray.pipelines.relational import (
+        event_user_cube, event_user_cube_oracle_sql)
 
+    big = 9007199254740993  # 2^53 + 1: survives int64, not float64
     d = tmp_path / "sf_null"
     d.mkdir()
     t = pa.table({"event_id": pa.array([1, 2], pa.int64()),
@@ -61,13 +65,29 @@ def test_event_user_cube_all_null_batch(tmp_path, sf_dir):
                   "event_type": pa.array([None, None], pa.string()),
                   "value": pa.array([0.0, 0.0]),
                   "props": pa.array(["", ""])})
-    import pyarrow.parquet as pq
     pq.write_table(t, str(d / "events.parquet"))
-    assert event_user_cube(str(d)).count() == 0
+    got = event_user_cube(str(d)).to_pandas()
+    want = duck_sql(str(d), event_user_cube_oracle_sql(), tables=("events",))
+    assert_frames_match(got, want)
+    assert len(got) == 1 and got["n"].iloc[0] == 0
+
+    d2 = tmp_path / "sf_big"
+    d2.mkdir()
+    t2 = pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                   "ts": pa.array([0, 0], pa.int64()),
+                   "user_id": pa.array([big, None], pa.int64()),
+                   "event_type": pa.array(["click", None], pa.string()),
+                   "value": pa.array([0.0, 0.0]),
+                   "props": pa.array(["", ""])})
+    pq.write_table(t2, str(d2 / "events.parquet"))
+    got2 = event_user_cube(str(d2)).to_pandas()
+    want2 = duck_sql(str(d2), event_user_cube_oracle_sql(), tables=("events",))
+    assert_frames_match(got2, want2)
+    assert str(big) in set(got2["user_key"])
 
 
 def test_streaming_spread_toggle_invariant(tmp_path):
-    """StreamRunner actor_spread on/off: identical committed turns stream
+    """StreamingEngine actor_spread on/off: identical committed turns stream
     (placement never leaks into routing, folds, or emission order)."""
     table = generate_transcripts(n_convs=12, mean_turns=6, seed=23,
                                  late_frac=0.1)
