@@ -189,8 +189,17 @@ class StatePartition:
         bucket = self.buffer.pop(epoch, {})
         tables = [t for _, t in sorted(bucket.items())]
         tbl = pa.concat_tables(tables) if tables else self._EMPTY_BUF.empty_table()
-        live = tbl.select(_INGEST_COLS + (
-            ["pbits"] if "pbits" in tbl.column_names else [])).to_pandas()
+        tbl = tbl.select(_INGEST_COLS + (
+            ["pbits"] if "pbits" in tbl.column_names else []))
+        if tbl.num_rows:
+            # ONE Arrow sort by (conv_id, ts, turn) for the whole close:
+            # session premerge and any per-conv scan below rely on this
+            # order, and Arrow's native string sort replaces what would
+            # otherwise be repeated pandas object-lexsorts in the folds
+            tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[
+                ("conv_id", "ascending"), ("ts_us", "ascending"),
+                ("turn_idx", "ascending")]))
+        live = tbl.to_pandas()
         self._delta = {}  # per-epoch join-buffer appends (delta snapshot)
         # flush close (wm → ∞): partition 0 writes even EMPTY emissions so
         # every enabled stream ends the run with >= 1 schema-bearing file
@@ -310,8 +319,15 @@ class StatePartition:
                 "n": np.ones(len(live), dtype=np.int64),
             }
         )
+        # live is (conv_id, ts)-sorted by the close prologue, which IS the
+        # (conv_id, start, end) order of the single-point intervals: premerge
+        # the epoch's rows sort-free, then merge the (small) premerged
+        # intervals with the open-session state — gap-merge is associative,
+        # so the two-step merge is exact and the big lexsort disappears
+        pre = merge_session_intervals(new, self.cfg.session_spec.gap_us,
+                                      presorted=True)
         merged = merge_session_intervals(
-            pd.concat([self.store.get("sessions"), new], ignore_index=True),
+            pd.concat([self.store.get("sessions"), pre], ignore_index=True),
             self.cfg.session_spec.gap_us,
         )
         self.store.put("sessions", merged)
@@ -730,7 +746,9 @@ class StatePartition:
 
     # -- emissions ---------------------------------------------------------
 
-    def _write(self, stream: str, epoch: int, df: pd.DataFrame, schema: pa.Schema) -> int:
+    def _write(self, stream: str, epoch: int, df, schema: pa.Schema) -> int:
+        """Stage one stream's epoch emission (``df``: DataFrame or Arrow
+        Table already matching ``schema``)."""
         if len(df) == 0 and not (getattr(self, "_flush_close", False)
                                  and self.pid == 0):
             # no file for an empty emission: at 10^12-turn scale an
@@ -742,7 +760,9 @@ class StatePartition:
             # stream that never fired still leaves one schema-bearing file.
             return 0
         path = self.sink.staging_path(epoch, stream, self.pid)
-        pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
+        tbl = df.cast(schema) if isinstance(df, pa.Table) else \
+            pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+        pq.write_table(tbl, path)
         return len(df)
 
     def _seen_idx(self) -> dict[tuple[int, int], int]:
@@ -793,13 +813,19 @@ class StatePartition:
         schema = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
                             ("h1", pa.int64()), ("h2", pa.int64()),
                             ("ts_us", pa.int64())])
-        df = (pa.concat_tables(tables).to_pandas() if tables
-              else schema.empty_table().to_pandas())
+        tbl = pa.concat_tables(tables) if tables else schema.empty_table()
+        if tbl.num_rows:
+            # sort in ARROW: pandas lexsort over the object conv_id column
+            # is the single slowest piece of this emit (measured ~2x the
+            # rest); Arrow's string sort works off the native buffers
+            tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[
+                ("h1", "ascending"), ("h2", "ascending"),
+                ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+        df = tbl.to_pandas()
         ttl = self.cfg.dedup_ttl_us
         if len(df):
-            # per-hash epoch rollup: winner (min conv, turn) + ts high mark
-            df = df.sort_values(["h1", "h2", "conv_id", "turn_idx"],
-                                kind="mergesort")
+            # per-hash epoch rollup (frame already (h1, h2, conv, turn)-
+            # sorted): winner = first row per hash; ts high mark = max
             mx = df.groupby(["h1", "h2"], sort=False, as_index=False)["ts_us"].max()
             df = df.drop_duplicates(["h1", "h2"])
             # the delta carries every hash touched this epoch so a restored
@@ -841,12 +867,18 @@ class StatePartition:
             if len(seen):
                 self.store.put("seen",
                                seen[seen["ts_us"] >= wm_after_us - ttl])
-        out = df[["conv_id", "turn_idx"]].sort_values(
-            ["conv_id", "turn_idx"], kind="mergesort") if len(df) else \
-            pd.DataFrame({"conv_id": pd.Series([], dtype=str),
-                          "turn_idx": pd.Series([], dtype=np.int32)})
-        return self._write("dedup", epoch, out, pa.schema(
-            [("conv_id", pa.string()), ("turn_idx", pa.int32())]))
+        out_schema = pa.schema([("conv_id", pa.string()),
+                                ("turn_idx", pa.int32())])
+        if len(df):
+            ot = pa.table({"conv_id": pa.array(df["conv_id"].to_numpy(),
+                                               pa.string()),
+                           "turn_idx": pa.array(df["turn_idx"].to_numpy(),
+                                                pa.int32())})
+            out = ot.take(pc.sort_indices(ot, sort_keys=[
+                ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+        else:
+            out = out_schema.empty_table()
+        return self._write("dedup", epoch, out, out_schema)
 
     _TIMEOUT_SCHEMA = pa.schema([("conv_id", pa.string()),
                                  ("turn_idx", pa.int32()),

@@ -330,17 +330,25 @@ class SortedStateStore:
         return store
 
 
-def merge_session_intervals(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+def merge_session_intervals(df: pd.DataFrame, gap_us: int,
+                            presorted: bool = False) -> pd.DataFrame:
     """Vectorized interval merge with gap tolerance.
 
     ``df``: (conv_id, start_us, end_us, n) interval rows (open sessions and/or
     single-turn intervals).  Two intervals of one conv_id belong to the same
     session when ``start <= running_max(end) + gap``.  Returns merged
     (conv_id, start_us, end_us, n) — counts sum.
+
+    ``presorted=True`` skips the (conv_id, start, end) sort — pass it when
+    the frame is already in that order (the object-string lexsort is the
+    dominant cost on large inputs).  Gap-merge is associative (it computes
+    the connected components of the interval overlap-within-gap graph), so
+    pre-merging a sorted subset and re-merging with the rest is exact.
     """
     if len(df) == 0:
         return _empty_frame("sessions")
-    df = df.sort_values(["conv_id", "start_us", "end_us"], kind="mergesort")
+    if not presorted:
+        df = df.sort_values(["conv_id", "start_us", "end_us"], kind="mergesort")
     conv = df["conv_id"].to_numpy()
     start = df["start_us"].to_numpy(np.int64)
     end = df["end_us"].to_numpy(np.int64)
