@@ -85,15 +85,6 @@ class StatePartition:
                  restore_epoch: int = -1):
         self.pid = partition_id
         self.cfg = cfg
-        # Each actor is its own PROCESS: pyarrow would size its compute
-        # pool to the NODE's cpu count, so P concurrent closes spawn P x
-        # ncpu Arrow threads (thrash).  This actor is scheduled at a
-        # fraction of one CPU — bound its kernels accordingly.
-        try:
-            pa.set_cpu_count(1)
-            pa.set_io_thread_count(2)
-        except Exception:
-            pass
         self.sink = EpochSink(out_dir)
         # Per-epoch ingest buffers: keyed by epoch so routing of epoch e+1 may
         # overlap with (pipelined) close of epoch e without mixing rows; inner
@@ -1243,14 +1234,6 @@ def _route_file_task(files: list[str], actors, epoch: int, cfg: StreamConfig,
     needs ``wm_prev = watermark_after(e-1)``, which the driver knows before
     epoch e routes, so the bulky text column is written to the staged sink
     right here and never ships to the actors."""
-    # Route tasks reserve 1 CPU but share a node with ~ncpu peers; cap this
-    # worker process's Arrow pool so 32 concurrent tasks don't each spawn a
-    # node-wide thread pool for their sorts/parquet codecs (idempotent —
-    # worker processes are reused).
-    try:
-        pa.set_cpu_count(2)
-    except Exception:
-        pass
     scrub_fn = make_scrub_batch_fn(cfg.scrub)
     sink = EpochSink(out_dir)
     rows, late_n, mx = 0, 0, -INF_US
