@@ -116,6 +116,68 @@ def scrub_text(text: str, name_pattern: str, footer_pattern: str) -> tuple[str, 
     return text, modified
 
 
+def scrub_t345(text: str, has3: bool, has4: bool, has5: bool) -> tuple[str, bool]:
+    """T3–T5 only, for payloads whose T1/T2 replaces were already applied.
+
+    Equivalent to :func:`scrub_text` on such payloads because T1/T2 are
+    replace-all-occurrences (idempotent — a second pass is the identity) and
+    the ``has*`` flags are computed on the post-T1/T2 text: a flag may only
+    be False when that family's literal anchor is absent, in which case the
+    family cannot fire.  Later steps cannot *create* an earlier family's
+    anchor either — every mutation T3/T4 makes replaces some ``(…)`` span with
+    ``"()"``, so any string spanning the splice point contains a paren, and
+    no anchor (DATE_ANCHOR / hex patterns / color markers) contains one.
+    All of the kernel's internal presence checks are kept, so the flags are
+    pure skip-gates.  Shares its structure with :func:`scrub_text` T3–T5
+    verbatim (watermark_processor.py:79-155).
+    """
+    modified = False
+
+    if has3 and DATE_ANCHOR in text:
+        start_pos = text.find(DATE_ANCHOR)
+        for marker in END_MARKERS:
+            end_pos = text.find(marker, start_pos + 10)
+            if end_pos > 0:
+                open_paren = text.rfind("(", 0, start_pos + 15)
+                if open_paren > 0:
+                    section = text[open_paren : end_pos + len(marker)]
+                    if "(" in section and ")" in section:
+                        text = text.replace(section, "()")
+                        modified = True
+                        break
+
+    if has4:
+        for pattern in HEX_PATTERNS:
+            if pattern in text:
+                start_idx = 0
+                while True:
+                    start_idx = text.find(pattern, start_idx)
+                    if start_idx == -1:
+                        break
+                    open_idx = max(0, start_idx - 100)
+                    chunk = text[open_idx : start_idx + 200]
+                    open_paren_pos = chunk.rfind("(", 0, 100)
+                    if open_paren_pos >= 0:
+                        close_paren_pos = chunk.find(")", open_paren_pos)
+                        if close_paren_pos > open_paren_pos:
+                            removal = chunk[open_paren_pos : close_paren_pos + 1]
+                            text = text.replace(removal, "()")
+                            modified = True
+                    start_idx += 10
+
+    if has5:
+        red_pos = max(text.find(m) for m in COLOR_MARKERS)
+        if red_pos > 0:
+            bt_pos = text.find("BT", red_pos - 50)
+            et_pos = text.find("ET", red_pos)
+            if bt_pos > 0 and et_pos > bt_pos:
+                block = text[bt_pos : et_pos + 2]
+                text = text.replace(block, "BT ET")
+                modified = True
+
+    return text, modified
+
+
 def _anchor_patterns(cfg: ScrubConfig) -> list[str]:
     pats = [DATE_ANCHOR, *HEX_PATTERNS, *COLOR_MARKERS]
     if cfg.name_pattern:
@@ -139,49 +201,57 @@ def make_scrub_batch_fn(cfg: ScrubConfig, text_col: str = "text"):
     patterns = _anchor_patterns(cfg)
     # ONE vectorized pass: alternation regex instead of N substring scans.
     anchor_re = "|".join(re.escape(p) for p in patterns)
-    # T3/T4/T5 anchors only: rows matching the premask but NOT these need just
-    # the T1/T2 exact-substring replaces, which vectorize (same result as
-    # scrub_text on such rows — T3-T5 can't fire without their literal
-    # anchors, and T1/T2 are plain replace-all-occurrences).
-    t345_re = "|".join(re.escape(p)
-                       for p in (DATE_ANCHOR, *HEX_PATTERNS, *COLOR_MARKERS))
     name, footer = cfg.name_pattern, cfg.effective_footer
+
+    t3_re = re.escape(DATE_ANCHOR)
+    t4_re = "|".join(re.escape(p) for p in HEX_PATTERNS)
+    t5_re = "|".join(re.escape(p) for p in COLOR_MARKERS)
+
+    def _present(arr: pa.Array, regex: str) -> np.ndarray:
+        return pc.fill_null(pc.match_substring_regex(arr, regex), False) \
+            .to_numpy(zero_copy_only=False)
 
     def scrub_batch(batch: pa.Table) -> pa.Table:
         col = batch[text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         col = col.cast(pa.string())
-        mask_np = pc.fill_null(pc.match_substring_regex(col, anchor_re), False) \
-            .to_numpy(zero_copy_only=False)
+        mask_np = _present(col, anchor_re)
         modified = np.zeros(len(batch), dtype=bool)
         if not mask_np.any():
             return batch.append_column("modified", pa.array(modified))
-        m345 = pc.fill_null(pc.match_substring_regex(col, t345_re), False) \
-            .to_numpy(zero_copy_only=False)
-        # fast path: T1/T2-only rows — fully vectorized replace chain
-        fast = mask_np & ~m345
-        if fast.any():
-            fast_arr = pa.array(fast)
-            repl = col.filter(fast_arr)  # replace only the fast rows
-            if name:
-                repl = pc.replace_substring(repl, pattern=name, replacement="")
-            if footer:
-                repl = pc.replace_substring(repl, pattern=footer, replacement="")
-            col = pc.replace_with_mask(col, fast_arr, repl)
-            modified |= fast
-        # slow path: rows with T3/T4/T5 anchors run the exact per-row kernel.
-        # Materialize ONLY those rows' strings; splice results back with a
-        # vectorized masked replace.
-        hits = np.flatnonzero(m345 & mask_np)
+        # T1/T2 for ALL masked rows in one vectorized replace chain (the
+        # reference applies them first and replace-all is idempotent, so the
+        # per-row kernel below can skip them entirely).
+        mask_arr = pa.array(mask_np)
+        sub = col.filter(mask_arr)
+        mods = np.flatnonzero(mask_np)
+        sub_mod = np.zeros(len(mods), dtype=bool)
+        if name:
+            sub_mod |= _present(sub, re.escape(name))
+            sub = pc.replace_substring(sub, pattern=name, replacement="")
+        if footer:
+            sub_mod |= _present(sub, re.escape(footer))
+            sub = pc.replace_substring(sub, pattern=footer, replacement="")
+        col = pc.replace_with_mask(col, mask_arr, sub)
+        modified[mods] = sub_mod
+        # T3/T4/T5 anchor masks on the POST-T1/T2 text (the reference checks
+        # each step against the mutated payload, and a T1/T2 removal can
+        # splice an anchor into existence), restricted to the masked subset.
+        m3, m4, m5 = (_present(sub, r) for r in (t3_re, t4_re, t5_re))
+        m345_sub = m3 | m4 | m5
+        hits = np.flatnonzero(m345_sub)
         if len(hits):
-            hit_values = col.take(pa.array(hits)).to_pylist()
+            hit_values = sub.take(pa.array(hits)).to_pylist()
             for j, v in enumerate(hit_values):
-                new_text, mod = scrub_text(v, name, footer)
+                i = hits[j]
+                new_text, mod = scrub_t345(v, m3[i], m4[i], m5[i])
                 if mod:
                     hit_values[j] = new_text
-                    modified[hits[j]] = True
-            col = pc.replace_with_mask(col, pa.array(m345 & mask_np),
+                    modified[mods[i]] = True
+            full_hit = np.zeros(len(batch), dtype=bool)
+            full_hit[mods[hits]] = True
+            col = pc.replace_with_mask(col, pa.array(full_hit),
                                        pa.array(hit_values, pa.string()))
         out = batch.set_column(
             batch.schema.get_field_index(text_col), text_col, col
