@@ -330,7 +330,7 @@ class StatePartition:
             pd.concat([self.store.get("sessions"), pre], ignore_index=True),
             self.cfg.session_spec.gap_us,
         )
-        self.store.put("sessions", merged)
+        self.store.put("sessions", merged, presorted=True)
         return len(merged)
 
     def _fold_wstats(self, live: pd.DataFrame) -> int:
@@ -365,9 +365,8 @@ class StatePartition:
         size = self.cfg.tumbling_us
         done_mask = (w["window_start_us"].to_numpy(np.int64, copy=False) + size <= wm_us) \
             if len(w) else np.zeros(0, dtype=bool)
-        done = w[done_mask].sort_values(["conv_id", "window_start_us"],
-                                        kind="mergesort")
-        self.store.put("wstats", w[~done_mask])
+        done = w[done_mask]  # state is (conv_id, window_start_us)-sorted
+        self.store.put("wstats", w[~done_mask], presorted=True)
         counts = pd.DataFrame(
             {"conv_id": done["conv_id"].to_numpy(),
              "window_start_us": done["window_start_us"].to_numpy(np.int64),
@@ -421,7 +420,7 @@ class StatePartition:
         done_mask = (w["window_start_us"].to_numpy(np.int64, copy=False)
                      + size <= wm_us) if len(w) else np.zeros(0, dtype=bool)
         done = w[done_mask]
-        self.store.put("wtools", w[~done_mask])
+        self.store.put("wtools", w[~done_mask], presorted=True)
         out = done.groupby(["conv_id", "window_start_us"], sort=False) \
             .size().reset_index(name="n_tools") \
             .sort_values(["conv_id", "window_start_us"], kind="mergesort")
@@ -473,9 +472,8 @@ class StatePartition:
         size = self.cfg.tumbling_us
         done_mask = (w["window_start_us"].to_numpy(np.int64, copy=False)
                      + size <= wm_us) if len(w) else np.zeros(0, dtype=bool)
-        done = w[done_mask].sort_values(
-            ["conv_id", "window_start_us", "val"], kind="mergesort")
-        self.store.put("wquant", w[~done_mask])
+        done = w[done_mask]  # state is (conv, window, val)-sorted
+        self.store.put("wquant", w[~done_mask], presorted=True)
         fields = [("conv_id", pa.string()), ("window_start_us", pa.int64()),
                   ("n_turns", pa.int64())] +             [(f"p{p}_chars", pa.int64()) for p in ps]
         schema = pa.schema(fields)
@@ -575,7 +573,8 @@ class StatePartition:
         # evict buckets whose LAST window (ws = floor(b/slide)*slide) is
         # now emitted; retained buckets have top(b) > bound >= prev_bound,
         # so no retained bucket ever falls below a future feed range
-        self.store.put("sliding", w[(bk // slide) * slide > bound] if len(w) else w)
+        self.store.put("sliding", w[(bk // slide) * slide > bound] if len(w)
+                       else w, presorted=True)
         self.store.put("meta", pd.DataFrame(
             {"conv_id": [self._SLIDING_BOUND_KEY], "n": np.array([bound], np.int64)}))
         return self._write("sliding", epoch, out, schema)
@@ -698,7 +697,8 @@ class StatePartition:
             n_cepp = self._write("cepp", epoch, outp, schema)
 
         keep = ts >= wm_us - self.cfg.cep_within_us
-        self.store.put("cepbuf", buf[keep].drop(columns=["_new"]))
+        self.store.put("cepbuf", buf[keep].drop(columns=["_new"]),
+                       presorted=True)  # buf is (conv_id, turn_idx)-sorted
         return n_cep, n_cepk, n_cepp
 
     def _fold_join(self, live: pd.DataFrame) -> None:
@@ -924,7 +924,7 @@ class StatePartition:
             }).sort_values(["conv_id", "turn_idx"], kind="mergesort")
         if len(arep):
             self.store.put("arep", arep[arep["ts_us"].to_numpy(np.int64)
-                                        >= wm_us])
+                                        >= wm_us], presorted=True)
         return self._write("timeouts", epoch, out, self._TIMEOUT_SCHEMA)
 
     def _emit_sessions(self, wm_us: int, epoch: int) -> int:
@@ -932,7 +932,7 @@ class StatePartition:
         closed_mask = s["end_us"].to_numpy(np.int64, copy=False) < wm_us - self.cfg.session_gap_us \
             if len(s) else np.zeros(0, dtype=bool)
         closed = s[closed_mask]
-        self.store.put("sessions", s[~closed_mask])
+        self.store.put("sessions", s[~closed_mask], presorted=True)
         out = pd.DataFrame(
             {"conv_id": closed["conv_id"].to_numpy(),
              "session_start_us": closed["start_us"].to_numpy(np.int64),
@@ -950,7 +950,7 @@ class StatePartition:
         fire_mask = tools["ts_us"].to_numpy(np.int64, copy=False) < wm_us \
             if len(tools) else np.zeros(0, dtype=bool)
         fire = tools[fire_mask]
-        self.store.put("tools", tools[~fire_mask])
+        self.store.put("tools", tools[~fire_mask], presorted=True)
         schema = pa.schema([("conv_id", pa.string()), ("user_turn_idx", pa.int32()),
                             ("tool_turn_idx", pa.int32()), ("tool", pa.string()),
                             ("dt_us", pa.int64())])
@@ -983,7 +983,7 @@ class StatePartition:
         # Evict user turns no future tool can match (tool.ts ≥ wm, dt ≤ gap).
         if len(users):
             keep = users["ts_us"].to_numpy(np.int64, copy=False) >= wm_us - gap
-            self.store.put("users", users[keep])
+            self.store.put("users", users[keep], presorted=True)
         return n
 
 

@@ -173,7 +173,7 @@ def reshard_checkpoint(out_dir: str, old_cfg, new_cfg) -> dict:
             if len(df):
                 df = df.groupby("conv_id", as_index=False)["n"].max()
                 for st in new_stores:
-                    st.put("meta", df)
+                    st.put("meta", df, presorted=True)
             moved[kind] = int(len(df))
             continue
         moved[kind] = int(len(df))

@@ -123,11 +123,21 @@ class SortedStateStore:
     def get(self, kind: str) -> pd.DataFrame:
         return self.frames[kind]
 
-    def put(self, kind: str, df: pd.DataFrame) -> None:
-        """Replace one state kind; re-sorts by its key columns (stable)."""
+    def put(self, kind: str, df: pd.DataFrame, presorted: bool = False) -> None:
+        """Replace one state kind; re-sorts by its key columns (stable).
+
+        ``presorted=True`` skips the sort — pass it ONLY when ``df`` is
+        provably already in ``_SORT_KEYS[kind]`` order: a boolean-mask /
+        slice filter of a state frame (order-preserving), a snapshot frame
+        (written in state order), or a sort=True groupby keyed exactly on
+        the sort keys.  The object-string lexsort on conv_id is a top
+        close-path cost, so the no-op re-sorts are worth eliding.
+        """
         cols = list(_EMPTY[kind].keys())
-        df = df[cols].sort_values(_SORT_KEYS[kind], kind="mergesort").reset_index(drop=True)
-        self.frames[kind] = df
+        df = df[cols]
+        if not presorted:
+            df = df.sort_values(_SORT_KEYS[kind], kind="mergesort")
+        self.frames[kind] = df.reset_index(drop=True)
 
     def total_rows(self) -> int:
         return sum(len(f) for f in self.frames.values())
@@ -294,7 +304,7 @@ class SortedStateStore:
         chain.reverse()
         _, _, wm_last = cls._parse_snapshot(head)
         for kind in cls._OPEN:
-            store.put(kind, chain[-1][kind])
+            store.put(kind, chain[-1][kind], presorted=True)
         users = pd.concat([c["users"] for c in chain], ignore_index=True)
         tools = pd.concat([c["tools"] for c in chain], ignore_index=True)
         store.put("users", users[users["ts_us"] >= wm_last - join_gap_us])
@@ -326,7 +336,7 @@ class SortedStateStore:
         frames, _, _ = cls._parse_snapshot(path)
         for kind in _EMPTY:
             if len(frames[kind]):
-                store.put(kind, frames[kind])
+                store.put(kind, frames[kind], presorted=True)
         return store
 
 

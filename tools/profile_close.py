@@ -74,6 +74,7 @@ def main() -> int:
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--in-dir", default=None)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--dump", default=None)
     args = ap.parse_args()
 
     in_dir = args.in_dir
@@ -171,6 +172,9 @@ def main() -> int:
     buf = io.StringIO()
     pstats.Stats(pr, stream=buf).sort_stats("cumulative").print_stats(args.top)
     print("\n".join(buf.getvalue().splitlines()[4: 4 + args.top + 8]))
+    if args.dump:
+        pr.dump_stats(args.dump)
+        print(f"pstats dumped to {args.dump}")
     return 0
 
 
