@@ -63,7 +63,8 @@ from ..stages.partition import partition_table
 from ..stages.windows import wtopk_project
 from ..state.reshard import (checkpoint_state_path, layout_matches,
                              layout_of, read_layout, write_layout)
-from ..state.store import SortedStateStore, merge_session_intervals
+from ..state.store import (SortedStateStore, merge_session_intervals,
+                           merge_sorted_append)
 
 INF_US = (1 << 62)
 
@@ -422,8 +423,9 @@ class StatePartition:
         done = w[done_mask]
         self.store.put("wtools", w[~done_mask], presorted=True)
         out = done.groupby(["conv_id", "window_start_us"], sort=False) \
-            .size().reset_index(name="n_tools") \
-            .sort_values(["conv_id", "window_start_us"], kind="mergesort")
+            .size().reset_index(name="n_tools")
+        # first-occurrence group order of a (conv, window, tool)-sorted frame
+        # IS (conv, window) order: no re-sort
         out["n_tools"] = out["n_tools"].astype(np.int64) if len(out) else \
             pd.Series([], dtype=np.int64)
         schema = pa.schema([("conv_id", pa.string()),
@@ -630,9 +632,11 @@ class StatePartition:
         else:
             new = old.iloc[0:0]
         self._delta["cepbuf"] = new
-        buf = pd.concat([old.assign(_new=False), new.assign(_new=True)],
-                        ignore_index=True) \
-            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        buf = merge_sorted_append(
+            old.assign(_new=False),
+            new.assign(_new=True).sort_values(["conv_id", "turn_idx"],
+                                              kind="mergesort"),
+            ["conv_id", "turn_idx"])
         conv = buf["conv_id"].to_numpy()
         codes_raw = buf["n"].to_numpy(np.int64)
         codes = codes_raw & 0xFF  # low byte = role code, high bits = pbits
@@ -644,11 +648,12 @@ class StatePartition:
         # the completed-THIS-epoch ⇒ emitted-exactly-once rule
         idx, dt = sequence_scan(conv, codes, tix, ts, pat,
                                 self.cfg.cep_within_us, isnew=isnew)
+        # scan emits in buf order = (conv_id, turn_idx) order: no re-sort
         out = pd.DataFrame({
             "conv_id": conv[idx] if len(idx) else pd.Series([], dtype=str),
             "turn_idx": tix[idx].astype(np.int32),
             "dt_us": dt,
-        }).sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        })
         schema = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
                             ("dt_us", pa.int64())])
         n_cep = self._write("cep", epoch, out, schema)
@@ -669,12 +674,12 @@ class StatePartition:
             anynewk = (pnew[en + 1] - pnew[sp]) > 0
             idx = np.flatnonzero(anynewk)
             if len(idx):
-                outk = pd.DataFrame({
+                outk = pd.DataFrame({  # ascending positions: presorted
                     "conv_id": conv[s[idx]],
                     "turn_idx": tix[sp[idx]].astype(np.int32),
                     "n_tools": (e[idx] - s[idx] + 1).astype(np.int64),
                     "dt_us": dtk[idx],
-                }).sort_values(["conv_id", "turn_idx"], kind="mergesort")
+                })
         schema_k = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
                               ("n_tools", pa.int64()), ("dt_us", pa.int64())])
         n_cepk = self._write("cepk", epoch, outk, schema_k)
@@ -689,11 +694,11 @@ class StatePartition:
             idxp, dtp = masked_sequence_scan(conv, tix, ts, masks,
                                              self.cfg.cep_within_us,
                                              isnew=isnew)
-            outp = pd.DataFrame({
+            outp = pd.DataFrame({  # scan order = (conv, turn_idx) order
                 "conv_id": conv[idxp] if len(idxp) else pd.Series([], dtype=str),
                 "turn_idx": tix[idxp].astype(np.int32),
                 "dt_us": dtp,
-            }).sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            })
             n_cepp = self._write("cepp", epoch, outp, schema)
 
         keep = ts >= wm_us - self.cfg.cep_within_us
@@ -711,16 +716,20 @@ class StatePartition:
                                "ts_us": u["ts_us"].to_numpy(np.int64),
                                "turn_idx": u["turn_idx"].to_numpy(np.int32)})
             self._delta["users"] = nu
-            self.store.put("users", pd.concat([self.store.get("users"), nu],
-                                              ignore_index=True))
+            # live is (conv, ts, turn)-sorted, so nu is presorted: O(n+m log n)
+            # run merge instead of re-lexsorting the whole join buffer
+            self.store.put("users", merge_sorted_append(
+                self.store.get("users"), nu, ["conv_id", "ts_us", "turn_idx"]),
+                presorted=True)
         if len(t):
             nt = pd.DataFrame({"conv_id": t["conv_id"].to_numpy(),
                                "ts_us": t["ts_us"].to_numpy(np.int64),
                                "turn_idx": t["turn_idx"].to_numpy(np.int32),
                                "tool": t["tool"].to_numpy()})
             self._delta["tools"] = nt
-            self.store.put("tools", pd.concat([self.store.get("tools"), nt],
-                                              ignore_index=True))
+            self.store.put("tools", merge_sorted_append(
+                self.store.get("tools"), nt, ["conv_id", "ts_us", "turn_idx"]),
+                presorted=True)
 
     def _fold_timeouts(self, live: pd.DataFrame) -> None:
         """CEP negation state: new "user" turns become pending triggers; new
@@ -735,14 +744,16 @@ class StatePartition:
             np_ = pd.DataFrame({"conv_id": u["conv_id"].to_numpy(),
                                 "turn_idx": u["turn_idx"].to_numpy(np.int32),
                                 "ts_us": u["ts_us"].to_numpy(np.int64)})
-            self.store.put("pend", pd.concat([self.store.get("pend"), np_],
-                                             ignore_index=True))
+            self.store.put("pend", merge_sorted_append(
+                self.store.get("pend"), np_, ["conv_id", "ts_us", "turn_idx"]),
+                presorted=True)
         a = live[live["role"] == "assistant"]
         if len(a):
             na = pd.DataFrame({"conv_id": a["conv_id"].to_numpy(),
                                "ts_us": a["ts_us"].to_numpy(np.int64)})
-            self.store.put("arep", pd.concat([self.store.get("arep"), na],
-                                             ignore_index=True))
+            self.store.put("arep", merge_sorted_append(
+                self.store.get("arep"), na, ["conv_id", "ts_us"]),
+                presorted=True)
 
     # -- emissions ---------------------------------------------------------
 
@@ -933,12 +944,12 @@ class StatePartition:
             if len(s) else np.zeros(0, dtype=bool)
         closed = s[closed_mask]
         self.store.put("sessions", s[~closed_mask], presorted=True)
-        out = pd.DataFrame(
+        out = pd.DataFrame(  # closed keeps the (conv, start) state order
             {"conv_id": closed["conv_id"].to_numpy(),
              "session_start_us": closed["start_us"].to_numpy(np.int64),
              "session_end_us": closed["end_us"].to_numpy(np.int64),
              "n_turns": closed["n"].to_numpy(np.int64)}
-        ).sort_values(["conv_id", "session_start_us"], kind="mergesort")
+        )
         schema = pa.schema([("conv_id", pa.string()), ("session_start_us", pa.int64()),
                             ("session_end_us", pa.int64()), ("n_turns", pa.int64())])
         return self._write("sessions", epoch, out, schema)

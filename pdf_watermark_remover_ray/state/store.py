@@ -340,6 +340,64 @@ class SortedStateStore:
         return store
 
 
+def merge_sorted_append(a: pd.DataFrame, b: pd.DataFrame,
+                        keys: list[str]) -> pd.DataFrame:
+    """Merge two frames EACH already sorted by ``keys`` into one sorted
+    frame, stable with ``a`` rows before equal ``b`` rows.
+
+    The O(n + m·log n) sorted-run merge that replaces a full object-lexsort
+    for the per-epoch state appends: the state frame ``a`` is big, the
+    epoch delta ``b`` is small, and re-lexsorting ``concat(a, b)`` ignores
+    that both runs are sorted (pandas factorizes the string key over all
+    n + m rows every epoch).  ``keys[0]`` may be a string column (compared
+    via ``np.searchsorted`` on the object array — m·log n comparisons);
+    the remaining keys must be integer columns.  Extra non-key columns are
+    carried through untouched.
+    """
+    n, m = len(a), len(b)
+    if m == 0:
+        return a
+    if n == 0:
+        return b
+    a0 = a[keys[0]].to_numpy()
+    b0 = b[keys[0]].to_numpy()
+    # insertion index per b row: after all a rows with key <= b's (ties
+    # resolve a-first = the stable order concat+mergesort produced)
+    ins = np.searchsorted(a0, b0, side="right").astype(np.int64)
+    if len(keys) > 1:
+        lo = np.searchsorted(a0, b0, side="left").astype(np.int64)
+        shared = np.flatnonzero(ins > lo)
+        if len(shared):
+            ak = [a[k].to_numpy(np.int64) for k in keys[1:]]
+            bk = [b[k].to_numpy(np.int64) for k in keys[1:]]
+            # b is key-sorted: equal-first-key rows form contiguous runs,
+            # so the refinement loops once per distinct shared key value
+            run_start = np.flatnonzero(
+                np.r_[True, b0[shared][1:] != b0[shared][:-1]])
+            bounds = np.r_[run_start, len(shared)]
+            for r in range(len(run_start)):
+                seg = shared[bounds[r]:bounds[r + 1]]
+                s, e = int(lo[seg[0]]), int(ins[seg[0]])
+                block = ak[0][s:e]
+                p = np.searchsorted(block, bk[0][seg], side="right")
+                if len(keys) > 2:
+                    pl = np.searchsorted(block, bk[0][seg], side="left")
+                    for j in np.flatnonzero(p > pl):
+                        ss, ee = s + int(pl[j]), s + int(p[j])
+                        p[j] = pl[j] + np.searchsorted(
+                            ak[1][ss:ee], bk[1][seg[j]], side="right")
+                ins[seg] = s + p
+    # scatter both runs into the merged order (ins is non-decreasing
+    # because b is sorted, so b's relative order is preserved)
+    order = np.empty(n + m, dtype=np.int64)
+    isb = np.zeros(n + m, dtype=bool)
+    isb[ins + np.arange(m, dtype=np.int64)] = True
+    order[isb] = n + np.arange(m, dtype=np.int64)
+    order[~isb] = np.arange(n, dtype=np.int64)
+    return pd.concat([a, b], ignore_index=True).take(order) \
+        .reset_index(drop=True)
+
+
 def merge_session_intervals(df: pd.DataFrame, gap_us: int,
                             presorted: bool = False) -> pd.DataFrame:
     """Vectorized interval merge with gap tolerance.

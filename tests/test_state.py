@@ -185,3 +185,34 @@ def test_key_cap_deterministic_and_counts():
     assert u[u["conv_id"] == "a"]["ts_us"].tolist() == [4, 5]  # newest two
     assert u[u["conv_id"] == "b"]["ts_us"].tolist() == [8, 9]
     pd.testing.assert_frame_equal(s.get("sessions"), sess)  # aggregates untouched
+
+
+def test_merge_sorted_append_matches_stable_sort():
+    """merge_sorted_append == concat + stable mergesort, for 2- and 3-key
+    shapes, including a-before-b stability on full-key ties, empty sides,
+    and keys absent from either side (the close-path fold-append contract)."""
+    import random
+
+    from pdf_watermark_remover_ray.state.store import merge_sorted_append
+
+    rng = random.Random(7)
+    for trial in range(60):
+        nk = rng.choice([2, 3])
+        keys = ["conv_id", "ts_us", "turn_idx"][:nk]
+
+        def mk(sz):
+            df = pd.DataFrame({
+                "conv_id": [f"c{rng.randint(0, 9):02d}" for _ in range(sz)],
+                "ts_us": np.array([rng.randint(0, 6) for _ in range(sz)],
+                                  np.int64),
+                "turn_idx": np.array([rng.randint(0, 4) for _ in range(sz)],
+                                     np.int32),
+                "payload": np.arange(sz)})
+            return df.sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+        a, b = mk(rng.randint(0, 30)), mk(rng.randint(0, 12))
+        b = b.assign(payload=b["payload"] + 1000)  # tags b rows for stability
+        got = merge_sorted_append(a, b, keys)
+        exp = pd.concat([a, b], ignore_index=True).sort_values(
+            keys, kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
