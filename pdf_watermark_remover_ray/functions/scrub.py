@@ -227,13 +227,20 @@ def make_scrub_batch_fn(cfg: ScrubConfig, text_col: str = "text"):
         sub = col.filter(mask_arr)
         mods = np.flatnonzero(mask_np)
         sub_mod = np.zeros(len(mods), dtype=bool)
+        # T1/T2 presence is detected by length change instead of a second
+        # regex scan: the patterns are non-empty and the replacement is "",
+        # so a row is modified iff the replace shortened it (~free next to
+        # the replace itself; measured ≈1 regex scan saved per pattern).
         if name:
-            sub_mod |= _present(sub, re.escape(name))
+            before = pc.binary_length(sub)
             sub = pc.replace_substring(sub, pattern=name, replacement="")
+            sub_mod |= pc.not_equal(pc.binary_length(sub), before) \
+                .to_numpy(zero_copy_only=False)
         if footer:
-            sub_mod |= _present(sub, re.escape(footer))
+            before = pc.binary_length(sub)
             sub = pc.replace_substring(sub, pattern=footer, replacement="")
-        col = pc.replace_with_mask(col, mask_arr, sub)
+            sub_mod |= pc.not_equal(pc.binary_length(sub), before) \
+                .to_numpy(zero_copy_only=False)
         modified[mods] = sub_mod
         # T3/T4/T5 anchor masks on the POST-T1/T2 text (the reference checks
         # each step against the mutated payload, and a T1/T2 removal can
@@ -249,10 +256,11 @@ def make_scrub_batch_fn(cfg: ScrubConfig, text_col: str = "text"):
                 if mod:
                     hit_values[j] = new_text
                     modified[mods[i]] = True
-            full_hit = np.zeros(len(batch), dtype=bool)
-            full_hit[mods[hits]] = True
-            col = pc.replace_with_mask(col, pa.array(full_hit),
+            # Splice the T3-T5 results back into the NARROW masked view, so
+            # the full-width replace_with_mask below runs once, not twice.
+            sub = pc.replace_with_mask(sub, pa.array(m345_sub),
                                        pa.array(hit_values, pa.string()))
+        col = pc.replace_with_mask(col, mask_arr, sub)
         out = batch.set_column(
             batch.schema.get_field_index(text_col), text_col, col
         )
