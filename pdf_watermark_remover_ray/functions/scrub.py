@@ -249,17 +249,30 @@ def make_scrub_batch_fn(cfg: ScrubConfig, text_col: str = "text"):
         m345_sub = m3 | m4 | m5
         hits = np.flatnonzero(m345_sub)
         if len(hits):
-            hit_values = sub.take(pa.array(hits)).to_pylist()
-            for j, v in enumerate(hit_values):
-                i = hits[j]
+            # The kernel is a pure function of the text (the has* flags are
+            # presence masks of that same text), and watermarked payloads
+            # repeat heavily in real corpora — dictionary-encode the hit rows
+            # and run the per-row surgery once per DISTINCT payload, then map
+            # results back through the codes (vectorized DictionaryArray).
+            enc = pc.dictionary_encode(sub.take(pa.array(hits)))
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            uniq_vals = enc.dictionary.to_pylist()
+            first = np.zeros(len(uniq_vals), dtype=np.int64)
+            first[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+            mod_u = np.zeros(len(uniq_vals), dtype=bool)
+            for u, v in enumerate(uniq_vals):
+                i = hits[first[u]]
                 new_text, mod = scrub_t345(v, m3[i], m4[i], m5[i])
                 if mod:
-                    hit_values[j] = new_text
-                    modified[mods[i]] = True
+                    uniq_vals[u] = new_text
+                    mod_u[u] = True
+            modified[mods[hits[mod_u[codes]]]] = True
+            hit_arr = pa.DictionaryArray.from_arrays(
+                pa.array(codes, pa.int32()), pa.array(uniq_vals, pa.string())
+            ).cast(pa.string())
             # Splice the T3-T5 results back into the NARROW masked view, so
             # the full-width replace_with_mask below runs once, not twice.
-            sub = pc.replace_with_mask(sub, pa.array(m345_sub),
-                                       pa.array(hit_values, pa.string()))
+            sub = pc.replace_with_mask(sub, pa.array(m345_sub), hit_arr)
         col = pc.replace_with_mask(col, mask_arr, sub)
         out = batch.set_column(
             batch.schema.get_field_index(text_col), text_col, col
