@@ -909,14 +909,17 @@ def _levenshtein_band(arrs_a: list[np.ndarray], arrs_b: list[np.ndarray],
     live = np.flatnonzero(las > 0)
     if not len(live):
         return out
-    buckets = (las[live] - 1) // band_width
+    # Per-pair band need; bucket by BOTH the iteration count and the band
+    # width so one wide-cap pair doesn't inflate w for a whole length bucket.
+    ks = np.maximum(np.ceil(caps[live]).astype(np.int64),
+                    np.abs(lbs[live] - las[live]))
+    buckets = (las[live] - 1) // band_width * 1024 + ks // 32
     for bkt in np.unique(buckets):
         idx = live[buckets == bkt]
         la_g, lb_g = las[idx], lbs[idx]
         g = len(idx)
         la_max = int(la_g.max())
-        k = int(np.ceil(max(float(np.max(caps[idx])),
-                            float(np.abs(lb_g - la_g).max()))))
+        k = int(ks[buckets == bkt].max())
         w = 2 * k + 1
         maxlb = int(lb_g.max())
         amat = np.zeros((g, la_max), np.uint32)
@@ -925,15 +928,16 @@ def _levenshtein_band(arrs_a: list[np.ndarray], arrs_b: list[np.ndarray],
             amat[r, : la_g[r]] = arrs_a[idx[r]]
             bmat[r, : lb_g[r]] = arrs_b[idx[r]]
         o = np.arange(w, dtype=np.int64)
-        rows = np.arange(g)
         lbc = lb_g[:, None]
         j0 = o[None, :] - k  # row 0: D[0, j] = j inside the band
         prev = np.where((j0 >= 0) & (j0 <= lbc), j0, _INF32).astype(np.int32)
-        for i in range(1, la_max + 1):
+        rej = np.floor(caps[idx]).astype(np.int64) + 1  # any value > cap
+        i = 1
+        while i <= la_max:
             jm = (i + o - k)[None, :]  # window → matrix columns, this row
             ji = jm.astype(np.int32)
             valid = (jm >= 0) & (jm <= lbc)
-            bch = bmat[rows[:, None], np.clip(jm - 1, 0, maxlb)]
+            bch = bmat[np.arange(g)[:, None], np.clip(jm - 1, 0, maxlb)]
             sub = prev + (bch != amat[:, i - 1][:, None])
             dele = np.concatenate(
                 [prev[:, 1:], np.full((g, 1), _INF32, np.int32)], axis=1) + 1
@@ -943,7 +947,24 @@ def _levenshtein_band(arrs_a: list[np.ndarray], arrs_b: list[np.ndarray],
             prev = np.where(valid, acc, _INF32).astype(np.int32)
             done = la_g == i
             if done.any():
-                out[idx[done]] = prev[rows[done], lb_g[done] - i + k]
+                out[idx[done]] = prev[np.flatnonzero(done), lb_g[done] - i + k]
+            i += 1
+            # Ukkonen cutoff: the row minimum is non-decreasing in i (every
+            # cell ≥ the min of its predecessors), so a pair whose banded row
+            # min already exceeds its cap can only end above the cap — mark
+            # it rejected and compact it out of the bucket every 32 rows.
+            if i <= la_max and (i & 31) == 0:
+                rowmin = np.where(prev >= _INF32, _INF32, prev).min(axis=1)
+                dead = (rowmin > caps[idx]) & (la_g >= i)
+                if dead.any():
+                    out[idx[dead]] = rej[dead]
+                    keep_r = ~dead & (la_g >= i)
+                    if not keep_r.any():
+                        break
+                    idx, la_g, lb_g = idx[keep_r], la_g[keep_r], lb_g[keep_r]
+                    amat, bmat = amat[keep_r], bmat[keep_r]
+                    prev, lbc, rej = prev[keep_r], lb_g[:, None], rej[keep_r]
+                    g = len(idx)
     return out
 
 
@@ -1094,6 +1115,22 @@ def edit_dup_pairs(sf_dir: str, rel_threshold: float = 0.2,
         if not keep.any():
             return pd.DataFrame(_EMPTY_EDIT)
         ki = np.flatnonzero(keep)
+        # Counting filter (Jokinen & Ukkonen 1991): every edit op moves the
+        # character histogram by L1 ≤ 2, so dist ≥ ⌈L1(hist_a, hist_b)/2⌉ —
+        # and projecting code points into 128 buckets only merges bins,
+        # which can't increase L1, so the bound survives the projection.
+        # Winnow collisions are mostly unrelated texts, so this one
+        # vectorized pass kills the vast majority of pairs before the DP.
+        zh = np.zeros(128, np.int64)
+        hists = {d: np.bincount(c & np.uint32(127),
+                                minlength=128).astype(np.int64)
+                 for d, c in chars.items()}
+        ha = np.stack([hists.get(int(a), zh) for a in da[ki]])
+        hb = np.stack([hists.get(int(b), zh) for b in db[ki]])
+        l1 = np.abs(ha - hb).sum(axis=1)
+        ki = ki[(l1 + 1) // 2 <= budget[ki]]
+        if not len(ki):
+            return pd.DataFrame(_EMPTY_EDIT)
         # shorter side first: the band key is the DP iteration count
         swap = lens[ki, 0] > lens[ki, 1]
         arrs_a = [B[i] if s else A[i] for i, s in zip(ki, swap)]
