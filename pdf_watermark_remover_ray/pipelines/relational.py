@@ -1445,14 +1445,22 @@ def q18_large_orders(sf_dir: str, threshold: float = 200.0):
         return pa.table({"l_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
                          "q": pa.array(g["l_quantity"].to_numpy(np.float64))})
 
-    per_order = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+    def having(t: pa.Table) -> pa.Table:
+        # HAVING applied cluster-side: only the FEW qualifying orders ever
+        # reach the driver, not every order's total.
+        if "total_qty" not in t.column_names:  # empty-input untyped block
+            return t
+        return t.filter(pc.greater(t["total_qty"], threshold))
+
+    big = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
         .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("l_orderkey").aggregate(_Sum("q", alias_name="total_qty")) \
+        .map_batches(having, batch_format="pyarrow", zero_copy_batch=True) \
         .to_pandas()
-    if "total_qty" not in per_order.columns:  # empty lineitem: untyped frame
-        per_order = pd.DataFrame({"l_orderkey": pd.Series([], dtype=np.int64),
-                                  "total_qty": pd.Series([], dtype=np.float64)})
-    big = per_order[per_order["total_qty"] > threshold].sort_values("l_orderkey")
+    if "total_qty" not in big.columns:  # empty lineitem: untyped frame
+        big = pd.DataFrame({"l_orderkey": pd.Series([], dtype=np.int64),
+                            "total_qty": pd.Series([], dtype=np.float64)})
+    big = big.sort_values("l_orderkey")
     cust = _read_small_pd(sf_dir, "customer", ["c_custkey", "c_name"]) \
         .sort_values("c_custkey")
     big_ref = ray.put((big["l_orderkey"].to_numpy(np.int64),
@@ -2451,8 +2459,13 @@ def q13_custdist(sf_dir: str, num_partitions: int = 16):
     The LEFT OUTER JOIN is expressed join-free: the orders side emits
     per-batch partial counts per custkey, the customer side emits (custkey,
     0) rows, and ONE keyed sum produces every customer's count — zero-order
-    customers surface as sum 0.  The distribution is then a second tiny
-    groupby over |distinct counts| rows.  Narrow int64s shuffle; never rows."""
+    customers surface as sum 0.  Narrow int64s shuffle; never rows.  The
+    distribution merge stays on the driver: its domain is |distinct
+    per-customer order counts| — naturally bounded by the max orders per
+    customer (~tens at any SF), NOT by row count — so the per-block
+    partials total O(domain × blocks) tiny rows and a second AllToAll
+    would be pure fixed cost (the bounded-group-domain pattern of
+    order_priority_rollup)."""
     def o_partial(t: pa.Table) -> pa.Table:
         m = pc.invert(pc.equal(t["o_orderpriority"], "1-URGENT"))
         g = t.filter(m)["o_custkey"].to_pandas().value_counts()
@@ -2477,13 +2490,13 @@ def q13_custdist(sf_dir: str, num_partitions: int = 16):
         return pa.table({"c_count": g.index.to_numpy(np.int64),
                          "partial_d": g.to_numpy().astype(np.int64)})
 
-    out = per_cust.map_batches(dist_partial, batch_format="pyarrow",
-                               zero_copy_batch=True) \
-        .groupby("c_count") \
-        .aggregate(Sum("partial_d", alias_name="custdist")).to_pandas()
-    if not len(out.columns):
+    parts = per_cust.map_batches(dist_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas()
+    if not len(parts.columns) or not len(parts):
         return pd.DataFrame({"c_count": pd.Series([], dtype=np.int64),
                              "custdist": pd.Series([], dtype=np.int64)})
+    out = parts.groupby("c_count", sort=False, as_index=False)["partial_d"] \
+        .sum().rename(columns={"partial_d": "custdist"})
     return out.sort_values(["custdist", "c_count"],
                            ascending=[False, False]).reset_index(drop=True)
 
