@@ -1168,7 +1168,11 @@ def _emit_turns_file(sink: EpochSink, live: pa.Table, epoch: int, file_idx: int)
     idx = pc.sort_indices(
         live, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
     )
-    out = live.take(idx)
+    # select BEFORE take: the permutation gather is per-column, so routing
+    # columns (ts_us/n_chars/pbits) that the turn file drops anyway must
+    # not pay it.  "part" rides along for the lineage stamp below.
+    out = live.select([c for c in TURN_COLS if c in live.column_names]
+                      + ["part"]).take(idx)
     n = len(out)  # original "ts" column is still present (ts_us is its cast)
     part = out["part"].to_numpy(zero_copy_only=False)
     lineage_pool = pa.array(
