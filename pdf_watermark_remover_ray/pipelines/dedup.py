@@ -550,7 +550,29 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, concurrency=(2, 16),
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-def connected_components(edges, num_partitions: int = 16, max_rounds: int = 64):
+def _cc_driver_labels(u: np.ndarray, v: np.ndarray) -> pd.DataFrame:
+    """Min-label connected components on driver-local numpy arrays:
+    symmetric ``minimum.at`` propagation + pointer jumping until fixpoint.
+    Produces the same canonical labels (component minimum node id) as the
+    distributed hash-to-min rounds — min-label is algorithm-independent."""
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = lab
+        lab = lab.copy()
+        np.minimum.at(lab, ui, lab[vi])
+        np.minimum.at(lab, vi, lab[ui])
+        lab = lab[lab]  # pointer jumping: halve chain depth each round
+        if np.array_equal(lab, before):
+            break
+    # nodes are sorted ascending, so index order == id order and the min
+    # index maps to the min node id of the component
+    return pd.DataFrame({"node": nodes, "label": nodes[lab]})
+
+
+def connected_components(edges, num_partitions: int = 16, max_rounds: int = 64,
+                         driver_cc_threshold: int = 2_000_000):
     """Distributed connected components over an edge Dataset ``(u, v)`` —
     returns a Dataset ``(node, label)`` where ``label`` is the component's
     minimum node id.
@@ -569,7 +591,26 @@ def connected_components(edges, num_partitions: int = 16, max_rounds: int = 64):
     Fixpoint test: the frontier's ORDER-INSENSITIVE content hash (wrapped
     uint64 sum of per-edge row hashes) plus its count — set-sensitive, so
     two different frontiers can't alias the way a plain (Σu, Σv) signature
-    could (e.g. {(2,1),(4,3)} vs {(2,3),(4,1)})."""
+    could (e.g. {(2,1),(4,3)} vs {(2,3),(4,1)}).
+
+    Size guard (the q3-family broadcast-threshold pattern): the edge list
+    is the NEAR-DUP PAIR set — orders of magnitude smaller than the corpus
+    and already deduped — so when it fits comfortably on the driver
+    (``driver_cc_threshold`` edges, ~32 MB of int64 pairs at the default)
+    the rounds run as one numpy min-label pass instead of O(log diameter)
+    distributed exchanges whose input is tiny and whose cost is pure
+    AllToAll fixed overhead.  Labels are identical (component min id is
+    canonical); above the threshold the distributed loop runs unchanged."""
+    edges = edges.materialize()
+    if edges.count() <= driver_cc_threshold:
+        df = edges.to_pandas()  # bounded by the guard: ≤ threshold pairs
+        if not len(df):
+            return ray.data.from_pandas(
+                pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                              "label": pd.Series([], dtype=np.int64)}))
+        lab = _cc_driver_labels(df["u"].to_numpy(np.int64),
+                                df["v"].to_numpy(np.int64))
+        return ray.data.from_pandas(lab)
 
     def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
