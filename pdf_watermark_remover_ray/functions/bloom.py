@@ -33,7 +33,8 @@ class Bloom:
 
     def __init__(self, m_bits: int = 1 << 16, k: int = 4,
                  bits: np.ndarray | None = None) -> None:
-        assert m_bits % 8 == 0
+        if m_bits % 8 != 0:  # config validation must survive python -O
+            raise ValueError("m_bits must be a multiple of 8")
         self.m = m_bits
         self.k = k
         self.bits = np.zeros(m_bits // 8, np.uint8) if bits is None else bits

@@ -346,7 +346,8 @@ def shuffle_documents(sf_dir: str, seed: int = SHUFFLE_SEED,
     (doc_id, h) = 16 bytes/row; text never moves; same distributed
     prefix-sum shape as text.pack_sequences, with counts not sums."""
     shift = np.uint64(64 - int(np.log2(num_buckets)))
-    assert (1 << (64 - int(shift))) == num_buckets, "num_buckets: power of 2"
+    if (1 << (64 - int(shift))) != num_buckets:  # survives python -O
+        raise ValueError("num_buckets must be a power of 2")
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
 

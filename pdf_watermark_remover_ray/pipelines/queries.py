@@ -683,7 +683,8 @@ def _minhash_ctes(threshold: float = 0.5) -> tuple[str, str]:
 
     a, b = _minhash_params()
     rows_per_band = N_HASHES // N_BANDS
-    assert rows_per_band == 4  # the Horner fold below is written for 4 rows
+    if rows_per_band != 4:  # the Horner fold below is written for 4 rows
+        raise ValueError("minhash oracle SQL requires N_HASHES == 4 * N_BANDS")
     params = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(N_HASHES))
     p, m = MINHASH_P, MINHASH_M
     ctes = f"""

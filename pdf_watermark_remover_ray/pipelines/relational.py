@@ -3095,7 +3095,8 @@ def customer_supplier_pagerank(sf_dir: str, iters: int = 3,
 
 def customer_supplier_pagerank_oracle_sql(iters: int = 3,
                                           damping: float = 0.85) -> str:
-    assert iters == 3, "oracle replays exactly 3 iterations"
+    if iters != 3:  # survives python -O, unlike assert
+        raise ValueError("oracle replays exactly 3 iterations")
     d = damping
     return f"""
         WITH pairs AS (
