@@ -53,6 +53,24 @@ def _dim_rows(sf_dir: str, table: str) -> int:
     return _pqm.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
 
 
+def _merge_bounded_partials(partials, keys: list[str],
+                            sums: dict[str, str]) -> pd.DataFrame | None:
+    """Driver-side merge of per-batch partial aggregates whose GROUP DOMAIN
+    is fixed by the schema — flag/status/priority/nation/year combinations,
+    O(10-100) groups at ANY scale factor — so the pulled frame is
+    O(domain × blocks) tiny rows and a distributed groupby would be pure
+    AllToAll fixed cost (~2-5 s at sf0.1 regardless of input; see q13 /
+    trade-graph notes in BASELINE.md).  NOT for key domains that grow with
+    the data (customers, orders, documents) — those keep the distributed
+    aggregate.  Returns None for an all-empty input (schema-less frame)."""
+    parts = partials.to_pandas()
+    if not len(parts.columns) or not len(parts):
+        return None
+    out = parts.groupby(keys, sort=False, as_index=False).agg(
+        {c: "sum" for c in sums})
+    return out.rename(columns=sums)
+
+
 def _shuffle_semijoin(fact, key_col: str, payload: list[tuple[str, pa.DataType]],
                       dim, dim_key: str, num_partitions: int = 16):
     """Hash-shuffle SEMIJOIN fallback for an over-threshold dimension
@@ -176,13 +194,18 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1995-09-01"):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
-        Sum("sum_charge", alias_name="sum_charge"),
-        Sum("count_order", alias_name="count_order"),
-    ).to_pandas()
+    # flag×status domain is 6 groups at any SF: bounded-domain driver merge
+    out = _merge_bounded_partials(
+        partials, ["l_returnflag", "l_linestatus"],
+        {c: c for c in ("sum_qty", "sum_base_price", "sum_disc_price",
+                        "sum_charge", "count_order")})
+    if out is None:
+        out = pd.DataFrame({c: pd.Series([], dtype=float) for c in
+                            ("sum_qty", "sum_base_price", "sum_disc_price",
+                             "sum_charge")} |
+                           {"l_returnflag": pd.Series([], dtype=str),
+                            "l_linestatus": pd.Series([], dtype=str),
+                            "count_order": pd.Series([], dtype=np.int64)})
     # avgs derived from exact sums/counts (deterministic vs the SQL oracle)
     out["avg_qty"] = round_half_away(out["sum_qty"] / out["count_order"], 4)
     out["avg_price"] = round_half_away(out["sum_base_price"] / out["count_order"], 4)
@@ -516,11 +539,12 @@ def q7_volume_shipping(sf_dir: str,
             ["revenue"].sum().reset_index(name="partial_rev")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = joined.map_batches(partial, batch_format="pyarrow",
-                             zero_copy_batch=True) \
-        .groupby(["supp_nation", "cust_nation", "l_year"]) \
-        .aggregate(Sum("partial_rev", alias_name="revenue")).to_pandas()
-    if not len(out.columns):  # all-empty aggregate drops its schema
+    # nation-pair × year domain is ≤ 2×2×|years|: bounded-domain driver merge
+    out = _merge_bounded_partials(
+        joined.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["supp_nation", "cust_nation", "l_year"], {"partial_rev": "revenue"})
+    if out is None:  # all-empty partials drop the schema
         return pd.DataFrame({"supp_nation": pd.Series([], dtype=str),
                              "cust_nation": pd.Series([], dtype=str),
                              "l_year": pd.Series([], dtype=np.int64),
@@ -2181,13 +2205,13 @@ def q4_order_priority(sf_dir: str, date_lo: str = "1995-04-01",
         return pa.table({"o_orderpriority": g.index.astype(str),
                          "partial_n": g.to_numpy().astype(np.int64)})
 
-    out = joined.map_batches(partial, batch_format="pyarrow",
-                             zero_copy_batch=True) \
-        .groupby("o_orderpriority") \
-        .aggregate(Sum("partial_n", alias_name="order_count")).to_pandas()
-    if not len(out.columns):
-        return pd.DataFrame({"o_orderpriority": pd.Series([], dtype=str),
-                             "order_count": pd.Series([], dtype=np.int64)})
+    # |priorities| is 5 at any SF: bounded-domain driver merge
+    out = _merge_bounded_partials(
+        joined.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_orderpriority"], {"partial_n": "order_count"})
+    if out is None:
+        return empty_q4
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
@@ -2410,11 +2434,12 @@ def q8_market_share(sf_dir: str, broadcast_threshold: int = 5_000_000,
             .sum().reset_index(name="partial_vol")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = joined.map_batches(partial, batch_format="pyarrow",
-                             zero_copy_batch=True) \
-        .groupby(["o_year", "is_target"]) \
-        .aggregate(Sum("partial_vol", alias_name="vol")).to_pandas()
-    if not len(agg.columns):
+    # year × bool domain is ≤ 2×|years|: bounded-domain driver merge
+    agg = _merge_bounded_partials(
+        joined.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_year", "is_target"], {"partial_vol": "vol"})
+    if agg is None:
         return pd.DataFrame({"o_year": pd.Series([], dtype=np.int64),
                              "mkt_share": pd.Series([], dtype=float)})
     tot = agg.groupby("o_year")["vol"].sum()
