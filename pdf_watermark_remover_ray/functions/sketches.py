@@ -380,17 +380,18 @@ def cms_user_counts(sf_dir: str, d: int = _CMS_D, w: int = _CMS_W):
                          "c": pa.array(np.concatenate(cs))})
 
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-    from ray.data.aggregate import Sum
 
+    # The merge domain is the SKETCH (d×w cells, independent of user
+    # cardinality): fold the ≤ d×w-row per-block partials on the driver with
+    # one scatter-add instead of paying a fixed-cost AllToAll for a
+    # fixed-size result (bounded-domain pattern, see relational.py).
     cells = ev.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True) \
-        .groupby(["j", "bucket"]).aggregate(Sum("c", alias_name="s")) \
-        .to_pandas()
+                           zero_copy_batch=True).to_pandas()
     mat = np.zeros((d, w), np.int64)
-    if len(cells):  # empty input: the aggregate drops its columns entirely
-        mat[cells["j"].to_numpy(np.int64),
-            cells["bucket"].to_numpy(np.int64)] = \
-            cells["s"].to_numpy(np.int64)
+    if len(cells) and "j" in cells.columns:
+        np.add.at(mat, (cells["j"].to_numpy(np.int64),
+                        cells["bucket"].to_numpy(np.int64)),
+                  cells["c"].to_numpy(np.int64))
     mat_ref = ray.put(mat)
 
     def distinct_users(t: pa.Table) -> pa.Table:
