@@ -225,13 +225,17 @@ def ngram_decontaminate(sf_dir: str, n: int = 5, train_pct: int = 90,
 
     seeds = tagged.map_batches(seed, batch_format="pandas")
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"].to_numpy(np.int64)[:1],
-             "contaminated": np.array([bool(df["hit"].max())])})
+    def fold_part(df: pd.DataFrame) -> pd.DataFrame:
+        # ONE vectorized groupby-max per hash partition — not one Python
+        # map_groups call per doc_id (per-key call overhead dominates at
+        # any real doc count; partitioning by doc_id keeps all of a doc's
+        # flag rows co-located so the max is exact)
+        g = df.groupby("doc_id", sort=False)["hit"].max()
+        return pd.DataFrame({"doc_id": g.index.to_numpy(np.int64),
+                             "contaminated": g.to_numpy(np.int64) > 0})
 
-    return seeds.union(hits).groupby("doc_id").map_groups(
-        fold, batch_format="pandas")
+    return partitioned_map(seeds.union(hits), fold_part, key="doc_id",
+                           num_partitions=num_partitions)
 
 
 def ngram_decontaminate_oracle_sql(n: int = 5, train_pct: int = 90,
