@@ -744,7 +744,23 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.30,
              "cos_sim": pd.Series([], dtype=float)})
         return out
 
-    return ds.groupby("label").map_groups(pairs_in_label, batch_format="pandas")
+    def pairs_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        # hash-partition by label, ONE map_groups call per partition, then a
+        # local loop over the partition's labels — Ray's per-group task
+        # overhead is paid P times, not once per label (labels grow with
+        # the corpus; isolated ABBA showed per-key map_groups is ~100x
+        # slower at 45k keys)
+        frames = [pairs_in_label(g)
+                  for _, g in df.groupby("label", sort=False)]
+        return pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"vec_a": pd.Series([], dtype=np.int64),
+                          "vec_b": pd.Series([], dtype=np.int64),
+                          "cos_sim": pd.Series([], dtype=float)})
+
+    from ..stages.partition import partitioned_map
+
+    return partitioned_map(ds, pairs_in_part, key="label",
+                           num_partitions=16)
 
 
 def dup_spans(sf_dir: str, L: int = 16, num_partitions: int = 16):
