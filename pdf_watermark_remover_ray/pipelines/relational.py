@@ -908,11 +908,15 @@ def quantile_rollup(ds, key: str, value_col: str,
 
     1. per-batch ``(key, value) → count`` partials (map_batches; NULL
        key/value rows are excluded — oracle SQL must filter identically);
-    2. one small groupby-sum shuffle that moves DISTINCT (key, value) pairs
-       — for a bounded-precision value domain this is O(|domain|) per key
-       regardless of row count, so it holds at 10^12 rows where a
-       sort-based exact quantile would shuffle everything;
-    3. per-key sorted cumulative-count selection.
+    2. ONE ``groupby(key)`` shuffle of those partials; the per-key fold
+       collapses duplicate values in-memory (pandas groupby-sum) and runs
+       the sorted cumulative-count selection.  A continuous value domain
+       doesn't collapse in step 1, so a separate ``groupby([key, value])``
+       pre-shuffle would move the same rows AGAIN — fusing both into the
+       single key exchange halves the AllToAll count (each carries a
+       ~2–5 s fixed cost at any size; see BASELINE.md session-7 notes).
+       For a bounded-precision domain the partials DO collapse per batch,
+       so the shuffle stays O(|domain| × batches) regardless of row count.
 
     Selection rule = sorted element at index ``ceil(q·n) − 1`` — DuckDB's
     ``quantile_disc``, an actual data element (no interpolation), so the
@@ -930,16 +934,19 @@ def quantile_rollup(ds, key: str, value_col: str,
         # Arrow blocks keep it on columnar kernels
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    counts = ds.map_batches(partial, batch_format="pyarrow",
-                            zero_copy_batch=True) \
-        .groupby([key, value_col]).aggregate(Sum("partial_n", alias_name="n"))
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
     def select_quantiles(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(value_col, kind="mergesort")
+        k = g[key].iloc[0]
+        # collapse duplicate values from different batches; sort=True gives
+        # the value-sorted order the cumulative selection needs
+        g = g.groupby(value_col, sort=True)["partial_n"].sum() \
+            .reset_index(name="n")
         n = int(g["n"].sum())
         cum = g["n"].cumsum().to_numpy()
         vals = g[value_col].to_numpy()
-        row = {key: [g[key].iloc[0]], "n": [n]}
+        row = {key: [k], "n": [n]}
         for q in qs:
             idx = min(max(math.ceil(q * n) - 1, 0), n - 1)
             # round, not truncate: int(0.29 * 100) == 28
@@ -947,8 +954,8 @@ def quantile_rollup(ds, key: str, value_col: str,
                 [vals[np.searchsorted(cum, idx + 1)]]
         return pd.DataFrame(row)
 
-    return counts.groupby(key).map_groups(select_quantiles,
-                                          batch_format="pandas")
+    return parts.groupby(key).map_groups(select_quantiles,
+                                         batch_format="pandas")
 
 
 def events_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.75, 0.95)):
@@ -971,12 +978,13 @@ def quantile_cont_rollup(ds, key: str, value_col: str,
             .reset_index(name="partial_n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    counts = ds.map_batches(partial, batch_format="pyarrow",
-                            zero_copy_batch=True) \
-        .groupby([key, value_col]).aggregate(Sum("partial_n", alias_name="n"))
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
     def select_quantiles(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(value_col, kind="mergesort")
+        k = g[key].iloc[0]
+        g = g.groupby(value_col, sort=True)["partial_n"].sum() \
+            .reset_index(name="n")
         n = int(g["n"].sum())
         cum = g["n"].cumsum().to_numpy()
         vals = g[value_col].to_numpy().astype(np.float64)
@@ -984,7 +992,7 @@ def quantile_cont_rollup(ds, key: str, value_col: str,
         def elem(i: int) -> float:  # i-th (0-based) of the sorted multiset
             return float(vals[np.searchsorted(cum, i + 1)])
 
-        row = {key: [g[key].iloc[0]], "n": [n]}
+        row = {key: [k], "n": [n]}
         for q in qs:
             rn = q * (n - 1)
             frn, crn = math.floor(rn), math.ceil(rn)
@@ -993,8 +1001,8 @@ def quantile_cont_rollup(ds, key: str, value_col: str,
             row[f"c{int(round(q * 100))}_{suffix}"] = [v]
         return pd.DataFrame(row)
 
-    return counts.groupby(key).map_groups(select_quantiles,
-                                          batch_format="pandas")
+    return parts.groupby(key).map_groups(select_quantiles,
+                                         batch_format="pandas")
 
 
 def events_quantiles_cont(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9)):
