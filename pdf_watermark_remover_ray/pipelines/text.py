@@ -950,14 +950,14 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET_TOKENS,
         return pd.DataFrame({"bucket": g.index.to_numpy(np.int64),
                              "partial_toks": g.to_numpy(np.int64)})
 
-    from ray.data.aggregate import Sum
-
+    # the partials table is bucket-domain-bounded (<= num_partitions rows
+    # per batch), so fold it on the driver — a Dataset groupby here would
+    # pay a full AllToAll fixed cost to merge a few hundred rows
     per_bucket = tok.map_batches(partial, batch_format="pandas") \
-        .groupby("bucket").aggregate(Sum("partial_toks", alias_name="toks")) \
-        .to_pandas().sort_values("bucket")
+        .to_pandas().groupby("bucket", as_index=False)["partial_toks"].sum()
     totals = np.zeros(num_partitions + 1, np.int64)
     totals[per_bucket["bucket"].to_numpy(np.int64)] = \
-        per_bucket["toks"].to_numpy(np.int64)
+        per_bucket["partial_toks"].to_numpy(np.int64)
     offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
