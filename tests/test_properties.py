@@ -209,6 +209,37 @@ def test_quantile_rollup_matches_numpy_random_multisets():
             assert row[c] == sub[idx], (row["k"], q)
 
 
+def test_quantile_cont_rollup_collapses_cross_batch_duplicates():
+    """The fused one-exchange fold must merge duplicate values arriving in
+    partials from DIFFERENT batches before interpolating — equality with
+    numpy's linear interpolation on the raw values proves the collapse
+    (a count miscount would shift the cumulative index)."""
+    import ray.data
+
+    from pdf_watermark_remover_ray.pipelines.relational import \
+        quantile_cont_rollup
+
+    rng = np.random.default_rng(23)
+    vals = rng.integers(0, 25, 900).astype(np.float64)  # heavy duplicates
+    keys = rng.choice(["a", "b"], 900)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    out = quantile_cont_rollup(ray.data.from_pandas(df).repartition(11),
+                               "k", "v", qs=(0.5, 0.9), suffix="v") \
+        .to_pandas()
+    assert len(out) == 2
+    import math
+
+    for _, row in out.iterrows():
+        sub = np.sort(df.loc[df["k"] == row["k"], "v"].to_numpy())
+        assert row["n"] == len(sub)
+        for q, c in ((0.5, "c50_v"), (0.9, "c90_v")):
+            rn = q * (len(sub) - 1)
+            frn, crn = math.floor(rn), math.ceil(rn)
+            want = sub[frn] if crn == frn else \
+                (crn - rn) * sub[frn] + (rn - frn) * sub[crn]
+            assert row[c] == want, (row["k"], q)
+
+
 def test_heavy_hitters_invariant_under_batch_split():
     """The candidate pass sees different batch boundaries under different
     partitionings, but the verified output must be identical (and equal to
