@@ -77,16 +77,27 @@ def approx_quantiles(ds, key: str, value_col: str, qs: tuple[float, ...],
     key regardless of the value domain's cardinality, where the exact
     value-counts rollup moves O(|distinct values|).
 
-    One cheap min/max pre-pass fixes the bin edges (two tiny aggregates);
-    per-batch partials histogram into ``bins`` buckets; a bounded
-    groupby-sum merges; the quantile interpolates linearly inside its
-    bucket.  Error ≤ one bucket width = (max−min)/bins, asserted in
+    One cheap min/max pre-pass fixes the bin edges — per-batch partials
+    folded on the DRIVER (key-domain-bounded; a Dataset groupby here would
+    AllToAll-shuffle the raw rows just to take min/max); per-batch partials
+    histogram into ``bins`` buckets; ONE ``groupby(key)`` exchange both
+    merges the histogram and interpolates the quantile inside its bucket
+    (the partial histograms are (key × bins)-bounded per batch, so a
+    separate pre-merge exchange would only re-move the same rows).  Error ≤
+    one bucket width = (max−min)/bins, asserted in
     tests/test_properties.py."""
-    from ray.data.aggregate import Max, Min
 
-    rng = ds.groupby(key).aggregate(Min(value_col, alias_name="lo"),
-                                    Max(value_col, alias_name="hi")) \
-        .to_pandas()  # one row per key — bounded by key cardinality
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key: t[key].to_pandas(),
+                           "v": t[value_col].to_pandas()}).dropna()
+        g = df.groupby(key, sort=False)["v"].agg(["min", "max"]) \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rng = ds.map_batches(minmax_partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas() \
+        .groupby(key, as_index=False) \
+        .agg(lo=("min", "min"), hi=("max", "max"))
     import ray as _ray
 
     edges = _ray.put(pd.DataFrame({
@@ -110,18 +121,18 @@ def approx_quantiles(ds, key: str, value_col: str, qs: tuple[float, ...],
             .groupby([key, "bin"], sort=False).size().reset_index(name="partial_n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-
     hist = ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True) \
-        .groupby([key, "bin"]).aggregate(Sum("partial_n", alias_name="n"))
+                          zero_copy_batch=True)
 
     def select(g: pd.DataFrame) -> pd.DataFrame:
         # per-key quantile pick runs DISTRIBUTED (map_groups) so a
-        # high-cardinality key never materializes keys × bins on the driver
+        # high-cardinality key never materializes keys × bins on the driver;
+        # the fold of per-batch histogram partials happens HERE (sorted
+        # groupby-sum) instead of a separate pre-merge exchange
         e = _ray.get(edges)
         k_ = g[key].iloc[0]
-        g = g.sort_values("bin")
+        g = g.groupby("bin", sort=True)["partial_n"].sum() \
+            .reset_index(name="n")
         lo, hi = float(e.loc[k_, "lo"]), float(e.loc[k_, "hi"])
         width = (hi - lo) / bins if hi > lo else 1.0
         cum = g["n"].cumsum().to_numpy()
