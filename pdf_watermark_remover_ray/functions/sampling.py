@@ -369,13 +369,13 @@ def shuffle_documents(sf_dir: str, seed: int = SHUFFLE_SEED,
         return pd.DataFrame({"bucket": g.index.to_numpy(np.int64),
                              "partial_n": g.to_numpy(np.int64)})
 
-    from ray.data.aggregate import Sum
-
-    per_bucket = hd.map_batches(partial, batch_format="pandas") \
-        .groupby("bucket").aggregate(Sum("partial_n", alias_name="n")) \
-        .to_pandas()
+    # bucket-domain-bounded partials: fold on the driver instead of paying
+    # a full AllToAll fixed cost for a few hundred rows
+    per_bucket = hd.map_batches(partial, batch_format="pandas").to_pandas()
     totals = np.zeros(num_buckets + 1, np.int64)
-    if len(per_bucket):  # an all-empty aggregate drops its schema
+    if len(per_bucket):  # an all-empty concat drops its schema
+        per_bucket = per_bucket.groupby("bucket", as_index=False) \
+            .agg(n=("partial_n", "sum"))
         totals[per_bucket["bucket"].to_numpy(np.int64)] = \
             per_bucket["n"].to_numpy(np.int64)
     offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))

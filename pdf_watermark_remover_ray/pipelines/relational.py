@@ -1877,13 +1877,16 @@ def orders_yoy_growth(sf_dir: str):
         return pa.table({"year": pa.array(g["y"].to_numpy(np.int64)),
                          "revenue": pa.array(g["r"].to_numpy(np.float64))})
 
+    # year-domain-bounded partials: fold on the driver (a Dataset groupby
+    # would pay a full AllToAll fixed cost to merge a few dozen rows)
     agg = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]) \
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("year").aggregate(Sum("revenue", alias_name="revenue")) \
         .to_pandas()
-    if len(agg) == 0:  # empty input: the aggregate drops its columns
+    if len(agg) == 0:  # empty input: the concat drops its columns
         agg = pd.DataFrame({"year": pd.Series([], dtype=np.int64),
                             "revenue": pd.Series([], dtype=np.float64)})
+    else:
+        agg = agg.groupby("year", as_index=False)["revenue"].sum()
     agg = agg.sort_values("year").reset_index(drop=True)
     prev = agg["revenue"].shift(1)
     yoy = 100.0 * (agg["revenue"] - prev) / prev

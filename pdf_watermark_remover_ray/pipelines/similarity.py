@@ -460,10 +460,12 @@ def label_centroids(sf_dir: str):
             "partial_n": pa.array(np.repeat(counts[sums.index.to_numpy()], D)),
         })
 
+    # (label × dim)-bounded partials: fold on the driver instead of paying
+    # a full AllToAll fixed cost for a few hundred rows
     agg = ds.map_batches(partial, batch_format="pandas", batch_size=4096) \
-        .groupby(["label", "dim"]).aggregate(
-            Sum("partial_sum", alias_name="s"),
-            Sum("partial_n", alias_name="n")).to_pandas()
+        .to_pandas() \
+        .groupby(["label", "dim"], as_index=False) \
+        .agg(s=("partial_sum", "sum"), n=("partial_n", "sum"))
     agg["c"] = round_half_away(agg["s"].to_numpy(np.float64)
                                / agg["n"].to_numpy(np.float64), 6)
     return agg[["label", "dim", "c"]].sort_values(["label", "dim"]) \

@@ -793,11 +793,13 @@ def source_mix_weights(sf_dir: str):
             .reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    # (lang × source)-bounded partials: fold on the driver instead of
+    # paying a full AllToAll fixed cost for a few dozen rows
     agg = ds.map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True) \
-        .groupby(["lang", "source"]).aggregate(
-            Sum("partial_docs", alias_name="n_docs"),
-            Sum("partial_tokens", alias_name="n_tokens")).to_pandas()
+                         zero_copy_batch=True).to_pandas() \
+        .groupby(["lang", "source"], as_index=False) \
+        .agg(n_docs=("partial_docs", "sum"),
+             n_tokens=("partial_tokens", "sum"))
     total = int(agg["n_tokens"].sum())
     groups = len(agg)
     with np.errstate(divide="ignore", invalid="ignore"):
