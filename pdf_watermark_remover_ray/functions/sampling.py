@@ -369,13 +369,15 @@ def shuffle_documents(sf_dir: str, seed: int = SHUFFLE_SEED,
         return pd.DataFrame({"bucket": g.index.to_numpy(np.int64),
                              "partial_n": g.to_numpy(np.int64)})
 
-    # bucket-domain-bounded partials: fold on the driver instead of paying
-    # a full AllToAll fixed cost for a few hundred rows
-    per_bucket = hd.map_batches(partial, batch_format="pandas").to_pandas()
+    # bucket-domain-bounded partials: streamed driver fold instead of
+    # paying a full AllToAll fixed cost for a few hundred distinct rows
+    from ..pipelines.relational import _merge_bounded_partials
+
+    per_bucket = _merge_bounded_partials(
+        hd.map_batches(partial, batch_format="pandas"),
+        keys=["bucket"], sums={"partial_n": "n"})
     totals = np.zeros(num_buckets + 1, np.int64)
-    if len(per_bucket):  # an all-empty concat drops its schema
-        per_bucket = per_bucket.groupby("bucket", as_index=False) \
-            .agg(n=("partial_n", "sum"))
+    if per_bucket is not None:
         totals[per_bucket["bucket"].to_numpy(np.int64)] = \
             per_bucket["n"].to_numpy(np.int64)
     offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))

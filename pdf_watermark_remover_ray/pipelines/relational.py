@@ -57,17 +57,31 @@ def _merge_bounded_partials(partials, keys: list[str],
                             sums: dict[str, str]) -> pd.DataFrame | None:
     """Driver-side merge of per-batch partial aggregates whose GROUP DOMAIN
     is fixed by the schema — flag/status/priority/nation/year combinations,
-    O(10-100) groups at ANY scale factor — so the pulled frame is
-    O(domain × blocks) tiny rows and a distributed groupby would be pure
-    AllToAll fixed cost (~2-5 s at sf0.1 regardless of input; see q13 /
-    trade-graph notes in BASELINE.md).  NOT for key domains that grow with
-    the data (customers, orders, documents) — those keep the distributed
-    aggregate.  Returns None for an all-empty input (schema-less frame)."""
-    parts = partials.to_pandas()
-    if not len(parts.columns) or not len(parts):
+    O(10-100) groups at ANY scale factor — so a distributed groupby would be
+    pure AllToAll fixed cost (~2-5 s at sf0.1 regardless of input; see q13 /
+    trade-graph notes in BASELINE.md).  The fold STREAMS ``iter_batches``
+    and re-collapses the accumulator as it grows, so driver memory stays
+    O(domain + one block) even at 100-TB block counts — the partials stream
+    is O(domain × blocks) rows, never held at once.  NOT for key domains
+    that grow with the data (customers, orders, documents) — those keep the
+    distributed aggregate.  Returns None for an all-empty input
+    (schema-less frame)."""
+    agg_spec = {c: "sum" for c in sums}
+    acc: list[pd.DataFrame] = []
+    pending = 0
+    for b in partials.iter_batches(batch_format="pandas"):
+        if not len(b.columns) or not len(b):
+            continue
+        acc.append(b)
+        pending += len(b)
+        if pending >= 65536:
+            acc = [pd.concat(acc, ignore_index=True)
+                   .groupby(keys, sort=False, as_index=False).agg(agg_spec)]
+            pending = len(acc[0])
+    if not acc:
         return None
-    out = parts.groupby(keys, sort=False, as_index=False).agg(
-        {c: "sum" for c in sums})
+    out = pd.concat(acc, ignore_index=True) \
+        .groupby(keys, sort=False, as_index=False).agg(agg_spec)
     return out.rename(columns=sums)
 
 
@@ -1877,16 +1891,15 @@ def orders_yoy_growth(sf_dir: str):
         return pa.table({"year": pa.array(g["y"].to_numpy(np.int64)),
                          "revenue": pa.array(g["r"].to_numpy(np.float64))})
 
-    # year-domain-bounded partials: fold on the driver (a Dataset groupby
+    # year-domain-bounded partials: streamed driver fold (a Dataset groupby
     # would pay a full AllToAll fixed cost to merge a few dozen rows)
-    agg = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]) \
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
-        .to_pandas()
-    if len(agg) == 0:  # empty input: the concat drops its columns
+    agg = _merge_bounded_partials(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["year"], sums={"revenue": "revenue"})
+    if agg is None:
         agg = pd.DataFrame({"year": pd.Series([], dtype=np.int64),
                             "revenue": pd.Series([], dtype=np.float64)})
-    else:
-        agg = agg.groupby("year", as_index=False)["revenue"].sum()
     agg = agg.sort_values("year").reset_index(drop=True)
     prev = agg["revenue"].shift(1)
     yoy = 100.0 * (agg["revenue"] - prev) / prev

@@ -460,12 +460,17 @@ def label_centroids(sf_dir: str):
             "partial_n": pa.array(np.repeat(counts[sums.index.to_numpy()], D)),
         })
 
-    # (label × dim)-bounded partials: fold on the driver instead of paying
-    # a full AllToAll fixed cost for a few hundred rows
-    agg = ds.map_batches(partial, batch_format="pandas", batch_size=4096) \
-        .to_pandas() \
-        .groupby(["label", "dim"], as_index=False) \
-        .agg(s=("partial_sum", "sum"), n=("partial_n", "sum"))
+    # (label × dim)-bounded partials: streamed driver fold instead of a
+    # full AllToAll fixed cost for a few hundred distinct rows
+    from .relational import _merge_bounded_partials
+
+    agg = _merge_bounded_partials(
+        ds.map_batches(partial, batch_format="pandas", batch_size=4096),
+        keys=["label", "dim"], sums={"partial_sum": "s", "partial_n": "n"})
+    if agg is None:  # empty embeddings table: typed empty, not a crash
+        return pd.DataFrame({"label": pd.Series([], dtype=object),
+                             "dim": pd.Series([], dtype=np.int64),
+                             "c": pd.Series([], dtype=np.float64)})
     agg["c"] = round_half_away(agg["s"].to_numpy(np.float64)
                                / agg["n"].to_numpy(np.float64), 6)
     return agg[["label", "dim", "c"]].sort_values(["label", "dim"]) \

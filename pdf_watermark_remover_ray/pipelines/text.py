@@ -793,13 +793,20 @@ def source_mix_weights(sf_dir: str):
             .reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    # (lang × source)-bounded partials: fold on the driver instead of
-    # paying a full AllToAll fixed cost for a few dozen rows
-    agg = ds.map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True).to_pandas() \
-        .groupby(["lang", "source"], as_index=False) \
-        .agg(n_docs=("partial_docs", "sum"),
-             n_tokens=("partial_tokens", "sum"))
+    # (lang × source)-bounded partials: streamed driver fold instead of
+    # a full AllToAll fixed cost for a few dozen distinct rows
+    from .relational import _merge_bounded_partials
+
+    agg = _merge_bounded_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["lang", "source"],
+        sums={"partial_docs": "n_docs", "partial_tokens": "n_tokens"})
+    if agg is None:  # empty documents table
+        agg = pd.DataFrame({"lang": pd.Series([], dtype=object),
+                            "source": pd.Series([], dtype=object),
+                            "n_docs": pd.Series([], dtype=np.int64),
+                            "n_tokens": pd.Series([], dtype=np.int64)})
     total = int(agg["n_tokens"].sum())
     groups = len(agg)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -953,13 +960,17 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET_TOKENS,
                              "partial_toks": g.to_numpy(np.int64)})
 
     # the partials table is bucket-domain-bounded (<= num_partitions rows
-    # per batch), so fold it on the driver — a Dataset groupby here would
-    # pay a full AllToAll fixed cost to merge a few hundred rows
-    per_bucket = tok.map_batches(partial, batch_format="pandas") \
-        .to_pandas().groupby("bucket", as_index=False)["partial_toks"].sum()
+    # per batch), so fold it on the driver (streamed) — a Dataset groupby
+    # here would pay a full AllToAll fixed cost to merge a few hundred rows
+    from .relational import _merge_bounded_partials
+
+    per_bucket = _merge_bounded_partials(
+        tok.map_batches(partial, batch_format="pandas"),
+        keys=["bucket"], sums={"partial_toks": "toks"})
     totals = np.zeros(num_partitions + 1, np.int64)
-    totals[per_bucket["bucket"].to_numpy(np.int64)] = \
-        per_bucket["partial_toks"].to_numpy(np.int64)
+    if per_bucket is not None:
+        totals[per_bucket["bucket"].to_numpy(np.int64)] = \
+            per_bucket["toks"].to_numpy(np.int64)
     offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
