@@ -263,7 +263,7 @@ def heavy_hitters(ds, col: str, width: int = 64) -> pd.DataFrame:
     Returns (item, n) for every item with n · width > total, count desc."""
     import ray
 
-    from ray.data.aggregate import Sum
+    from ..pipelines.relational import _merge_bounded_partials
 
     def candidates(t: pa.Table) -> pa.Table:
         s = t[col].to_pandas().dropna()
@@ -276,13 +276,16 @@ def heavy_hitters(ds, col: str, width: int = 64) -> pd.DataFrame:
         return pa.table({"item": pa.array(items, pa.string()),
                          "batch_rows": pa.array(rows, pa.int64())})
 
-    # cluster-side rollup BEFORE the driver collect: heavy items recur in
-    # most batches, so grouping dedups O(width × batches) survivor rows down
-    # to the distinct-candidate set (plus one null-sentinel row)
-    cand = ds.map_batches(candidates, batch_format="pyarrow",
-                          zero_copy_batch=True) \
-        .groupby("item").aggregate(Sum("batch_rows", alias_name="batch_rows")) \
-        .to_pandas()
+    # the candidate stream is O(width × batches) rows with heavy recurrence
+    # (a pigeonhole survivor shows up in most batches): the streamed
+    # bounded-domain driver fold collapses it with no AllToAll
+    cand = _merge_bounded_partials(
+        ds.map_batches(candidates, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["item"], sums={"batch_rows": "batch_rows"})
+    if cand is None:
+        return pd.DataFrame({"item": pd.Series([], dtype=str),
+                             "n": pd.Series([], dtype=np.int64)})
     total = int(cand.loc[cand["item"] == _HH_TOTAL_KEY, "batch_rows"].sum())
     cand_set = cand.loc[cand["item"] != _HH_TOTAL_KEY, "item"].unique()
     if not len(cand_set) or total == 0:
@@ -297,9 +300,13 @@ def heavy_hitters(ds, col: str, width: int = 64) -> pd.DataFrame:
         return pa.table({"item": pa.array(vc.index.astype(str)),
                          "partial_n": pa.array(vc.to_numpy(), pa.int64())})
 
-    merged = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("item").aggregate(Sum("partial_n", alias_name="n")) \
-        .to_pandas()
+    # verify counts are candidate-set-bounded per batch: same streamed fold
+    merged = _merge_bounded_partials(
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["item"], sums={"partial_n": "n"})
+    if merged is None:
+        return pd.DataFrame({"item": pd.Series([], dtype=str),
+                             "n": pd.Series([], dtype=np.int64)})
     out = merged[merged["n"] * width > total][["item", "n"]]
     return out.sort_values(["n", "item"], ascending=[False, True]) \
         .reset_index(drop=True)

@@ -638,12 +638,15 @@ def orders_global_rank(sf_dir: str, num_buckets: int = 16):
         return pd.DataFrame({"d_us": vc.index.to_numpy(np.int64),
                              "partial_n": vc.to_numpy(np.int64)})
 
-    dates = base.map_batches(date_partial, batch_format="pandas") \
-        .groupby("d_us").aggregate(Sum("partial_n", alias_name="n")) \
-        .to_pandas().sort_values("d_us")
-    if not len(dates):
+    # the date domain is calendar-bounded (a few thousand distinct days at
+    # any scale factor): streamed driver fold, no AllToAll
+    dates = _merge_bounded_partials(
+        base.map_batches(date_partial, batch_format="pandas"),
+        keys=["d_us"], sums={"partial_n": "n"})
+    if dates is None:
         return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
                              "rn": pd.Series([], dtype=np.int64)})
+    dates = dates.sort_values("d_us")
     cum = dates["n"].to_numpy(np.int64).cumsum()
     total = int(cum[-1])
     # cut dates at the count quantiles: bucket b covers rows (b/B, (b+1)/B]
