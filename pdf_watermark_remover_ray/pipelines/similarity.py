@@ -767,8 +767,12 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 3):
     clusters keep their previous centroid.  Output: (vec_id, cluster)."""
     from ..functions.hashing import md5_u64
 
+    # iterative algorithm: seed + ``iters`` assignment passes + the final
+    # labeling all scan the same two columns — materialize ONCE into the
+    # object store instead of re-reading/re-decoding parquet per pass
+    # (embeddings is the small table; at 100 TB the spill path absorbs it)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+                               columns=["vec_id", "embedding"]).materialize()
 
     def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["vec_id"].to_numpy(np.int64)
@@ -802,10 +806,14 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 3):
             return pd.DataFrame(out)
         return partial
 
+    from .relational import _merge_bounded_partials
+
+    scols = [f"s{j}" for j in range(C.shape[1])]
     for _ in range(iters):
         ref = ray.put(C)
-        parts = ds.map_batches(make_partial(ref),
-                               batch_format="pandas").to_pandas()
+        parts = _merge_bounded_partials(
+            ds.map_batches(make_partial(ref), batch_format="pandas"),
+            keys=["cid"], sums={c: c for c in ["n"] + scols})
         g = parts.groupby("cid", sort=True).sum()
         n = g["n"].to_numpy(np.float64)
         sums = g[[f"s{j}" for j in range(C.shape[1])]].to_numpy(np.float64)
