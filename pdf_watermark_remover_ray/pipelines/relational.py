@@ -3308,7 +3308,10 @@ def event_value_mad(sf_dir: str):
     def clean(df: pd.DataFrame) -> pd.DataFrame:
         return df.dropna(subset=["event_type", "value"])
 
-    ds = ds.map_batches(clean, batch_format="pandas")
+    # both passes (median, |value-median| deviations) scan the same two
+    # narrow columns — materialize the cleaned projection once instead of
+    # re-reading/re-decoding the parquet per pass
+    ds = ds.map_batches(clean, batch_format="pandas").materialize()
     med = quantile_cont_rollup(ds, "event_type", "value", (0.5,),
                                suffix="value").to_pandas()
     ref = _ray.put(pd.Series(med["c50_value"].to_numpy(np.float64),
