@@ -610,6 +610,7 @@ def queries() -> dict:
         "semantic_dedup": dedup.semantic_dedup,
         "bm25_topk": text.bm25_topk,
         "bm25_topk_indexed": text.bm25_topk_indexed,
+        "hybrid_topk_rrf": text.hybrid_topk_rrf,
         "quality_percentile_filter": text.quality_percentile_filter,
         # similarity search
         "ann_topk": similarity.ann_topk,
@@ -1516,6 +1517,7 @@ def oracle_sql() -> dict:
         "semantic_dedup": dedup.semantic_dedup_oracle_sql(),
         "bm25_topk": text.bm25_topk_oracle_sql(),
         "bm25_topk_indexed": text.bm25_topk_oracle_sql(),
+        "hybrid_topk_rrf": text.hybrid_topk_rrf_oracle_sql(),
         "quality_percentile_filter":
             text.quality_percentile_filter_oracle_sql(),
         "ann_topk": """

@@ -1502,6 +1502,104 @@ def bm25_topk_oracle_sql(k: int = 10, n_queries: int = 5,
         FROM scored QUALIFY rank <= {k}"""
 
 
+def hybrid_topk_rrf(sf_dir: str, k: int = 10, n_queries: int = 5,
+                    pool: int = 20, kappa: float = 60.0,
+                    terms_per_query: int = 3):
+    """Hybrid retrieval by RECIPROCAL RANK FUSION (Cormack et al., the
+    standard sparse+dense combiner in RAG stacks): fuse the BM25 ranking
+    (:func:`bm25_topk`) and the exact-cosine dense ranking
+    (:func:`..pipelines.similarity.ann_topk`) over the SAME corpus
+    (``doc_id == vec_id`` by table construction) —
+    ``rrf(d) = 1/(κ+rank_sparse(d)) + 1/(κ+rank_dense(d))`` over the union
+    of both ``pool``-deep lists; a doc absent from one list simply gets no
+    contribution from it.  BM25 query ``j`` fuses with the dense query
+    whose vec_id is the ``j``-th smallest (both workloads are
+    deterministic and corpus-derived, so the pairing is stable at every
+    scale factor and replayable in SQL).
+
+    Scale shape: both constituent retrievers are single distributed scans
+    with O(pool × queries × blocks) driver merges (their own docstrings);
+    the fusion itself touches only 2·n_queries·pool rows on the driver.
+    Ranking uses the ROUNDED rrf (9 dp) in engine and oracle so the
+    cutoff is float-stable."""
+    from .similarity import _load_queries, ann_topk
+
+    sparse = bm25_topk(sf_dir, k=pool, n_queries=n_queries,
+                       terms_per_query=terms_per_query)
+    dense = ann_topk(sf_dir, n_queries=n_queries, k=pool)
+    empty = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                          "rank": pd.Series([], dtype=np.int64),
+                          "doc_id": pd.Series([], dtype=np.int64),
+                          "rrf": pd.Series([], dtype=np.float64)})
+    if not len(sparse) and not len(dense):
+        return empty
+    # dense ranks: ann_topk's output order IS its ranking order
+    # (cos desc, vec_id asc — proven oracle-exact); remap its vec_id
+    # query ids onto bm25's 0..n-1 space via the deterministic query list
+    dense = dense.copy()
+    dense["rank"] = dense.groupby("query_id", sort=False).cumcount() + 1
+    qv, _ = _load_queries(sf_dir, n_queries)  # ascending vec_ids
+    pos = {int(v): i for i, v in enumerate(qv)}
+    dense["query_id"] = dense["query_id"].map(pos).astype(np.int64)
+    dense = dense.rename(columns={"vec_id": "doc_id"})
+    both = pd.merge(sparse[["query_id", "doc_id", "rank"]],
+                    dense[["query_id", "doc_id", "rank"]],
+                    on=["query_id", "doc_id"], how="outer",
+                    suffixes=("_s", "_d"))
+    rs = both["rank_s"].to_numpy(np.float64)
+    rd = both["rank_d"].to_numpy(np.float64)
+    rrf = (np.where(np.isnan(rs), 0.0, 1.0 / (kappa + rs))
+           + np.where(np.isnan(rd), 0.0, 1.0 / (kappa + rd)))
+    both["rrf"] = round_half_away(rrf, 9)
+    both = both.sort_values(["query_id", "rrf", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+    out = both.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return pd.DataFrame({
+        "query_id": out["query_id"].to_numpy(np.int64),
+        "rank": out["rank"].to_numpy(np.int64),
+        "doc_id": out["doc_id"].to_numpy(np.int64),
+        "rrf": out["rrf"].to_numpy(np.float64)})
+
+
+def hybrid_topk_rrf_oracle_sql(k: int = 10, n_queries: int = 5,
+                               pool: int = 20, kappa: float = 60.0,
+                               terms_per_query: int = 3) -> str:
+    sparse = bm25_topk_oracle_sql(k=pool, n_queries=n_queries,
+                                  terms_per_query=terms_per_query)
+    return f"""
+        WITH sp AS (SELECT query_id, doc_id, rank FROM ({sparse})),
+        ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+        q AS (SELECT vec_id AS qvid,
+                     CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                         AS query_id,
+                     emb AS qe
+              FROM ed ORDER BY vec_id LIMIT {n_queries}),
+        dn AS (
+            SELECT query_id, vec_id AS doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(q.qe, e.emb) AS sim
+                  FROM q, ed e WHERE e.vec_id <> q.qvid)
+            QUALIFY rank <= {pool}),
+        fused AS (
+            SELECT coalesce(sp.query_id, dn.query_id) AS query_id,
+                   coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+                   round(coalesce(1.0 / ({kappa} + sp.rank), 0.0)
+                         + coalesce(1.0 / ({kappa} + dn.rank), 0.0), 9)
+                       AS rrf
+            FROM sp FULL OUTER JOIN dn
+                 ON sp.query_id = dn.query_id AND sp.doc_id = dn.doc_id)
+        SELECT query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank,
+               doc_id, rrf
+        FROM fused QUALIFY rank <= {k}"""
+
+
 def bm25_build_index(sf_dir: str, index_dir: str, num_buckets: int = 32):
     """One-time inverted-index build for :func:`bm25_topk_indexed`.
 

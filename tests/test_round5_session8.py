@@ -1,0 +1,81 @@
+"""Round-5 session-8 additions: hybrid RRF retrieval fusion and the
+streamed bounded-domain driver fold."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hybrid_rrf_fuses_both_rankings():
+    """RRF invariants on real tables: k rows per query, rank contiguous,
+    rrf non-increasing within a query, every fused doc comes from one of
+    the constituent pools, and any doc present in BOTH pools scores
+    strictly higher than the best possible single-list doc at equal-or-
+    worse ranks (1/(κ+r_s) + 1/(κ+r_d) > max single contribution)."""
+    from pdf_watermark_remover_ray.pipelines.similarity import ann_topk
+    from pdf_watermark_remover_ray.pipelines.text import (bm25_topk,
+                                                          hybrid_topk_rrf)
+
+    k, nq, pool, kappa = 10, 5, 20, 60.0
+    out = hybrid_topk_rrf(SF, k=k, n_queries=nq, pool=pool, kappa=kappa)
+    sparse = bm25_topk(SF, k=pool, n_queries=nq)
+    dense = ann_topk(SF, n_queries=nq, k=pool)
+
+    assert set(out.columns) == {"query_id", "rank", "doc_id", "rrf"}
+    for qid, g in out.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= k
+        r = g["rrf"].to_numpy()
+        assert (np.diff(r) <= 0).all(), qid
+
+    pool_docs = set(sparse["doc_id"]) | set(dense["vec_id"])
+    assert set(out["doc_id"]) <= pool_docs
+
+    # a doc on both lists beats any doc on exactly one list whose single
+    # rank is no better than either of its ranks
+    both = pd.merge(sparse[["query_id", "doc_id", "rank"]],
+                    dense.assign(
+                        rank=dense.groupby("query_id").cumcount() + 1)
+                    .rename(columns={"vec_id": "doc_id"})
+                    [["doc_id", "rank"]],
+                    on="doc_id", suffixes=("_s", "_d"))
+    if len(both):
+        row = both.iloc[0]
+        fused = 1 / (kappa + row["rank_s"]) + 1 / (kappa + row["rank_d"])
+        assert fused > 1 / (kappa + min(row["rank_s"], row["rank_d"]))
+
+
+def test_merge_bounded_partials_streams_and_recollapses():
+    """The streamed fold must produce the same totals as a one-shot pandas
+    groupby even when the 64k re-collapse threshold fires mid-stream."""
+    import ray.data
+
+    from pdf_watermark_remover_ray.pipelines.relational import \
+        _merge_bounded_partials
+
+    rng = np.random.default_rng(31)
+    n = 200_000  # > the 64k pending threshold across blocks
+    df = pd.DataFrame({"k": rng.integers(0, 7, n),
+                       "v": rng.integers(0, 100, n).astype(np.int64)})
+    ds = ray.data.from_pandas(df).repartition(13)
+    out = _merge_bounded_partials(ds, keys=["k"], sums={"v": "total"})
+    want = df.groupby("k", as_index=False)["v"].sum() \
+        .rename(columns={"v": "total"})
+    got = out.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("k").reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_merge_bounded_partials_empty_returns_none():
+    import ray.data
+
+    from pdf_watermark_remover_ray.pipelines.relational import \
+        _merge_bounded_partials
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": pd.Series([], dtype=int),
+                                            "v": pd.Series([], dtype=int)}))
+    assert _merge_bounded_partials(ds, keys=["k"], sums={"v": "n"}) is None
