@@ -1600,6 +1600,111 @@ def hybrid_topk_rrf_oracle_sql(k: int = 10, n_queries: int = 5,
         FROM fused QUALIFY rank <= {k}"""
 
 
+def dsir_weights(sf_dir: str, target_lang: str = "en", buckets: int = 1024):
+    """DSIR-style hashed importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — public
+    method): score every document by the log-likelihood ratio of its
+    hashed unigram features under the TARGET distribution (docs with
+    ``lang == target_lang``) vs the RAW distribution (all docs), add-one
+    smoothed over a fixed ``buckets``-sized hashed feature space.  The
+    hashing is the point at 100 TB: the sufficient statistic is O(buckets)
+    regardless of vocabulary growth, where a term-level table (tf-idf /
+    surprisal style) grows with the corpus.
+
+    Scale shape: pass 1 folds (bucket → target/raw token counts) — a
+    ≤ ``buckets``-row partial stream per batch — on the driver via the
+    shared streamed fold (no AllToAll); the 9-dp-rounded log-ratio table
+    broadcasts ONCE via ``ray.put`` (8 KiB at the default size); pass 2
+    re-scans, md5-hashes each batch's UNIQUE tokens (factorize-first, the
+    repo's SQL-replayable hash discipline — functions/hashing.py), and
+    sums rounded ratios per doc.  The output rounds to 6 dp so
+    summation-order noise between numpy and the SQL replay (~1e-13 on
+    9-dp-rounded addends) cannot flip the value hash.  Downstream
+    resampling = the existing weighted-sampling operators over the
+    returned ``weight`` column."""
+    from ..functions.hashing import md5_u32
+    from .relational import _merge_bounded_partials
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                          "weight": pd.Series([], dtype=np.float64)})
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _token_lists(df["text"]).explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                                 "t_n": pd.Series([], dtype=np.int64),
+                                 "r_n": pd.Series([], dtype=np.int64)})
+        codes, uniq = pd.factorize(ex.to_numpy())
+        b = (md5_u32(uniq) % buckets).astype(np.int64)[codes]
+        row_pos = df.index.get_indexer(ex.index)
+        is_t = (df["lang"].to_numpy(object) == target_lang)[row_pos]
+        return pd.DataFrame({"bucket": b,
+                             "t_n": is_t.astype(np.int64),
+                             "r_n": np.ones(len(b), np.int64)}) \
+            .groupby("bucket", as_index=False).sum()
+
+    cnt = _merge_bounded_partials(
+        ds.map_batches(count_partial, batch_format="pandas"),
+        keys=["bucket"], sums={"t_n": "t", "r_n": "r"})
+    if cnt is None:
+        return empty
+    T = int(cnt["t"].sum())
+    R = int(cnt["r"].sum())
+    lr_arr = np.zeros(buckets, np.float64)  # unseen buckets: never probed
+    t = cnt["t"].to_numpy(np.float64)
+    r = cnt["r"].to_numpy(np.float64)
+    lr = np.log(((t + 1.0) / (T + buckets)) / ((r + 1.0) / (R + buckets)))
+    lr_arr[cnt["bucket"].to_numpy(np.int64)] = round_half_away(lr, 9)
+    ref = ray.put(lr_arr)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        lrv = _ray.get(ref)
+        ex = _token_lists(df["text"]).explode().dropna()
+        w = np.zeros(len(df), np.float64)
+        if len(ex):
+            codes, uniq = pd.factorize(ex.to_numpy())
+            per_tok = lrv[(md5_u32(uniq) % buckets).astype(np.int64)][codes]
+            w = np.bincount(df.index.get_indexer(ex.index),
+                            weights=per_tok, minlength=len(df))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "weight": round_half_away(w, 6)})
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dsir_weights_oracle_sql(target_lang: str = "en",
+                            buckets: int = 1024) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang, unnest(list_filter(
+                regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                x -> x <> '')) AS term
+            FROM documents),
+        h AS (SELECT doc_id, lang,
+                     ('0x' || substring(md5(term), 1, 8))::BIGINT
+                         % {buckets} AS b
+              FROM toks),
+        cnt AS (SELECT b,
+                       count(*) FILTER (WHERE lang = '{target_lang}') AS t,
+                       count(*) AS r
+                FROM h GROUP BY b),
+        tot AS (SELECT sum(t) AS tt, sum(r) AS rr FROM cnt),
+        ratio AS (SELECT b,
+                         round(ln(((t + 1.0) / (tt + {buckets}))
+                                  / ((r + 1.0) / (rr + {buckets}))), 9)
+                             AS lr
+                  FROM cnt CROSS JOIN tot),
+        dw AS (SELECT h.doc_id, sum(ratio.lr) AS w
+               FROM h JOIN ratio USING (b) GROUP BY h.doc_id)
+        SELECT d.doc_id, round(coalesce(dw.w, 0.0), 6) AS weight
+        FROM documents d LEFT JOIN dw USING (doc_id)"""
+
+
 def bm25_build_index(sf_dir: str, index_dir: str, num_buckets: int = 32):
     """One-time inverted-index build for :func:`bm25_topk_indexed`.
 

@@ -48,6 +48,26 @@ def test_hybrid_rrf_fuses_both_rankings():
         assert fused > 1 / (kappa + min(row["rank_s"], row["rank_d"]))
 
 
+def test_dsir_weights_separate_target_from_rest():
+    """Importance weights must actually discriminate: target-language docs
+    score higher on average than the rest (the log-ratio features exist to
+    up-weight target-like text), and every doc gets exactly one weight."""
+    import duckdb
+
+    from pdf_watermark_remover_ray.pipelines.text import dsir_weights
+
+    out = dsir_weights(SF, target_lang="en")
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    assert len(out) == len(docs)
+    assert out["doc_id"].is_unique
+    m = out.merge(docs, on="doc_id")
+    en = m.loc[m["lang"] == "en", "weight"].mean()
+    rest = m.loc[m["lang"] != "en", "weight"].mean()
+    assert en > rest, (en, rest)
+
+
 def test_merge_bounded_partials_streams_and_recollapses():
     """The streamed fold must produce the same totals as a one-shot pandas
     groupby even when the 64k re-collapse threshold fires mid-stream."""
