@@ -302,6 +302,9 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
           lambda: relational.event_user_cube(sf_dir).materialize())
     timed("kmeans_embeddings",
           lambda: similarity.kmeans_embeddings(sf_dir))
+    # round-5 session-8 additions
+    timed("hybrid_topk_rrf", lambda: text.hybrid_topk_rrf(sf_dir))
+    timed("dsir_weights", lambda: text.dsir_weights(sf_dir))
 
     ray.shutdown()
     return _summary(timings, headline_runs, n_rows, sf_dir, num_cpus)
