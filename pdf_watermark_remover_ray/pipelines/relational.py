@@ -388,9 +388,11 @@ def q5_revenue_by_nation(sf_dir: str, broadcast_threshold: int = 5_000_000,
                               sup_ds, "s_suppkey", "n_name", "n_name",
                               num_partitions=num_partitions)
 
-    out = agg.groupby("n_name") \
-        .aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
-    if not len(out.columns):  # all-empty aggregate drops its schema
+    # |nations|-bounded final: streamed driver fold, no AllToAll (the
+    # missed sibling of the q1/q4/q7/q8 session-7 conversions)
+    out = _merge_bounded_partials(agg, keys=["n_name"],
+                                  sums={"revenue": "revenue"})
+    if out is None:
         return empty_q5
     out["revenue"] = round_half_away(out["revenue"], 2)
     return out.sort_values("n_name").reset_index(drop=True)
