@@ -1053,10 +1053,14 @@ def order_priority_rollup(sf_dir: str):
                      sort=False).size().reset_index(name="partial_n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    fine = ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True) \
-        .groupby(["o_orderstatus", "o_orderpriority"]) \
-        .aggregate(Sum("partial_n", alias_name="n")).to_pandas()
+    fine = _merge_bounded_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["o_orderstatus", "o_orderpriority"], sums={"partial_n": "n"})
+    if fine is None:
+        fine = pd.DataFrame({"o_orderstatus": pd.Series([], dtype=object),
+                             "o_orderpriority": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
     by_status = fine.groupby("o_orderstatus", as_index=False)["n"].sum()
     by_status["o_orderpriority"] = ROLLUP_ALL
     total = pd.DataFrame({"o_orderstatus": [ROLLUP_ALL],
@@ -1084,10 +1088,14 @@ def order_priority_cube(sf_dir: str):
                      sort=False).size().reset_index(name="partial_n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    fine = ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True) \
-        .groupby(["o_orderstatus", "o_orderpriority"]) \
-        .aggregate(Sum("partial_n", alias_name="n")).to_pandas()
+    fine = _merge_bounded_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["o_orderstatus", "o_orderpriority"], sums={"partial_n": "n"})
+    if fine is None:
+        fine = pd.DataFrame({"o_orderstatus": pd.Series([], dtype=object),
+                             "o_orderpriority": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
     by_status = fine.groupby("o_orderstatus", as_index=False)["n"].sum()
     by_status["o_orderpriority"] = ROLLUP_ALL
     by_prio = fine.groupby("o_orderpriority", as_index=False)["n"].sum()
@@ -2774,12 +2782,14 @@ def q22_global_sales(sf_dir: str, recency_cutoff: str = "2000-01-01",
             partial_bal=("c_acctbal", "sum")).reset_index()
         return g
 
-    out = partitioned_map(cd.union(od), anti, key="c_custkey",
-                          num_partitions=num_partitions) \
-        .groupby("c_nationkey") \
-        .aggregate(Sum("partial_cnt", alias_name="numcust"),
-                   Sum("partial_bal", alias_name="totacctbal")).to_pandas()
-    if not len(out.columns):
+    # |nations|-bounded final over the anti-join partials: streamed driver
+    # fold instead of a second AllToAll after the anti-join shuffle
+    out = _merge_bounded_partials(
+        partitioned_map(cd.union(od), anti, key="c_custkey",
+                        num_partitions=num_partitions),
+        keys=["c_nationkey"],
+        sums={"partial_cnt": "numcust", "partial_bal": "totacctbal"})
+    if out is None:
         return pd.DataFrame({"c_nationkey": pd.Series([], dtype=np.int64),
                              "numcust": pd.Series([], dtype=np.int64),
                              "totacctbal": pd.Series([], dtype=float)})

@@ -133,8 +133,6 @@ def write_hive_partitioned(ds, out_dir: str, by: str = "lang") -> dict:
     heap the bound.  For balanced output under arbitrary skew use the
     hash-shard sink above (``write_partitioned``), or pre-split the heavy
     key into ``{key}__{i}`` sub-keys before calling this."""
-    from ray.data.aggregate import Sum
-
     os.makedirs(out_dir, exist_ok=True)
     done = committed_keys(out_dir, by)
 
@@ -143,8 +141,15 @@ def write_hive_partitioned(ds, out_dir: str, by: str = "lang") -> dict:
         return pd.DataFrame({by: vc.index.astype(str),
                              "partial_n": vc.to_numpy(np.int64)})
 
-    keys = ds.map_batches(key_partial, batch_format="pandas") \
-        .groupby(by).aggregate(Sum("partial_n", alias_name="n")).to_pandas()
+    # hive partition keys are a bounded domain by definition of the layout:
+    # streamed driver fold, no AllToAll just to list the pending keys
+    from ..pipelines.relational import _merge_bounded_partials
+
+    keys = _merge_bounded_partials(
+        ds.map_batches(key_partial, batch_format="pandas"),
+        keys=[by], sums={"partial_n": "n"})
+    if keys is None:
+        return {}
     pending = sorted(set(keys[by].astype(str)) - done)
     if not pending:
         return {}
