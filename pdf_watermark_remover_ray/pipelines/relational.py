@@ -54,7 +54,8 @@ def _dim_rows(sf_dir: str, table: str) -> int:
 
 
 def _merge_bounded_partials(partials, keys: list[str],
-                            sums: dict[str, str]) -> pd.DataFrame | None:
+                            sums: dict[str, str],
+                            how: str = "sum") -> pd.DataFrame | None:
     """Driver-side merge of per-batch partial aggregates whose GROUP DOMAIN
     is fixed by the schema — flag/status/priority/nation/year combinations,
     O(10-100) groups at ANY scale factor — so a distributed groupby would be
@@ -66,7 +67,11 @@ def _merge_bounded_partials(partials, keys: list[str],
     that grow with the data (customers, orders, documents) — those keep the
     distributed aggregate.  Returns None for an all-empty input
     (schema-less frame)."""
-    agg_spec = {c: "sum" for c in sums}
+    agg_spec = {c: how for c in sums}  # any fold-associative pandas agg
+    #                                    ("sum", "max", "min") — the
+    #                                    re-collapse applies it to its own
+    #                                    outputs, so it must be idempotent
+    #                                    under regrouping
     acc: list[pd.DataFrame] = []
     pending = 0
     for b in partials.iter_batches(batch_format="pandas"):

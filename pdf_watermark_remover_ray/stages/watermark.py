@@ -83,8 +83,6 @@ def late_rows(ds, lateness_us: int, epoch_size: int, id_col: str = "event_id",
     (partial per batch, merged with one small groupby), broadcast back into a
     vectorized filter.  Returns the dropped rows (conv_id, turn_idx, epoch).
     """
-    from ray.data.aggregate import Max
-
     ds = assign_epochs_by_event(ds, epoch_size, id_col=id_col,
                                 scramble_block=scramble_block)
 
@@ -98,13 +96,17 @@ def late_rows(ds, lateness_us: int, epoch_size: int, id_col: str = "event_id",
         g = df.groupby("epoch", sort=False)["ts_us"].max().reset_index(name="mx")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    per_epoch = (
-        ds.map_batches(partial_max, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("epoch")
-        .aggregate(Max("mx", alias_name="mx"))
-        .to_pandas()
-        .sort_values("epoch")
-    )
+    # epoch-domain-bounded partials: streamed driver fold (max), no AllToAll
+    from ..pipelines.relational import _merge_bounded_partials
+
+    per_epoch = _merge_bounded_partials(
+        ds.map_batches(partial_max, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["epoch"], sums={"mx": "mx"}, how="max")
+    if per_epoch is None:
+        per_epoch = pd.DataFrame({"epoch": pd.Series([], dtype=np.int64),
+                                  "mx": pd.Series([], dtype=np.int64)})
+    per_epoch = per_epoch.sort_values("epoch")
     # watermark_after(e) as cumulative max minus lateness; lookup for e-1.
     wm_after = per_epoch["mx"].cummax().to_numpy() - lateness_us
     epochs = per_epoch["epoch"].to_numpy()
