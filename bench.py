@@ -275,9 +275,12 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
           lambda: ngram_decontaminate(sf_dir).materialize())
     timed("chunk_documents",
           lambda: text.chunk_documents(sf_dir).materialize())
+    # index cache keyed by sf_dir too: a stale index built from another
+    # scale factor references vec_ids the current table doesn't have
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
     timed("ann_topk_pq_indexed",
           lambda: similarity.ann_topk_pq_indexed(
-              sf_dir, index_dir=f"{CACHE}/pq_index"))
+              sf_dir, index_dir=f"{CACHE}/pq_index_{sf_tag}"))
     timed("image_features", lambda: image_features(sf_dir).materialize())
     # round-4 session-3 additions
     timed("q4_order_priority", lambda: relational.q4_order_priority(sf_dir))
