@@ -612,6 +612,7 @@ def queries() -> dict:
         "bm25_topk_indexed": text.bm25_topk_indexed,
         "hybrid_topk_rrf": text.hybrid_topk_rrf,
         "dsir_weights": text.dsir_weights,
+        "ngram_diversity": text.ngram_diversity,
         "quality_percentile_filter": text.quality_percentile_filter,
         # similarity search
         "ann_topk": similarity.ann_topk,
@@ -1520,6 +1521,7 @@ def oracle_sql() -> dict:
         "bm25_topk_indexed": text.bm25_topk_oracle_sql(),
         "hybrid_topk_rrf": text.hybrid_topk_rrf_oracle_sql(),
         "dsir_weights": text.dsir_weights_oracle_sql(),
+        "ngram_diversity": text.ngram_diversity_oracle_sql(),
         "quality_percentile_filter":
             text.quality_percentile_filter_oracle_sql(),
         "ann_topk": """

@@ -1600,6 +1600,112 @@ def hybrid_topk_rrf_oracle_sql(k: int = 10, n_queries: int = 5,
         FROM fused QUALIFY rank <= {k}"""
 
 
+def ngram_diversity(sf_dir: str, n: int = 3, num_partitions: int = 16):
+    """Distinct-n corpus-diversity diagnostic (Li et al.'s distinct-n,
+    standard for detecting template/boilerplate-heavy sources): per source,
+    ``distinct n-grams / total n-grams`` — a low ratio flags a source whose
+    text repeats itself (mirror dumps, log spam) before it poisons a
+    training mix.
+
+    Scale shape: totals per source are a bounded driver fold; the distinct
+    count shuffles each batch's DISTINCT (source, gram) pairs ONCE, hashed
+    by gram into ``num_partitions`` groups whose per-partition
+    distinct-per-source counts are again a bounded fold — the exchange
+    scales with the n-gram vocabulary (the honest cost of an exact
+    distinct), the driver only ever sees O(sources × partitions) rows.
+    Vectorized gram construction (shifted-array join, no Python loop over
+    rows)."""
+    from .relational import _merge_bounded_partials
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def _grams(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        """(source, gram) arrays for every within-doc n-gram of the batch."""
+        toks = _token_lists(df["text"])
+        ex = toks.explode().dropna()
+        if len(ex) < n:
+            return (np.array([], object), np.array([], object))
+        tok = ex.to_numpy()
+        doc = ex.index.to_numpy()
+        same = doc[: len(doc) - n + 1] == doc[n - 1:]
+        if not same.any():
+            return (np.array([], object), np.array([], object))
+        parts = pd.Series(tok[: len(tok) - n + 1])
+        for off in range(1, n):
+            parts = parts + " " + pd.Series(
+                tok[off: len(tok) - n + 1 + off])
+        grams = parts.to_numpy()[same]
+        src = df["source"].fillna("").to_numpy(object)[
+            df.index.get_indexer(ex.index[: len(doc) - n + 1][same])]
+        return (src, grams)
+
+    def total_partial(df: pd.DataFrame) -> pd.DataFrame:
+        src, grams = _grams(df)
+        if not len(grams):
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "partial_total": pd.Series([], dtype=np.int64)})
+        vc = pd.Series(src).value_counts()
+        return pd.DataFrame({"source": vc.index.to_numpy(object),
+                             "partial_total": vc.to_numpy(np.int64)})
+
+    totals = _merge_bounded_partials(
+        ds.map_batches(total_partial, batch_format="pandas"),
+        keys=["source"], sums={"partial_total": "total"})
+    if totals is None:
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             "total_ngrams": pd.Series([], dtype=np.int64),
+                             "distinct_ngrams": pd.Series([], dtype=np.int64),
+                             "diversity": pd.Series([], dtype=np.float64)})
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        src, grams = _grams(df)
+        out = pd.DataFrame({"source": src, "gram": grams}).drop_duplicates()
+        h = pd.util.hash_pandas_object(out["gram"], index=False).to_numpy()
+        out["part"] = (h % num_partitions).astype(np.int32)
+        return out
+
+    def distinct_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["source", "gram"])["source"].value_counts()
+        return pd.DataFrame({"source": d.index.to_numpy(object),
+                             "partial_distinct": d.to_numpy(np.int64)})
+
+    distinct = _merge_bounded_partials(
+        ds.map_batches(pair_partial, batch_format="pandas")
+        .groupby("part").map_groups(distinct_in_part, batch_format="pandas"),
+        keys=["source"], sums={"partial_distinct": "distinct"})
+
+    out = totals.merge(distinct, on="source", how="left")
+    out["distinct"] = out["distinct"].fillna(0).astype(np.int64)
+    out["diversity"] = round_half_away(
+        out["distinct"].to_numpy(np.float64)
+        / out["total"].to_numpy(np.float64), 6)
+    out = out.rename(columns={"total": "total_ngrams",
+                              "distinct": "distinct_ngrams"})
+    return out[["source", "total_ngrams", "distinct_ngrams", "diversity"]] \
+        .sort_values("source").reset_index(drop=True)
+
+
+def ngram_diversity_oracle_sql(n: int = 3) -> str:
+    return f"""
+        WITH tk AS (SELECT coalesce(source, '') AS source,
+                           list_filter(regexp_split_to_array(
+                               coalesce(text, ''), '\\s+'),
+                               x -> x <> '') AS l
+                    FROM documents),
+        g AS (SELECT source,
+                     array_to_string(list_slice(l, i, i + {n} - 1), ' ')
+                         AS gram
+              FROM tk, UNNEST(generate_series(1, len(l) - {n} + 1)) AS t(i)
+              WHERE len(l) >= {n})
+        SELECT source,
+               count(*) AS total_ngrams,
+               count(DISTINCT gram) AS distinct_ngrams,
+               round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6)
+                   AS diversity
+        FROM g GROUP BY source"""
+
+
 def dsir_weights(sf_dir: str, target_lang: str = "en", buckets: int = 1024):
     """DSIR-style hashed importance weights (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling" — public
