@@ -90,6 +90,40 @@ def test_merge_bounded_partials_streams_and_recollapses():
         check_dtype=False)
 
 
+def test_ngram_diversity_orders_repetitive_below_diverse(tmp_path):
+    """A source whose docs repeat one template must score strictly lower
+    distinct-n diversity than a source of unique texts, and the ratio
+    equals brute force on a planted corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_remover_ray.pipelines.text import ngram_diversity
+
+    rep = ["the same template line again"] * 30
+    div = [f"unique words number {i} appear here once {i * 7}"
+           for i in range(30)]
+    docs = pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "text": pa.array(rep + div, pa.string()),
+        "lang": pa.array(["en"] * 60, pa.string()),
+        "source": pa.array(["rep"] * 30 + ["div"] * 30, pa.string()),
+        "n_chars": pa.array([len(t) for t in rep + div], pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = ngram_diversity(str(tmp_path), n=3).set_index("source")
+
+    def brute(texts):
+        grams = [" ".join(t.split()[i:i + 3])
+                 for t in texts for i in range(len(t.split()) - 2)]
+        return len(set(grams)), len(grams)
+
+    for src, texts in (("rep", rep), ("div", div)):
+        d, t = brute(texts)
+        assert out.loc[src, "distinct_ngrams"] == d
+        assert out.loc[src, "total_ngrams"] == t
+    assert out.loc["rep", "diversity"] < out.loc["div", "diversity"]
+
+
 def test_merge_bounded_partials_empty_returns_none():
     import ray.data
 
