@@ -2579,14 +2579,39 @@ def q13_oracle_sql() -> str:
         GROUP BY c_count"""
 
 
+def _probe_rows(sf_dir: str, table: str, key_col: str,
+                cols: list[str], keys: np.ndarray) -> pd.DataFrame:
+    """Distributed point lookup: scan ``table`` (column-pruned) and keep
+    only rows whose ``key_col`` is in the (small, broadcast) ``keys`` set —
+    the decoration path for argmax/top-k winners, so the dimension table
+    never lands on the driver whole.  O(|keys|) result rows."""
+    keys = np.sort(np.unique(np.asarray(keys, dtype=np.int64)))
+    ref = ray.put(keys)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        v = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ks) == 0:
+            return t.slice(0, 0)
+        pos = np.searchsorted(ks, v).clip(max=len(ks) - 1)
+        return t.filter(pa.array(ks[pos] == v))
+
+    return _read(sf_dir, table, cols) \
+        .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True) \
+        .to_pandas()
+
+
 def q15_top_supplier(sf_dir: str, date_lo: str = "1996-01-01",
                      date_hi: str = "1996-04-01"):
     """TPC-H Q15 shape: ARGMAX WITH TIES over an aggregated view — the
     supplier(s) whose windowed revenue equals the global maximum.
 
-    The per-supplier revenue view is a partial-sum groupby (|suppliers|
-    rows — dimension-bounded, so the driver-side max+ties step is O(dim),
-    never O(facts)); names decorate from the supplier table read."""
+    Scale shape: the per-supplier revenue view stays a Dataset after its
+    groupby; a per-block candidate pass keeps each block's max-revenue
+    rows (ties included), so the driver sees O(blocks × ties) rows — never
+    the |suppliers|-row view itself — and re-filters the global max.
+    Winner names come from a DISTRIBUTED point lookup of the supplier
+    table (:func:`_probe_rows`), not a whole-table driver read."""
     lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -2598,19 +2623,30 @@ def q15_top_supplier(sf_dir: str, date_lo: str = "1996-01-01",
         g.columns = ["s_suppkey", "partial_rev"]
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    per_sup = _read(sf_dir, "lineitem",
-                    ["l_suppkey", "l_shipdate", "l_extendedprice",
-                     "l_discount"]) \
+    view = _read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_shipdate", "l_extendedprice",
+                  "l_discount"]) \
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("s_suppkey") \
-        .aggregate(Sum("partial_rev", alias_name="total_revenue")).to_pandas()
-    if not len(per_sup) or not len(per_sup.columns):
+        .aggregate(Sum("partial_rev", alias_name="total_revenue"))
+
+    def block_best(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.copy()
+        df["total_revenue"] = round_half_away(
+            df["total_revenue"].to_numpy(np.float64), 2)
+        return df[df["total_revenue"] == df["total_revenue"].max()]
+
+    cand = view.map_batches(block_best, batch_format="pandas").to_pandas()
+    if not len(cand) or "total_revenue" not in cand.columns:
         return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
                              "s_name": pd.Series([], dtype=str),
                              "total_revenue": pd.Series([], dtype=float)})
-    per_sup["total_revenue"] = round_half_away(per_sup["total_revenue"], 2)
-    best = per_sup[per_sup["total_revenue"] == per_sup["total_revenue"].max()]
-    names = _read_small_pd(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    best = cand[cand["total_revenue"] == cand["total_revenue"].max()]
+    names = _probe_rows(sf_dir, "supplier", "s_suppkey",
+                        ["s_suppkey", "s_name"],
+                        best["s_suppkey"].to_numpy(np.int64))
     out = best.merge(names, on="s_suppkey", how="left")
     return out[["s_suppkey", "s_name", "total_revenue"]] \
         .sort_values("s_suppkey").reset_index(drop=True)
@@ -2688,12 +2724,28 @@ def q21_waiting_suppliers(sf_dir: str, k: int = 20,
     waits = partitioned_map(joined, per_order, key="l_orderkey",
                             num_partitions=num_partitions) \
         .groupby("s_suppkey") \
-        .aggregate(Sum("partial_w", alias_name="numwait")).to_pandas()
-    if not len(waits) or not len(waits.columns):
+        .aggregate(Sum("partial_w", alias_name="numwait"))
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # keep every row tied-or-above the block's k-th largest numwait: a
+        # global top-k row (numwait desc, name asc) either clears its
+        # block's cutoff or is beaten by >= k STRICTLY-greater rows that
+        # also beat it globally — so the candidate union is exact under
+        # any tiebreak, and the driver sees O(blocks x (k + boundary
+        # ties)) rows instead of |suppliers|
+        if len(df) <= k:
+            return df
+        cut = df["numwait"].nlargest(k).min()
+        return df[df["numwait"] >= cut]
+
+    cand = waits.map_batches(block_topk, batch_format="pandas").to_pandas()
+    if not len(cand) or "numwait" not in cand.columns:
         return pd.DataFrame({"s_name": pd.Series([], dtype=str),
                              "numwait": pd.Series([], dtype=np.int64)})
-    names = _read_small_pd(sf_dir, "supplier", ["s_suppkey", "s_name"])
-    out = waits.merge(names, on="s_suppkey", how="left")
+    names = _probe_rows(sf_dir, "supplier", "s_suppkey",
+                        ["s_suppkey", "s_name"],
+                        cand["s_suppkey"].to_numpy(np.int64))
+    out = cand.merge(names, on="s_suppkey", how="left")
     out = out.sort_values(["numwait", "s_name"], ascending=[False, True],
                           kind="mergesort").head(k)
     return out[["s_name", "numwait"]].reset_index(drop=True)
