@@ -1364,7 +1364,8 @@ def user_daily_activity_oracle_sql(day_us: int = 86_400_000_000) -> str:
 
 
 def q14_promo_revenue(sf_dir: str, date_lo: str = "1995-01-01",
-                      date_hi: str = "1995-04-01"):
+                      date_hi: str = "1995-04-01",
+                      broadcast_threshold: int = 5_000_000):
     """TPC-H Q14 shape (promotion effect): CONDITIONAL aggregate over a
     broadcast dimension join — the percent of shipped revenue in a date
     range that comes from PROMO-type parts.
@@ -1372,27 +1373,16 @@ def q14_promo_revenue(sf_dir: str, date_lo: str = "1995-01-01",
     Scale path: part's (p_partkey → is_promo) is a tiny broadcast (sorted
     parallel arrays, searchsorted probe per batch, same discipline as Q5);
     lineitem is scanned once with 4 pruned columns; each batch emits ONE
-    partial (promo_rev, total_rev) pair so the reduce is O(blocks)."""
+    partial (promo_rev, total_rev) pair so the reduce is O(blocks).
+    part grows linearly with SF, so its broadcast is SIZE-GUARDED on the
+    parquet-metadata row count: above ``broadcast_threshold`` the lineitem
+    side pre-aggregates revenue per partkey and the promo flag attaches
+    through the shared tag-union hash shuffle (:func:`_shuffle_attach`) —
+    oracle-tested on both sides of the threshold."""
     import pyarrow.compute as _pc
 
-    part = _read_small_pd(sf_dir, "part", ["p_partkey", "p_type"]) \
-        .sort_values("p_partkey")
-    lookup_ref = ray.put((part["p_partkey"].to_numpy(np.int64),
-                          (part["p_type"].to_numpy() == "PROMO")))
     lo = np.datetime64(date_lo, "us")
     hi = np.datetime64(date_hi, "us")
-
-    def partial(t: pa.Table) -> pa.Table:
-        keys, promo = ray.get(lookup_ref)
-        df = t.to_pandas()
-        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
-        pk = df["l_partkey"].to_numpy(np.int64)
-        pos = np.searchsorted(keys, pk).clip(max=max(len(keys) - 1, 0))
-        is_promo = (keys[pos] == pk) & promo[pos] if len(keys) else \
-            np.zeros(len(pk), bool)
-        return pa.table({"promo_rev": pa.array([float(rev[is_promo].sum())]),
-                         "total_rev": pa.array([float(rev.sum())])})
-
     # date range pushed INTO the read: parquet row-group statistics prune
     # non-matching groups before their bytes leave storage
     li = ray.data.read_parquet(
@@ -1400,10 +1390,57 @@ def q14_promo_revenue(sf_dir: str, date_lo: str = "1995-01-01",
         columns=["l_partkey", "l_extendedprice", "l_discount"],
         filter=(_pc.field("l_shipdate") >= lo)
         & (_pc.field("l_shipdate") < hi))
-    agg = li.map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True) \
-        .aggregate(Sum("promo_rev", alias_name="p"),
-                   Sum("total_rev", alias_name="t"))
+
+    if _dim_rows(sf_dir, "part") <= broadcast_threshold:
+        part = _read_small_pd(sf_dir, "part", ["p_partkey", "p_type"]) \
+            .sort_values("p_partkey")
+        lookup_ref = ray.put((part["p_partkey"].to_numpy(np.int64),
+                              (part["p_type"].to_numpy() == "PROMO")))
+
+        def partial(t: pa.Table) -> pa.Table:
+            keys, promo = ray.get(lookup_ref)
+            df = t.to_pandas()
+            rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+            pk = df["l_partkey"].to_numpy(np.int64)
+            pos = np.searchsorted(keys, pk).clip(max=max(len(keys) - 1, 0))
+            is_promo = (keys[pos] == pk) & promo[pos] if len(keys) else \
+                np.zeros(len(pk), bool)
+            return pa.table({"promo_rev": pa.array([float(rev[is_promo].sum())]),
+                             "total_rev": pa.array([float(rev.sum())])})
+
+        agg = li.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+            .aggregate(Sum("promo_rev", alias_name="p"),
+                       Sum("total_rev", alias_name="t"))
+    else:
+        # over-threshold part: per-batch revenue pre-aggregation by partkey,
+        # one hash shuffle attaching p_type (rows = distinct partkeys per
+        # batch, never raw lineitem)
+        def li_partial(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            rev = (df["l_extendedprice"] * (1 - df["l_discount"]))
+            g = rev.groupby(df["l_partkey"]).sum().reset_index()
+            g.columns = ["l_partkey", "rev"]
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        attached = _shuffle_attach(
+            li.map_batches(li_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            "l_partkey", [("rev", pa.float64())],
+            _read(sf_dir, "part", ["p_partkey", "p_type"]),
+            "p_partkey", "p_type", "p_type")
+
+        def fold(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            rev = df["rev"].to_numpy(np.float64)
+            is_promo = df["p_type"].to_numpy() == "PROMO"
+            return pa.table({"promo_rev": pa.array([float(rev[is_promo].sum())]),
+                             "total_rev": pa.array([float(rev.sum())])})
+
+        agg = attached.map_batches(fold, batch_format="pyarrow",
+                                   zero_copy_batch=True) \
+            .aggregate(Sum("promo_rev", alias_name="p"),
+                       Sum("total_rev", alias_name="t"))
     pct = 100.0 * agg["p"] / agg["t"] if agg["t"] else 0.0
     return pd.DataFrame({"promo_pct": [float(round_half_away(
         np.array([pct]), 4)[0])]})
@@ -1420,20 +1457,95 @@ def q14_oracle_sql(date_lo: str = "1995-01-01",
           AND l_shipdate < TIMESTAMP '{date_hi}'"""
 
 
-def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#13"):
+def _q17_shuffle(sf_dir: str, part_ds, li_cols: list[str],
+                 num_partitions: int) -> pd.DataFrame:
+    """q17's over-threshold path: one tag-union hash shuffle of
+    per-(partkey, quantity) lineitem partials with the brand's partkeys;
+    thresholds and the qualifying-price sum derive per partition."""
+    from ..stages.partition import add_partition_column as _add
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["l_partkey", "l_quantity"], sort=False).agg(
+            n=("l_quantity", "size"),
+            price=("l_extendedprice", "sum")).reset_index()
+        return pa.table({
+            "__key": pa.array(g["l_partkey"].to_numpy(np.int64)),
+            "__side": pa.array(np.zeros(len(g), np.int8)),
+            "qty": pa.array(g["l_quantity"].to_numpy(np.float64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "price": pa.array(g["price"].to_numpy(np.float64))})
+
+    def dim_side(t: pa.Table) -> pa.Table:
+        m = len(t)
+        return pa.table({
+            "__key": t["p_partkey"].cast(pa.int64()),
+            "__side": pa.array(np.ones(m, np.int8)),
+            "qty": pa.array(np.zeros(m, np.float64)),
+            "n": pa.array(np.zeros(m, np.int64)),
+            "price": pa.array(np.zeros(m, np.float64))})
+
+    u = _read(sf_dir, "lineitem", li_cols) \
+        .map_batches(li_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .union(part_ds.map_batches(dim_side, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+    u = _add(u, key="__key", num_partitions=num_partitions)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        want = set(df.loc[df["__side"] == 1, "__key"])
+        f = df[(df["__side"] == 0) & df["__key"].isin(want)]
+        if not len(f):
+            return pd.DataFrame({"price": pd.Series([], dtype=np.float64)})
+        s = (f["qty"] * f["n"]).groupby(f["__key"]).sum()
+        cnt = f["n"].groupby(f["__key"]).sum()
+        thr = 0.2 * s / cnt
+        sel = f["qty"].to_numpy() < thr.reindex(f["__key"]).to_numpy()
+        return pd.DataFrame({"price": [float(f["price"].to_numpy()[sel].sum())]})
+
+    total = u.groupby("part").map_groups(finish, batch_format="pandas") \
+        .aggregate(Sum("price", alias_name="p"))["p"]
+    if total is None:
+        return pd.DataFrame({"avg_yearly": [np.nan]})
+    return pd.DataFrame({"avg_yearly": [float(round_half_away(
+        np.array([total / 7.0]), 2)[0])]})
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#13",
+                               broadcast_threshold: int = 5_000_000,
+                               num_partitions: int = 16):
     """TPC-H Q17 shape (small-quantity-order revenue): the CORRELATED
     SUBQUERY pattern — average yearly revenue lost if orders below 20%% of a
     part's average quantity weren't filled — decorrelated into two pruned
     lineitem passes with a broadcast per-part threshold between them.
 
     Pass 1 computes per-part (sum, count) PARTIALS restricted to the brand's
-    partkeys (broadcast set, ~|parts|/|brands| keys); the per-part 0.2·avg
-    thresholds are derived driver-side from the tiny aggregate and broadcast
-    back; pass 2 re-scans lineitem and sums prices under threshold.  The
-    shuffle never moves lineitem rows — only per-(part, batch) partials."""
-    part = _read_small_pd(sf_dir, "part", ["p_partkey", "p_brand"])
-    pks = np.sort(part.loc[part["p_brand"] == brand,
-                           "p_partkey"].to_numpy(np.int64))
+    partkeys (broadcast set from a FILTER-PUSHED part read — the brand
+    predicate prunes at the scan, so only matching keys reach the driver);
+    the per-part 0.2·avg thresholds are derived driver-side from the tiny
+    aggregate and broadcast back; pass 2 re-scans lineitem and sums prices
+    under threshold.  The shuffle never moves lineitem rows — only
+    per-(part, batch) partials.
+
+    Above ``broadcast_threshold`` brand keys, the whole query collapses to
+    ONE tag-union hash shuffle instead: lineitem pre-reduces to
+    per-(partkey, quantity) (n, price-sum) partials (l_quantity is a
+    small-integer domain, so partials are tight), co-partitions with the
+    brand's keys, and each partition derives its parts' thresholds and sums
+    qualifying prices locally — exact because the (pk, qty) granularity
+    preserves both the average and the filter (oracle-tested on both sides
+    of the threshold)."""
+    import pyarrow.compute as _pc
+
+    part_ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=_pc.field("p_brand") == brand)
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    if int(part_ds.count()) > broadcast_threshold:
+        return _q17_shuffle(sf_dir, part_ds, li_cols, num_partitions)
+    bp = part_ds.to_pandas()
+    pks = np.sort(bp["p_partkey"].to_numpy(np.int64)) \
+        if len(bp) and "p_partkey" in bp.columns else np.array([], np.int64)
     pks_ref = ray.put(pks)
 
     def qty_partial(t: pa.Table) -> pa.Table:
@@ -1525,30 +1637,19 @@ def q18_large_orders(sf_dir: str, threshold: float = 200.0):
         big = pd.DataFrame({"l_orderkey": pd.Series([], dtype=np.int64),
                             "total_qty": pd.Series([], dtype=np.float64)})
     big = big.sort_values("l_orderkey")
-    cust = _read_small_pd(sf_dir, "customer", ["c_custkey", "c_name"]) \
-        .sort_values("c_custkey")
     big_ref = ray.put((big["l_orderkey"].to_numpy(np.int64),
-                       big["total_qty"].to_numpy(np.float64),
-                       cust["c_custkey"].to_numpy(np.int64),
-                       cust["c_name"].to_numpy()))
+                       big["total_qty"].to_numpy(np.float64)))
 
     def decorate(t: pa.Table) -> pa.Table:
-        oks, qty, cks, cnames = ray.get(big_ref)
+        oks, qty = ray.get(big_ref)
         df = t.to_pandas()
         ok = df["o_orderkey"].to_numpy(np.int64)
         pos = np.searchsorted(oks, ok).clip(max=max(len(oks) - 1, 0))
         hit = oks[pos] == ok if len(oks) else np.zeros(len(ok), bool)
         df = df[hit]
         df["total_qty"] = qty[pos[hit]]
-        ck = df["o_custkey"].to_numpy(np.int64)
-        cp = np.searchsorted(cks, ck).clip(max=max(len(cks) - 1, 0))
-        # verify the customer probe actually hit (a custkey absent from
-        # customer must drop, not inherit the nearest name)
-        chit = cks[cp] == ck if len(cks) else np.zeros(len(ck), bool)
-        df = df[chit]
-        df["c_name"] = cnames[cp[chit]]
         return pa.Table.from_pandas(
-            df[["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+            df[["o_custkey", "o_orderkey", "o_orderdate",
                 "o_totalprice", "total_qty"]], preserve_index=False)
 
     out = _read(sf_dir, "orders",
@@ -1560,10 +1661,21 @@ def q18_large_orders(sf_dir: str, threshold: float = 200.0):
             ("c_name", object), ("o_custkey", np.int64),
             ("o_orderkey", np.int64), ("o_orderdate", "datetime64[us]"),
             ("o_totalprice", np.float64), ("total_qty", np.float64))})
+    # winner rows are FEW (the HAVING already filtered): names come from a
+    # distributed point lookup, never a whole-customer driver read or
+    # broadcast; the inner merge preserves "custkey absent from customer
+    # must drop" semantics
+    names = _probe_rows(sf_dir, "customer", "c_custkey",
+                        ["c_custkey", "c_name"],
+                        out["o_custkey"].to_numpy(np.int64))
+    out = out.merge(names, left_on="o_custkey", right_on="c_custkey",
+                    how="inner")
     out["o_totalprice"] = round_half_away(out["o_totalprice"], 2)
     out["total_qty"] = round_half_away(out["total_qty"], 2)
-    return out.sort_values(["o_totalprice", "o_orderkey"],
-                           ascending=[False, True]).reset_index(drop=True)
+    return out[["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty"]] \
+        .sort_values(["o_totalprice", "o_orderkey"],
+                     ascending=[False, True]).reset_index(drop=True)
 
 
 def q18_oracle_sql(threshold: float = 200.0) -> str:
@@ -1577,15 +1689,103 @@ def q18_oracle_sql(threshold: float = 200.0) -> str:
         HAVING sum(l_quantity) > {threshold}"""
 
 
-def q19_disjunctive_revenue(sf_dir: str):
+_Q19_ARMS = (("Brand#13", 10, 1.0, 20.0),
+             ("Brand#19", 20, 10.0, 30.0),
+             ("Brand#20", 30, 20.0, 40.0))
+
+
+def _q19_shuffle(sf_dir: str, part_ds, num_partitions: int) -> pd.DataFrame:
+    """q19's over-threshold path: lineitem pre-reduces to per-partkey
+    revenue sums per quantity band (one per disjunction arm), tag-unions
+    with the brand-filtered part rows, and each partition applies the
+    (brand, size) arm selection locally."""
+    from ..stages.partition import add_partition_column as _add
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        qty = df["l_quantity"].to_numpy(np.float64)
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        pk = df["l_partkey"].to_numpy(np.int64)
+        cols = {}
+        for j, (_, _, lo, hi) in enumerate(_Q19_ARMS):
+            cols[f"rev{j}"] = np.where((qty >= lo) & (qty <= hi), rev, 0.0)
+        g = pd.DataFrame({"__key": pk, **cols}) \
+            .groupby("__key", sort=False, as_index=False).sum()
+        n = len(g)
+        return pa.table({
+            "__key": pa.array(g["__key"].to_numpy(np.int64)),
+            "__side": pa.array(np.zeros(n, np.int8)),
+            "p_brand": pa.array([""] * n, pa.string()),
+            "p_size": pa.array(np.zeros(n, np.int64)),
+            **{f"rev{j}": pa.array(g[f"rev{j}"].to_numpy(np.float64))
+               for j in range(len(_Q19_ARMS))}})
+
+    def dim_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "__key": t["p_partkey"].cast(pa.int64()),
+            "__side": pa.array(np.ones(n, np.int8)),
+            "p_brand": t["p_brand"].cast(pa.string()),
+            "p_size": t["p_size"].cast(pa.int64()),
+            **{f"rev{j}": pa.array(np.zeros(n, np.float64))
+               for j in range(len(_Q19_ARMS))}})
+
+    u = _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .union(part_ds.map_batches(dim_side, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+    u = _add(u, key="__key", num_partitions=num_partitions)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["__side"] == 1][["__key", "p_brand", "p_size"]]
+        f = df[df["__side"] == 0].merge(d, on="__key", how="inner",
+                                        suffixes=("_x", ""))
+        if not len(f):
+            return pd.DataFrame({"revenue": pd.Series([], dtype=np.float64)})
+        total = 0.0
+        for j, (brand, size_max, _, _) in enumerate(_Q19_ARMS):
+            m = (f["p_brand"].to_numpy() == brand) \
+                & (f["p_size"].to_numpy(np.int64) <= size_max)
+            total += float(f[f"rev{j}"].to_numpy()[m].sum())
+        return pd.DataFrame({"revenue": [total]})
+
+    total = u.groupby("part").map_groups(finish, batch_format="pandas") \
+        .aggregate(Sum("revenue", alias_name="r"))["r"]
+    return pd.DataFrame({"revenue": [float(round_half_away(
+        np.array([total or 0.0]), 2)[0])]})
+
+
+def q19_disjunctive_revenue(sf_dir: str,
+                            broadcast_threshold: int = 5_000_000,
+                            num_partitions: int = 16):
     """TPC-H Q19 shape (discounted revenue, disjunctive predicates): an OR
     of three (brand, size-range, quantity-range) conjunctions spanning two
     tables — the classic case where a naive plan joins first and filters
-    later.  Here part's (brand, size) is a broadcast columnar lookup and the
-    whole disjunction evaluates as THREE vectorized masks per lineitem
-    batch; each batch emits one revenue partial."""
-    part = _read_small_pd(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
-        .sort_values("p_partkey")
+    later.  Here part's (brand, size) is a broadcast columnar lookup —
+    pre-filtered AT THE READ to the three named brands, since no other part
+    can satisfy the disjunction — and the whole disjunction evaluates as
+    THREE vectorized masks per lineitem batch; each batch emits one revenue
+    partial.  Above ``broadcast_threshold`` matching parts, lineitem
+    pre-reduces to per-partkey revenue sums per quantity BAND (one per
+    disjunction arm; the arms' brands are mutually exclusive per part, so
+    the per-partition join picks exactly one band) and ONE tag-union hash
+    shuffle finishes — oracle-tested on both sides of the threshold."""
+    import pyarrow.compute as _pc
+
+    part_ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=_pc.field("p_brand").isin([a[0] for a in _Q19_ARMS]))
+    if int(part_ds.count()) > broadcast_threshold:
+        return _q19_shuffle(sf_dir, part_ds, num_partitions)
+    part = part_ds.to_pandas()
+    if not len(part) or "p_partkey" not in part.columns:
+        part = pd.DataFrame({"p_partkey": pd.Series([], dtype=np.int64),
+                             "p_brand": pd.Series([], dtype=object),
+                             "p_size": pd.Series([], dtype=np.int64)})
+    part = part.sort_values("p_partkey")
     ref = ray.put((part["p_partkey"].to_numpy(np.int64),
                    part["p_brand"].to_numpy(),
                    part["p_size"].to_numpy(np.int64)))
@@ -2045,13 +2245,14 @@ def q10_returned_items(sf_dir: str, date_lo: str = "1995-04-01",
                               "revenue": pd.Series([], dtype=np.float64)})
     top = parts.sort_values(["revenue", "c_custkey"],
                             ascending=[False, True]).head(k)
-    cust = _read_small_pd(sf_dir, "customer", ["c_custkey", "c_name"]) \
-        .sort_values("c_custkey")
-    cks = cust["c_custkey"].to_numpy(np.int64)
-    tk = top["c_custkey"].to_numpy(np.int64)
-    pos = np.searchsorted(cks, tk).clip(max=max(len(cks) - 1, 0))
-    hit = cks[pos] == tk if len(cks) else np.zeros(len(tk), bool)
-    top = top[hit].assign(c_name=cust["c_name"].to_numpy()[pos[hit]])
+    # <= k winners: names via distributed point lookup, never a whole-
+    # customer driver read (inner merge keeps unknown-custkey drop semantics)
+    names = _probe_rows(sf_dir, "customer", "c_custkey",
+                        ["c_custkey", "c_name"],
+                        top["c_custkey"].to_numpy(np.int64))
+    top = top.merge(names, on="c_custkey", how="inner")
+    top = top.sort_values(["revenue", "c_custkey"],
+                          ascending=[False, True])
     return top[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
 
 

@@ -124,6 +124,22 @@ def test_ngram_diversity_orders_repetitive_below_diverse(tmp_path):
     assert out.loc["rep", "diversity"] < out.loc["div", "diversity"]
 
 
+def test_broadcast_fallbacks_match_q14_q17_q19():
+    """The q14/q17/q19 over-threshold paths (shuffle-attach / tag-union)
+    must equal their broadcast paths bit-for-bit on the same input (the
+    q3-style cross-threshold contract, extended to the last unguarded
+    part-table broadcasts)."""
+    from pdf_watermark_remover_ray.pipelines.relational import (
+        q14_promo_revenue, q17_small_quantity_revenue,
+        q19_disjunctive_revenue)
+
+    for fn in (q14_promo_revenue, q17_small_quantity_revenue,
+               q19_disjunctive_revenue):
+        a = fn(SF)
+        b = fn(SF, broadcast_threshold=0)
+        pd.testing.assert_frame_equal(a, b), fn.__name__
+
+
 def test_merge_bounded_partials_empty_returns_none():
     import ray.data
 
