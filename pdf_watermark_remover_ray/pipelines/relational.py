@@ -2797,9 +2797,15 @@ def _probe_rows(sf_dir: str, table: str, key_col: str,
         pos = np.searchsorted(ks, v).clip(max=len(ks) - 1)
         return t.filter(pa.array(ks[pos] == v))
 
-    return _read(sf_dir, table, cols) \
+    out = _read(sf_dir, table, cols) \
         .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True) \
         .to_pandas()
+    if len(out) == 0 and not all(c in out.columns for c in cols):
+        # zero-block result drops its schema: rebuild the typed empty frame
+        import pyarrow.parquet as _pq
+        out = _pq.read_schema(f"{sf_dir}/{table}.parquet").empty_table() \
+            .select(cols).to_pandas()
+    return out
 
 
 def q15_top_supplier(sf_dir: str, date_lo: str = "1996-01-01",
