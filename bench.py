@@ -309,6 +309,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     timed("hybrid_topk_rrf", lambda: text.hybrid_topk_rrf(sf_dir))
     timed("dsir_weights", lambda: text.dsir_weights(sf_dir))
     timed("ngram_diversity", lambda: text.ngram_diversity(sf_dir))
+    timed("lang_confusion", lambda: text.lang_confusion(sf_dir))
 
     ray.shutdown()
     return _summary(timings, headline_runs, n_rows, sf_dir, num_cpus)

@@ -613,6 +613,7 @@ def queries() -> dict:
         "hybrid_topk_rrf": text.hybrid_topk_rrf,
         "dsir_weights": text.dsir_weights,
         "ngram_diversity": text.ngram_diversity,
+        "lang_confusion": text.lang_confusion,
         "quality_percentile_filter": text.quality_percentile_filter,
         # similarity search
         "ann_topk": similarity.ann_topk,
@@ -1522,6 +1523,27 @@ def oracle_sql() -> dict:
         "hybrid_topk_rrf": text.hybrid_topk_rrf_oracle_sql(),
         "dsir_weights": text.dsir_weights_oracle_sql(),
         "ngram_diversity": text.ngram_diversity_oracle_sql(),
+        "lang_confusion": f"""
+            WITH toksed AS (
+                SELECT coalesce(lang, '') AS lang, {TOKENS_SQL} AS toks
+                FROM documents),
+            scored AS (
+                SELECT lang,
+                       len(list_filter(toks, x -> x IN ('the','and','of'))) AS s_en,
+                       len(list_filter(toks, x -> x IN ('der','und','die'))) AS s_de,
+                       len(list_filter(toks, x -> x IN ('le','la','et'))) AS s_fr,
+                       len(list_filter(toks, x -> x IN ('el','y','los'))) AS s_es
+                FROM toksed)
+            SELECT lang,
+                   CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                             AND s_en > 0 THEN 'en'
+                        WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0
+                            THEN 'de'
+                        WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                        WHEN s_es > 0 THEN 'es'
+                        ELSE 'und' END AS lang_pred,
+                   count(*) AS n_docs
+            FROM scored GROUP BY lang, lang_pred""",
         "quality_percentile_filter":
             text.quality_percentile_filter_oracle_sql(),
         "ann_topk": """

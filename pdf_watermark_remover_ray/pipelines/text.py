@@ -128,6 +128,51 @@ def text_stats(sf_dir: str, concurrency: int = 2):
                           concurrency=concurrency)
 
 
+class _LangConfusion:
+    """Actor-pool stage for :func:`lang_confusion`: one TextAnalyzer per
+    actor (stopword/marker sets built once), per-batch (lang, lang_pred)
+    count partials."""
+
+    def __init__(self) -> None:
+        self.an = TextAnalyzer()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = self.an(t.select(["doc_id", "text"]))
+        lang = pc.fill_null(t["lang"], "").to_pandas().to_numpy(object)
+        pred = out["lang_pred"].to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"lang": lang, "lang_pred": pred}) \
+            .groupby(["lang", "lang_pred"], sort=False).size() \
+            .reset_index(name="partial_n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def lang_confusion(sf_dir: str, concurrency: int = 2):
+    """Language-ID CONFUSION MATRIX: documents counted by (declared lang,
+    predicted lang) — the corpus-health diagnostic that tells you where the
+    n-gram language heuristic (TextAnalyzer) disagrees with the metadata,
+    i.e. which slices need a better classifier before lang-conditioned
+    mixing.  The (lang × lang_pred) domain is fixed by the marker set, so
+    per-batch partials fold on the driver via the shared streamed fold —
+    no AllToAll; the heuristic itself is the SAME Arrow-native kernel
+    text_stats runs, so the oracle replays it exactly."""
+    from .relational import _merge_bounded_partials
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    out = _merge_bounded_partials(
+        ds.map_batches(_LangConfusion, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=4096,
+                       concurrency=concurrency),
+        keys=["lang", "lang_pred"], sums={"partial_n": "n_docs"})
+    if out is None:
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "lang_pred": pd.Series([], dtype=object),
+                             "n_docs": pd.Series([], dtype=np.int64)})
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
 class Fingerprinter:
     """md5 content fingerprint + 64-bit k-gram min-hash (winnowing-style)
     sketch: min over all character-``window``-gram md5-prefix hashes.
